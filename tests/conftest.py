@@ -1,0 +1,16 @@
+import os
+
+# Tests run on a virtual 8-device CPU mesh so sharding paths are exercised
+# without TPU hardware. XLA_FLAGS must be set before backend init.
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+# The environment's axon sitecustomize force-registers the tunneled TPU
+# backend (JAX_PLATFORMS=axon in env); per-sync round trips through the
+# tunnel are ~100ms, which makes move-by-move engine tests crawl. Force CPU.
+jax.config.update("jax_platforms", "cpu")
