@@ -1,0 +1,137 @@
+"""Named model architectures — equivalent of python/katago/train/modelconfigs.py.
+
+The reference defines dict configs keyed by names like b6c96 / b18c384nbt
+(modelconfigs.py:605-641, 1838-1871): trunk/mid/gpool channel counts, a list
+of block kinds, head channel sizes, norm kind and activation. We mirror the
+same named configs and semantics with a typed dataclass.
+
+Block kinds supported this round: "regular", "regulargpool", "bottle{1,2,3}"
+(+gpool), "bottlenest2" (+gpool). Transformer kinds (v17 RoPE attention,
+model_pytorch.py:1921+) are a later milestone.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+EXTRA_SCORE_DISTR_RADIUS = 60  # model_pytorch.py:26
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    name: str
+    version: int = 15
+    norm_kind: str = "fixup"
+    activation: str = "relu"
+    trunk_num_channels: int = 96
+    mid_num_channels: int = 96
+    gpool_num_channels: int = 32
+    block_kind: Sequence[str] = ()
+    p1_num_channels: int = 32
+    g1_num_channels: int = 32
+    v1_num_channels: int = 32
+    v2_size: int = 64
+    sbv2_num_channels: int = 48
+    num_scorebeliefs: int = 4
+    initial_conv_1x1: bool = False
+
+    @property
+    def num_policy_outputs(self) -> int:
+        # version <=11: 4; <=15: 6; 16: 8 (model_pytorch.py:2599-2611)
+        if self.version <= 11:
+            return 4
+        if self.version <= 15:
+            return 6
+        return 8
+
+    def scorebelief_len(self, pos_len: int) -> int:
+        return 2 * (pos_len * pos_len + EXTRA_SCORE_DISTR_RADIUS)
+
+
+def _blocks(pattern: Sequence[tuple[str, int]]) -> tuple[str, ...]:
+    out = []
+    for kind, n in pattern:
+        out.extend([kind] * n)
+    return tuple(out)
+
+
+CONFIGS: dict[str, ModelConfig] = {}
+
+
+def _register(cfg: ModelConfig) -> ModelConfig:
+    CONFIGS[cfg.name] = cfg
+    return cfg
+
+
+# Tiny net for fast tests (not in the reference; same role as its base64
+# embedded tinymodel, cpp/tests/tinymodel.h:10-21).
+_register(ModelConfig(
+    name="b1c6", trunk_num_channels=6, mid_num_channels=6,
+    gpool_num_channels=4,
+    block_kind=("regulargpool",),
+    p1_num_channels=4, g1_num_channels=4, v1_num_channels=4,
+    v2_size=8, sbv2_num_channels=8, num_scorebeliefs=2,
+))
+
+_register(ModelConfig(
+    name="b2c16", trunk_num_channels=16, mid_num_channels=16,
+    gpool_num_channels=8,
+    block_kind=("regular", "regulargpool"),
+    p1_num_channels=8, g1_num_channels=8, v1_num_channels=8,
+    v2_size=16, sbv2_num_channels=16, num_scorebeliefs=2,
+))
+
+# Historic katago architecture (modelconfigs.py "b6c96")
+_register(ModelConfig(
+    name="b6c96", trunk_num_channels=96, mid_num_channels=96,
+    gpool_num_channels=32,
+    block_kind=_blocks([("regular", 2), ("regulargpool", 1), ("regular", 1),
+                        ("regulargpool", 1), ("regular", 1)]),
+    p1_num_channels=32, g1_num_channels=32, v1_num_channels=32,
+    v2_size=64, sbv2_num_channels=48, num_scorebeliefs=4,
+))
+
+_register(ModelConfig(
+    name="b10c128", trunk_num_channels=128, mid_num_channels=128,
+    gpool_num_channels=32,
+    block_kind=_blocks([("regular", 4), ("regulargpool", 1), ("regular", 2),
+                        ("regulargpool", 1), ("regular", 2)]),
+    p1_num_channels=32, g1_num_channels=32, v1_num_channels=32,
+    v2_size=80, sbv2_num_channels=64, num_scorebeliefs=6,
+))
+
+_register(ModelConfig(
+    name="b5c192nbt", trunk_num_channels=192, mid_num_channels=96,
+    gpool_num_channels=32,
+    block_kind=_blocks([("bottlenest2", 1), ("bottlenest2gpool", 1),
+                        ("bottlenest2", 1), ("bottlenest2gpool", 1),
+                        ("bottlenest2", 1)]),
+    p1_num_channels=32, g1_num_channels=32, v1_num_channels=32,
+    v2_size=64, sbv2_num_channels=64, num_scorebeliefs=6,
+))
+
+# Recommended best config at AlphaGoZero cost (modelconfigs.py "b18c384nbt")
+_register(ModelConfig(
+    name="b18c384nbt", trunk_num_channels=384, mid_num_channels=192,
+    gpool_num_channels=64,
+    block_kind=_blocks([("bottlenest2", 2), ("bottlenest2gpool", 1)] * 5
+                       + [("bottlenest2", 3)]),
+    p1_num_channels=48, g1_num_channels=48, v1_num_channels=96,
+    v2_size=128, sbv2_num_channels=112, num_scorebeliefs=8,
+))
+
+_register(ModelConfig(
+    name="b28c512nbt", trunk_num_channels=512, mid_num_channels=256,
+    gpool_num_channels=64,
+    block_kind=_blocks([("bottlenest2", 2), ("bottlenest2gpool", 1)] * 8
+                       + [("bottlenest2", 4)]),
+    p1_num_channels=64, g1_num_channels=64, v1_num_channels=128,
+    v2_size=144, sbv2_num_channels=128, num_scorebeliefs=8,
+))
+
+
+def get_config(name: str) -> ModelConfig:
+    if name not in CONFIGS:
+        raise KeyError(f"unknown model config {name!r}; have {sorted(CONFIGS)}")
+    return CONFIGS[name]

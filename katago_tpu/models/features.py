@@ -1,0 +1,188 @@
+"""V7 input featurizer — TPU-native equivalent of NNInputs::fillRowV7.
+
+Reference: /root/reference/cpp/neuralnet/nninputs.cpp:2300-2740 (fillRowV7),
+nninputs.h:97-98 (22 spatial binary planes + 19 global floats).
+
+Plane map (all from the perspective of the player to move, "pla"):
+   0: on-board mask
+   1: pla stones              2: opp stones
+   3/4/5: stones with exactly 1/2/3 liberties
+   6: ko-banned locations (simple ko + superko bans)
+   7: encore ko-recapture-blocked (encore not yet implemented -> 0)
+   8: reserved encore plane (0)
+   9..13: location of previous moves 1..5 (most recent first)
+  14: stones in working ladders (current board)        [TODO: ladder solver]
+  15: prev-board ladder stones                          [TODO]
+  16: prev-prev-board ladder stones                     [TODO]
+  17: working ladder-capture moves vs opp chains >1 lib [TODO]
+  18: pla pass-alive area (stones + territory, safeBigTerritories)
+  19: opp pass-alive area
+  20/21: second-encore starting stones (encore -> 0)
+
+Global map:
+   0..4: previous moves 1..5 were passes
+   5: self komi / 20 (clipped to +-(area + 20))
+   6,7: ko rule (simple 0,0 / positional 1,0.5 / situational 1,-0.5)
+   8: multi-stone suicide legal
+   9: territory scoring
+  10,11: tax (seki 1,0 / all 1,1)
+  12,13: encore phase >0 / >1 (0 for now)
+  14: pass would end phase
+  15,16: playout-doubling-advantage flag and 0.5*pda
+  17: button available
+  18: komi parity triangle wave
+
+History (planes 9-13, globals 0-4, prev-ladder planes) is hidden when the
+game is over or when a pass would end the game under conservative-pass
+analysis, mirroring the reference's hideHistory logic.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from katago_tpu.game import benson
+from katago_tpu.game import board as B
+from katago_tpu.game import history as H
+from katago_tpu.game import rules as R
+
+NUM_SPATIAL_V7 = 22
+NUM_GLOBAL_V7 = 19
+KOMI_CLIP_RADIUS = 20.0
+
+
+class FeatureParams(NamedTuple):
+    """Dynamic per-eval knobs, reference MiscNNInputParams (nninputs.h:44-72)."""
+    draw_equiv_wins_for_white: jax.Array  # f32, default 0.5
+    playout_doubling_advantage: jax.Array  # f32, default 0
+    conservative_pass: jax.Array  # bool: root analysis hides ending-pass history
+
+    @staticmethod
+    def default() -> "FeatureParams":
+        return FeatureParams(
+            draw_equiv_wins_for_white=jnp.float32(0.5),
+            playout_doubling_advantage=jnp.float32(0.0),
+            conservative_pass=jnp.bool_(False),
+        )
+
+
+def self_komi(gs: H.GameState, params: FeatureParams) -> jax.Array:
+    """currentSelfKomi: komi from mover's perspective w/ draw-utility fold."""
+    komi = gs.rules.komi
+    komi_is_int = komi == jnp.round(komi)
+    result_int = komi_is_int != gs.rules.has_button
+    draw_adj = jnp.where(result_int,
+                         params.draw_equiv_wins_for_white - 0.5, 0.0)
+    white_komi = komi + draw_adj
+    return jnp.where(gs.to_move == B.WHITE, white_komi, -white_komi)
+
+
+def fill_features_v7(gs: H.GameState, size: int,
+                     params: FeatureParams) -> tuple[jax.Array, jax.Array]:
+    """Returns (spatial f32[NN, 22], global f32[19]) for the player to move."""
+    nn = size * size
+    stones = gs.board.stones
+    pla = gs.to_move
+    opp = B.opponent(pla)
+
+    labels = B.connected_labels(stones, size)
+    libs = B.chain_liberties(stones, labels, size)
+
+    sp = jnp.zeros((nn, NUM_SPATIAL_V7), jnp.float32)
+    gl = jnp.zeros((NUM_GLOBAL_V7,), jnp.float32)
+
+    sp = sp.at[:, 0].set(1.0)
+    sp = sp.at[:, 1].set((stones == pla).astype(jnp.float32))
+    sp = sp.at[:, 2].set((stones == opp).astype(jnp.float32))
+    occupied = stones != B.EMPTY
+    sp = sp.at[:, 3].set((occupied & (libs == 1)).astype(jnp.float32))
+    sp = sp.at[:, 4].set((occupied & (libs == 2)).astype(jnp.float32))
+    sp = sp.at[:, 5].set((occupied & (libs == 3)).astype(jnp.float32))
+
+    # plane 6: ko-ban locations — points legal but for ko/superko rules.
+    # Computed as (basic legality with the simple-ko ban lifted) minus full
+    # legality; covers both board.ko_loc and superko bans like the
+    # reference's superKoBanned array.
+    board_no_ko = gs.board._replace(ko_loc=jnp.int32(-1))
+    basic_no_ko = B.legal_moves_basic(board_no_ko, pla,
+                                      gs.rules.multi_suicide, size)
+    full = H.legal_moves(gs, size)[:nn]
+    ko_banned = basic_no_ko & ~full & ~gs.game_over
+    sp = sp.at[:, 6].set(ko_banned.astype(jnp.float32))
+    # planes 7, 8: encore ko-recapture state — encore not yet implemented
+
+    # history: planes 9-13 + globals 0-4
+    hide_history = gs.game_over | (params.conservative_pass &
+                                   (gs.consec_passes >= 1))
+    for k in range(5):
+        mv = gs.recent_moves[k]
+        have = (~hide_history) & (gs.move_num > k)
+        is_pass = have & (mv >= nn)
+        on_board = have & (mv >= 0) & (mv < nn)
+        plane = jnp.zeros((nn + 1,), jnp.float32).at[
+            jnp.clip(mv, 0, nn)].set(jnp.where(on_board, 1.0, 0.0))[:nn]
+        sp = sp.at[:, 9 + k].set(plane)
+        gl = gl.at[k].set(is_pass.astype(jnp.float32))
+
+    # planes 14-17: ladders — TODO(ladder milestone): vectorized ladder solver
+
+    # planes 18/19: pass-alive area (calculateArea with safeBigTerritories,
+    # suicide legality per getSuicideLegalForPassAlive, nninputs.cpp:951)
+    area = benson.calculate_area(
+        stones, size,
+        jnp.bool_(False),   # nonPassAliveStones
+        jnp.bool_(True),    # safeBigTerritories
+        jnp.bool_(False),   # unsafeBigTerritories
+        gs.rules.multi_suicide)
+    sp = sp.at[:, 18].set((area == pla).astype(jnp.float32))
+    sp = sp.at[:, 19].set((area == opp).astype(jnp.float32))
+    # planes 20/21: second-encore start stones — encore not yet implemented
+
+    # ---- globals ----
+    sk = self_komi(gs, params)
+    b_area = float(nn)
+    sk = jnp.clip(sk, -b_area - KOMI_CLIP_RADIUS, b_area + KOMI_CLIP_RADIUS)
+    gl = gl.at[5].set(sk / 20.0)
+
+    ko = gs.rules.ko_rule
+    is_pos_like = (ko == R.KO_POSITIONAL) | (ko == R.KO_SPIGHT)
+    is_sit = ko == R.KO_SITUATIONAL
+    gl = gl.at[6].set((is_pos_like | is_sit).astype(jnp.float32))
+    gl = gl.at[7].set(jnp.where(is_pos_like, 0.5,
+                                jnp.where(is_sit, -0.5, 0.0)))
+    gl = gl.at[8].set(gs.rules.multi_suicide.astype(jnp.float32))
+    gl = gl.at[9].set((gs.rules.scoring_rule == R.SCORING_TERRITORY)
+                      .astype(jnp.float32))
+    tax = gs.rules.tax_rule
+    gl = gl.at[10].set(((tax == R.TAX_SEKI) | (tax == R.TAX_ALL))
+                       .astype(jnp.float32))
+    gl = gl.at[11].set((tax == R.TAX_ALL).astype(jnp.float32))
+    # 12, 13: encore phase — 0 until encore milestone
+
+    pass_would_end = (~hide_history) & (gs.consec_passes >= 1) & ~gs.game_over
+    gl = gl.at[14].set(pass_would_end.astype(jnp.float32))
+
+    pda = params.playout_doubling_advantage
+    gl = gl.at[15].set((pda != 0.0).astype(jnp.float32))
+    gl = gl.at[16].set(0.5 * pda)
+
+    button_avail = gs.rules.has_button & ~gs.button_taken
+    gl = gl.at[17].set(button_avail.astype(jnp.float32))
+
+    # parity wave (nninputs.cpp:2667-2728): triangle wave of selfKomi vs the
+    # nearest drawable komi parity; area scoring only (or encore >= 2)
+    area_scoring = gs.rules.scoring_rule == R.SCORING_AREA
+    drawable_even = (nn % 2) == 0
+    komi_floor = jnp.where(
+        jnp.bool_(drawable_even),
+        jnp.floor(sk / 2.0) * 2.0,
+        jnp.floor((sk - 1.0) / 2.0) * 2.0 + 1.0)
+    delta = jnp.clip(sk - komi_floor, 0.0, 2.0)
+    wave = jnp.where(delta < 0.5, delta,
+                     jnp.where(delta < 1.5, 1.0 - delta, delta - 2.0))
+    gl = gl.at[18].set(jnp.where(area_scoring, wave, 0.0))
+
+    return sp, gl

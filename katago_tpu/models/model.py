@@ -1,0 +1,419 @@
+"""KataGo-family neural network in flax — the single TPU backend.
+
+Replaces all five reference inference backends (CUDA/TensorRT/OpenCL/Eigen/
+Metal, ~28k LoC, /root/reference/cpp/neuralnet/) and mirrors the training
+architecture of python/katago/train/model_pytorch.py: masked conv trunk with
+fixup initialization, global-pooling bias structure (KataGPool: mean,
+mean*(sqrt(area)-14)/10, max — model_pytorch.py:492), regular and nested-
+bottleneck residual blocks, and the full KataGo head set (6-channel policy
+with pass logit, win/loss/noresult value, score mean/stdev/lead/vartime,
+shortterm error heads, ownership, scoring, futurepos, seki, mixture
+score-belief distribution — model_pytorch.py:2593,2717).
+
+TPU-first choices: NHWC layout throughout, bfloat16 trunk compute with
+float32 params and float32 heads (policy/value logits are precision
+sensitive), everything shape-static under jit. The board-size mask
+machinery matches the reference so mixed-size batches stay exact (mask
+after every norm, true-area divisors in pooling).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from katago_tpu.models.config import ModelConfig
+
+# init gains, reference model_pytorch.py:85-100
+_GAINS = {
+    "relu": math.sqrt(2.0),
+    "elu": math.sqrt(1.55052),
+    "mish": math.sqrt(2.210277),
+    "silu": math.sqrt(2.0),
+    "gelu": math.sqrt(2.351718),
+    "identity": 1.0,
+}
+
+_TRUNC_CORRECTION = 0.87962566103423978
+
+
+def act_fn(name: str):
+    return {
+        "relu": jax.nn.relu,
+        "elu": jax.nn.elu,
+        "mish": lambda x: x * jnp.tanh(jax.nn.softplus(x)),
+        "silu": jax.nn.silu,
+        "gelu": jax.nn.gelu,
+        "identity": lambda x: x,
+    }[name]
+
+
+def katago_init(activation: str, scale: float):
+    """Truncated-normal init: std = scale*gain/sqrt(fan_in)/0.8796, +-2 std.
+
+    Matches init_weights (model_pytorch.py:102-117). scale == 0 -> zeros
+    (fixup zero-init of the last conv in each residual branch).
+    """
+    gain = _GAINS[activation]
+
+    def init(key, shape, dtype=jnp.float32):
+        if scale == 0.0:
+            return jnp.zeros(shape, dtype)
+        if len(shape) == 4:      # conv kernel HWIO
+            fan_in = shape[0] * shape[1] * shape[2]
+        elif len(shape) == 2:    # dense (in, out)
+            fan_in = shape[0]
+        else:
+            fan_in = shape[-1]
+        std = scale * gain / math.sqrt(fan_in) / _TRUNC_CORRECTION
+        return std * jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype)
+
+    return init
+
+
+class NormMask(nn.Module):
+    """Fixup 'norm': optional per-channel gamma + beta, then mask.
+
+    Reference NormMask with norm_kind == fixup (model_pytorch.py:265-489):
+    no actual normalization, just (x [*gamma] + beta) * mask.
+    """
+    channels: int
+    use_gamma: bool = False
+
+    @nn.compact
+    def __call__(self, x, mask):
+        beta = self.param("beta", nn.initializers.zeros, (self.channels,))
+        if self.use_gamma:
+            gamma = self.param("gamma", nn.initializers.ones, (self.channels,))
+            x = x * gamma.astype(x.dtype)
+        return (x + beta.astype(x.dtype)) * mask
+
+
+def kata_gpool(x, mask, mask_sum_hw):
+    """(mean, mean*(sqrt(area)-14)/10, max) pooled over the board.
+
+    x: [B,H,W,C]; mask: [B,H,W,1]; mask_sum_hw: [B,1,1,1]. Returns [B,3C].
+    Max is mask-safe because activations are > -1 and off-board is 0
+    (reference KataGPool, model_pytorch.py:492-519).
+    """
+    xf = x.astype(jnp.float32)
+    sqrt_off = jnp.sqrt(mask_sum_hw) - 14.0
+    mean = jnp.sum(xf, axis=(1, 2), keepdims=True) / mask_sum_hw
+    mx = jnp.max(xf + (mask - 1.0), axis=(1, 2), keepdims=True)
+    out = jnp.concatenate([mean, mean * (sqrt_off / 10.0), mx], axis=-1)
+    return out[:, 0, 0, :]
+
+
+def value_head_gpool(x, mask, mask_sum_hw):
+    """(mean, mean*off/10, mean*(off^2/100 - 0.1)) — model_pytorch.py:521."""
+    xf = x.astype(jnp.float32)
+    sqrt_off = jnp.sqrt(mask_sum_hw) - 14.0
+    mean = jnp.sum(xf, axis=(1, 2), keepdims=True) / mask_sum_hw
+    out = jnp.concatenate(
+        [mean, mean * (sqrt_off / 10.0),
+         mean * (sqrt_off * sqrt_off / 100.0 - 0.1)], axis=-1)
+    return out[:, 0, 0, :]
+
+
+class Conv(nn.Module):
+    features: int
+    kernel: int
+    activation: str
+    scale: float
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(self.features, (self.kernel, self.kernel),
+                       use_bias=False, dtype=self.dtype,
+                       kernel_init=katago_init(self.activation, self.scale))(x)
+
+
+class ConvAndGPool(nn.Module):
+    """Conv branch + global-pooling bias branch (KataConvAndGPool)."""
+    c_out: int
+    c_gpool: int
+    activation: str
+    scale: float
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask, mask_sum_hw):
+        r_scale, g_scale = 0.8, 0.6
+        outr = Conv(self.c_out, 3, self.activation,
+                    self.scale * r_scale, self.dtype)(x)
+        outg = Conv(self.c_gpool, 3, self.activation,
+                    math.sqrt(self.scale) * math.sqrt(g_scale), self.dtype)(x)
+        outg = NormMask(self.c_gpool)(outg, mask)
+        outg = act_fn(self.activation)(outg)
+        pooled = kata_gpool(outg, mask, mask_sum_hw)  # [B, 3*c_gpool] f32
+        bias = nn.Dense(self.c_out, use_bias=False, dtype=self.dtype,
+                        kernel_init=katago_init(
+                            self.activation,
+                            math.sqrt(self.scale) * math.sqrt(g_scale)))(
+                                pooled.astype(self.dtype))
+        return outr + bias[:, None, None, :]
+
+
+class NormActConv(nn.Module):
+    """norm -> act -> conv (optionally with gpool branch)."""
+    c_in: int
+    c_out: int
+    activation: str
+    kernel: int
+    scale: float
+    c_gpool: Optional[int] = None
+    use_gamma: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask, mask_sum_hw):
+        x = NormMask(self.c_in, use_gamma=self.use_gamma)(x, mask)
+        x = act_fn(self.activation)(x)
+        if self.c_gpool is not None:
+            return ConvAndGPool(self.c_out, self.c_gpool, self.activation,
+                                self.scale, self.dtype)(x, mask, mask_sum_hw)
+        return Conv(self.c_out, self.kernel, self.activation,
+                    self.scale, self.dtype)(x)
+
+
+class ResBlock(nn.Module):
+    """Pre-activation residual block, returns the residual only."""
+    c_main: int
+    c_mid: int
+    activation: str
+    fixup_scale: float
+    c_gpool: Optional[int] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask, mask_sum_hw):
+        c_inner = self.c_mid - (self.c_gpool or 0)
+        out = NormActConv(self.c_main, c_inner, self.activation, 3,
+                          self.fixup_scale, c_gpool=self.c_gpool,
+                          dtype=self.dtype)(x, mask, mask_sum_hw)
+        out = NormActConv(c_inner, self.c_main, self.activation, 3,
+                          0.0, use_gamma=True,
+                          dtype=self.dtype)(out, mask, mask_sum_hw)
+        return out
+
+
+class NestedBottleneckResBlock(nn.Module):
+    """1x1 down -> internal_length ResBlocks -> 1x1 up; returns residual."""
+    c_main: int
+    c_mid: int
+    internal_length: int
+    activation: str
+    fixup_scale: float
+    c_gpool: Optional[int] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask, mask_sum_hw):
+        inner_scale = math.pow(self.fixup_scale, 1.0 / (1.0 + self.internal_length))
+        out = NormActConv(self.c_main, self.c_mid, self.activation, 1,
+                          inner_scale, dtype=self.dtype)(x, mask, mask_sum_hw)
+        for i in range(self.internal_length):
+            out = out + ResBlock(
+                self.c_mid, self.c_mid, self.activation, inner_scale,
+                c_gpool=(self.c_gpool if i == 0 else None),
+                dtype=self.dtype)(out, mask, mask_sum_hw)
+        out = NormActConv(self.c_mid, self.c_main, self.activation, 1,
+                          0.0, use_gamma=True,
+                          dtype=self.dtype)(out, mask, mask_sum_hw)
+        return out
+
+
+class PolicyHead(nn.Module):
+    """Policy over NN+1 moves x num_policy_outputs channels.
+
+    Channel map (model_pytorch.py:2613-2620): 0 policy, 1 opponent reply,
+    2 soft policy, 3 soft opponent, 4 long-term-optimistic, 5 short-term-
+    optimistic (+6,7 q-value heads at version 16).
+    """
+    cfg: ModelConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask, mask_sum_hw):
+        cfg = self.cfg
+        actn = cfg.activation
+        n_out = cfg.num_policy_outputs
+        b, h, w, _ = x.shape
+
+        outp = Conv(cfg.p1_num_channels, 1, actn, 0.8, self.dtype)(x)
+        outg = Conv(cfg.g1_num_channels, 1, actn, 1.0, self.dtype)(x)
+        outg = NormMask(cfg.g1_num_channels)(outg, mask)
+        outg = act_fn(actn)(outg)
+        pooled = kata_gpool(outg, mask, mask_sum_hw)  # f32 [B, 3*g1]
+
+        # pass logit: 2-layer mlp on pooled features (version >= 15)
+        outpass = nn.Dense(cfg.p1_num_channels,
+                           kernel_init=katago_init(actn, 1.0),
+                           bias_init=nn.initializers.zeros)(pooled)
+        outpass = act_fn(actn)(outpass)
+        outpass = nn.Dense(n_out, use_bias=False,
+                           kernel_init=katago_init("identity", 0.3))(outpass)
+
+        bias = nn.Dense(cfg.p1_num_channels, use_bias=False, dtype=self.dtype,
+                        kernel_init=katago_init(actn, 0.6))(
+                            pooled.astype(self.dtype))
+        outp = outp + bias[:, None, None, :]
+        outp = NormMask(cfg.p1_num_channels)(outp, mask)
+        outp = act_fn(actn)(outp)
+        outp = Conv(n_out, 1, "identity", 0.3, jnp.float32)(
+            outp.astype(jnp.float32))
+        # mask off-board to large negative so softmax zeroes them
+        outp = outp - (1.0 - mask) * 5000.0
+        outp = outp.reshape(b, h * w, n_out)
+        policy = jnp.concatenate([outp, outpass[:, None, :]], axis=1)
+        return policy.transpose(0, 2, 1)  # [B, n_out, NN+1]
+
+
+class ValueHead(nn.Module):
+    cfg: ModelConfig
+    pos_len: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask, mask_sum_hw, input_global):
+        cfg = self.cfg
+        actn = cfg.activation
+        xf = x.astype(jnp.float32)
+
+        v1 = Conv(cfg.v1_num_channels, 1, actn, 1.0, jnp.float32)(xf)
+        v1 = NormMask(cfg.v1_num_channels)(v1, mask)
+        v1 = act_fn(actn)(v1)
+        pooled = value_head_gpool(v1, mask, mask_sum_hw)  # [B, 3*v1]
+
+        v2 = nn.Dense(cfg.v2_size, kernel_init=katago_init(actn, 1.0))(pooled)
+        v2 = act_fn(actn)(v2)
+
+        out_value = nn.Dense(3, kernel_init=katago_init("identity", 1.0))(v2)
+        out_miscvalue = nn.Dense(10, kernel_init=katago_init("identity", 1.0))(v2)
+        out_moremiscvalue = nn.Dense(8, kernel_init=katago_init("identity", 1.0))(v2)
+
+        own = Conv(1, 1, "identity", 0.2, jnp.float32)(v1) * mask
+        scoring = Conv(1, 1, "identity", 0.2, jnp.float32)(v1) * mask
+        futurepos = Conv(2, 1, "identity", 0.2, jnp.float32)(xf) * mask
+        seki = Conv(4, 1, "identity", 0.2, jnp.float32)(xf) * mask
+
+        # mixture score-belief head (model_pytorch.py:2747-2771, 2867-2881)
+        sb_len = cfg.scorebelief_len(self.pos_len)
+        mid = sb_len // 2
+        offset_bias = jnp.asarray(
+            [0.05 * (float(i - mid) + 0.5) for i in range(sb_len)],
+            jnp.float32)[None, :, None]
+        parity = jnp.asarray(
+            [0.5 - float((i - mid) % 2) for i in range(sb_len)],
+            jnp.float32)[None, :]
+
+        s2 = nn.Dense(cfg.sbv2_num_channels,
+                      kernel_init=katago_init(actn, 1.0))(pooled)[:, None, :]
+        s2off = nn.Dense(cfg.sbv2_num_channels, use_bias=False,
+                         kernel_init=katago_init(actn, 1.0))(offset_bias)
+        wave = input_global[:, -1:]
+        s2par = nn.Dense(cfg.sbv2_num_channels, use_bias=False,
+                         kernel_init=katago_init(actn, 1.0))(
+                             (parity * wave)[:, :, None])
+        sv2 = act_fn(actn)(s2 + s2off + s2par)          # [B, sb_len, sbv2]
+        sv3 = nn.Dense(cfg.num_scorebeliefs,
+                       kernel_init=katago_init("identity", 0.5))(sv2)
+        smix = nn.Dense(cfg.num_scorebeliefs,
+                        kernel_init=katago_init("identity", 1.0))(pooled)
+        mix_logw = jax.nn.log_softmax(smix, axis=1)      # [B, K]
+        sb_logprobs = jax.nn.log_softmax(sv3, axis=1)    # [B, sb_len, K]
+        scorebelief_logprobs = jax.nn.logsumexp(
+            sb_logprobs + mix_logw[:, None, :], axis=2)  # [B, sb_len]
+
+        return {
+            "value_logits": out_value,                 # [B,3] win/loss/noresult
+            "miscvalue": out_miscvalue,                # [B,10]
+            "moremiscvalue": out_moremiscvalue,        # [B,8]
+            "ownership_pretanh": own[..., 0],          # [B,H,W]
+            "scoring_presoftmax": scoring[..., 0],     # [B,H,W]
+            "futurepos_pretanh": futurepos,            # [B,H,W,2]
+            "seki_logits": seki,                       # [B,H,W,4]
+            "scorebelief_logprobs": scorebelief_logprobs,  # [B,sb_len]
+        }
+
+
+class KataGoModel(nn.Module):
+    """Full net. Input: spatial [B,H,W,22] f32, global [B,19] f32,
+    mask [B,H,W,1]. Output dict with policy + value-head tensors."""
+    cfg: ModelConfig
+    pos_len: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, spatial, global_in, mask=None):
+        cfg = self.cfg
+        actn = cfg.activation
+        b, h, w, _ = spatial.shape
+        if mask is None:
+            mask = jnp.ones((b, h, w, 1), jnp.float32)
+        mask_sum_hw = jnp.sum(mask, axis=(1, 2), keepdims=True)
+
+        x = Conv(cfg.trunk_num_channels, 1 if cfg.initial_conv_1x1 else 3,
+                 actn, 0.8, self.dtype)(spatial.astype(self.dtype))
+        g = nn.Dense(cfg.trunk_num_channels, use_bias=False, dtype=self.dtype,
+                     kernel_init=katago_init(actn, 0.6))(
+                         global_in.astype(self.dtype))
+        x = x + g[:, None, None, :]
+
+        num_blocks = len(cfg.block_kind)
+        fixup_scale = 1.0 / math.sqrt(max(num_blocks, 1))
+        for kind in cfg.block_kind:
+            use_gpool = kind.endswith("gpool")
+            base = kind[:-5] if use_gpool else kind
+            c_gp = cfg.gpool_num_channels if use_gpool else None
+            if base == "regular":
+                blk = ResBlock(cfg.trunk_num_channels, cfg.mid_num_channels,
+                               actn, fixup_scale, c_gpool=c_gp,
+                               dtype=self.dtype)
+            elif base in ("bottle1", "bottle2", "bottle3", "bottlenest2"):
+                il = 2 if base == "bottlenest2" else int(base[-1])
+                blk = NestedBottleneckResBlock(
+                    cfg.trunk_num_channels, cfg.mid_num_channels, il,
+                    actn, fixup_scale, c_gpool=c_gp, dtype=self.dtype)
+            else:
+                raise ValueError(f"unsupported block kind {kind!r}")
+            x = x + blk(x, mask, mask_sum_hw)
+
+        x = NormMask(cfg.trunk_num_channels, use_gamma=True)(x, mask)
+        x = act_fn(actn)(x)
+
+        policy = PolicyHead(cfg, dtype=self.dtype)(x, mask, mask_sum_hw)
+        value_outs = ValueHead(cfg, self.pos_len)(x, mask, mask_sum_hw,
+                                                  global_in)
+        return {"policy_logits": policy, **value_outs}
+
+
+def postprocess_outputs(raw: dict, to_move_is_white=None) -> dict:
+    """Raw head tensors -> NNOutput-style quantities.
+
+    Scaling constants follow the reference's loss/usage conventions
+    (metrics_pytorch.py + ModelPostProcessParams, desc.h:493): miscvalue
+    channels 0-3 are scoremean(*20), scorestdev(softplus*20), lead(*20),
+    variance-time(softplus*40); moremiscvalue 0,1 are shortterm value/score
+    error (softplus scaled).
+    """
+    mv = raw["miscvalue"]
+    mmv = raw["moremiscvalue"]
+    out = {
+        "policy_log_probs": jax.nn.log_softmax(raw["policy_logits"][:, 0, :], axis=-1),
+        "value_probs": jax.nn.softmax(raw["value_logits"], axis=-1),
+        "score_mean": mv[:, 0] * 20.0,
+        "score_stdev": jax.nn.softplus(mv[:, 1]) * 20.0,
+        "lead": mv[:, 2] * 20.0,
+        "variance_time": jax.nn.softplus(mv[:, 3]) * 40.0,
+        "shortterm_value_error": jax.nn.softplus(mmv[:, 0]) * 0.25,
+        "shortterm_score_error": jax.nn.softplus(mmv[:, 1]) * 30.0,
+        "ownership": jnp.tanh(raw["ownership_pretanh"]),
+    }
+    return out

@@ -1,0 +1,200 @@
+"""Model family tests: shapes, init sanity, masking invariance, featurizer."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from katago_tpu.game import board as B
+from katago_tpu.game import history as H
+from katago_tpu.game import rules as R
+from katago_tpu.models import config as MC
+from katago_tpu.models import features as F
+from katago_tpu.models.model import KataGoModel, postprocess_outputs
+
+
+def make_inputs(bsz, size, key):
+    k1, k2 = jax.random.split(key)
+    spatial = jax.random.bernoulli(k1, 0.3, (bsz, size, size, 22)).astype(jnp.float32)
+    glob = jax.random.normal(k2, (bsz, 19)) * 0.1
+    return spatial, glob
+
+
+@pytest.mark.parametrize("name", ["b1c6", "b6c96", "b5c192nbt"])
+def test_forward_shapes(name):
+    cfg = MC.get_config(name)
+    size = 9
+    model = KataGoModel(cfg, pos_len=size, dtype=jnp.float32)
+    key = jax.random.PRNGKey(0)
+    spatial, glob = make_inputs(2, size, key)
+    params = model.init(key, spatial, glob)
+    out = model.apply(params, spatial, glob)
+    nn1 = size * size + 1
+    assert out["policy_logits"].shape == (2, cfg.num_policy_outputs, nn1)
+    assert out["value_logits"].shape == (2, 3)
+    assert out["miscvalue"].shape == (2, 10)
+    assert out["moremiscvalue"].shape == (2, 8)
+    assert out["ownership_pretanh"].shape == (2, size, size)
+    assert out["scorebelief_logprobs"].shape == (2, cfg.scorebelief_len(size))
+    # all finite
+    for k, v in out.items():
+        assert np.isfinite(np.asarray(v)).all(), k
+    # scorebelief is a log-distribution
+    np.testing.assert_allclose(
+        np.exp(np.asarray(out["scorebelief_logprobs"])).sum(-1), 1.0, rtol=1e-4)
+
+
+def test_fixup_init_residuals_start_at_zero():
+    """With fixup, every residual branch's last conv is zero-init, so the
+    trunk output before heads equals the stem output."""
+    cfg = MC.get_config("b6c96")
+    size = 9
+    model = KataGoModel(cfg, pos_len=size, dtype=jnp.float32)
+    key = jax.random.PRNGKey(1)
+    spatial, glob = make_inputs(1, size, key)
+    params = model.init(key, spatial, glob)
+    # check zero-init convs exist: the second NormActConv of each ResBlock
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    zero_kernels = [np.asarray(v) for p, v in flat
+                    if "Conv" in str(p) and np.asarray(v).ndim == 4
+                    and not np.asarray(v).any()]
+    assert len(zero_kernels) >= len(cfg.block_kind)
+
+
+def test_policy_outputs_respond_to_input():
+    cfg = MC.get_config("b1c6")
+    size = 7
+    model = KataGoModel(cfg, pos_len=size, dtype=jnp.float32)
+    key = jax.random.PRNGKey(2)
+    s1, g1 = make_inputs(1, size, key)
+    params = model.init(key, s1, g1)
+    s2 = s1.at[0, 3, 3, 1].set(1.0 - s1[0, 3, 3, 1])
+    o1 = model.apply(params, s1, g1)
+    o2 = model.apply(params, s2, g1)
+    assert not np.allclose(np.asarray(o1["policy_logits"]),
+                           np.asarray(o2["policy_logits"]))
+
+
+def test_mask_zeroes_offboard_policy():
+    """With a sub-board mask, off-board policy logits ~ -5000."""
+    cfg = MC.get_config("b1c6")
+    size = 9
+    model = KataGoModel(cfg, pos_len=size, dtype=jnp.float32)
+    key = jax.random.PRNGKey(3)
+    spatial, glob = make_inputs(1, size, key)
+    mask = np.zeros((1, size, size, 1), np.float32)
+    mask[0, :7, :7, 0] = 1.0
+    spatial = spatial * mask
+    params = model.init(key, spatial, glob, jnp.asarray(mask))
+    out = model.apply(params, spatial, glob, jnp.asarray(mask))
+    pol = np.asarray(out["policy_logits"][0, 0, :size * size]).reshape(size, size)
+    assert (pol[7:, :] < -1000).all() and (pol[:, 7:] < -1000).all()
+    assert (pol[:7, :7] > -1000).all()
+
+
+def test_featurizer_planes_and_globals():
+    size = 7
+    nn = size * size
+    rules = R.Rules.tromp_taylorish()
+    gs = H.new_game(size, H.RulesArr.from_rules(rules), 128)
+    # play a few moves: B(3,3), W(3,2), B pass
+    gs, _ = H.step(gs, jnp.int32(B.loc_of_xy(3, 3, size)), size)
+    gs, _ = H.step(gs, jnp.int32(B.loc_of_xy(3, 2, size)), size)
+    gs, _ = H.step(gs, jnp.int32(nn), size)
+    sp, gl = F.fill_features_v7(gs, size, F.FeatureParams.default())
+    sp, gl = np.asarray(sp), np.asarray(gl)
+    assert sp.shape == (nn, 22) and gl.shape == (19,)
+    # white to move now: plane 1 = white stones, plane 2 = black
+    assert sp[B.loc_of_xy(3, 2, size), 1] == 1.0
+    assert sp[B.loc_of_xy(3, 3, size), 2] == 1.0
+    assert sp[:, 0].sum() == nn
+    # history: prev move (B's pass) -> global 0; prev2 = W(3,2) on plane 10
+    assert gl[0] == 1.0
+    assert sp[B.loc_of_xy(3, 2, size), 10] == 1.0
+    assert sp[B.loc_of_xy(3, 3, size), 11] == 1.0
+    # komi from white's perspective: 7.5/20
+    assert gl[5] == pytest.approx(7.5 / 20.0)
+    # positional ko rule: globals 6,7 = 1, 0.5
+    assert gl[6] == 1.0 and gl[7] == 0.5
+    # suicide legal
+    assert gl[8] == 1.0
+    # area scoring -> gl9 == 0; pass would end phase (1 consec pass)
+    assert gl[9] == 0.0 and gl[14] == 1.0
+
+
+def test_featurizer_liberty_planes():
+    size = 5
+    diagram = """
+        XO...
+        .....
+        .....
+        .....
+        .....
+    """
+    stones, _ = B.board_from_string(diagram)
+    gs = H.new_game(size, H.RulesArr.from_rules(R.Rules.tromp_taylorish()), 64)
+    gs = gs._replace(board=gs.board._replace(stones=jnp.asarray(stones)))
+    sp, gl = F.fill_features_v7(gs, size, F.FeatureParams.default())
+    sp = np.asarray(sp)
+    # X at corner: 1 liberty (below); O: 2 liberties
+    assert sp[0, 3] == 1.0 and sp[0, 4] == 0.0
+    assert sp[1, 4] == 1.0 and sp[1, 3] == 0.0
+
+
+def test_featurizer_ko_plane():
+    size = 5
+    diagram = """
+        .XO..
+        X.XO.
+        .XO..
+        .....
+        .....
+    """
+    stones, _ = B.board_from_string(diagram)
+    gs = H.new_game(size, H.RulesArr.from_rules(R.Rules.tromp_taylorish()), 64)
+    gs = gs._replace(board=gs.board._replace(stones=jnp.asarray(stones)),
+                     to_move=jnp.int32(B.WHITE))
+    gs, _ = H.step(gs, jnp.int32(B.loc_of_xy(1, 1, size)), size)  # W takes ko
+    sp, gl = F.fill_features_v7(gs, size, F.FeatureParams.default())
+    sp = np.asarray(sp)
+    assert sp[B.loc_of_xy(2, 1, size), 6] == 1.0  # banned retake marked
+    assert sp[:, 6].sum() == 1.0
+
+
+def test_featurizer_pass_alive_planes():
+    size = 5
+    diagram = """
+        .X.X.
+        XXXX.
+        .....
+        .....
+        .....
+    """
+    stones, _ = B.board_from_string(diagram)
+    gs = H.new_game(size, H.RulesArr.from_rules(R.Rules.tromp_taylorish()), 64)
+    gs = gs._replace(board=gs.board._replace(stones=jnp.asarray(stones)))
+    sp, _ = F.fill_features_v7(gs, size, F.FeatureParams.default())
+    sp = np.asarray(sp)
+    # black to move: plane 18 = own pass-alive area incl. the two eyes
+    assert sp[0, 18] == 1.0 and sp[2, 18] == 1.0
+    assert sp[B.loc_of_xy(0, 1, size), 18] == 1.0
+
+
+def test_model_on_real_features_jit():
+    size = 9
+    cfg = MC.get_config("b1c6")
+    model = KataGoModel(cfg, pos_len=size, dtype=jnp.float32)
+    gs = H.new_game(size, H.RulesArr.from_rules(R.Rules.tromp_taylorish()), 128)
+    featurize = jax.jit(
+        jax.vmap(F.fill_features_v7, in_axes=(0, None, None)),
+        static_argnums=1)
+    G = 4
+    batch = jax.vmap(lambda _: gs)(jnp.arange(G))
+    sp, gl = featurize(batch, size, F.FeatureParams.default())
+    sp = sp.reshape(G, size, size, 22)
+    params = model.init(jax.random.PRNGKey(0), sp, gl)
+    out = jax.jit(model.apply)(params, sp, gl)
+    post = postprocess_outputs(out)
+    probs = np.exp(np.asarray(post["policy_log_probs"]))
+    np.testing.assert_allclose(probs.sum(-1), 1.0, rtol=1e-4)
+    assert np.asarray(post["score_stdev"]).min() >= 0.0
