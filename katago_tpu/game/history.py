@@ -3,24 +3,27 @@
 The reference's BoardHistory (/root/reference/cpp/game/boardhistory.h:13-107)
 tracks move history, a ko-hash list for superko, encore phases for
 territory scoring, and final-score computation. Here the same state is a
-fixed-shape GameState pytree, one per game, vmapped over the batch:
+fixed-shape GameState pytree, one per game, vmapped over the batch.
 
-  * superko: ko-hashes of all prior positions in a fixed [MAX_HIST, 2]
-    uint32 buffer; a candidate move is illegal if its post-move ko-hash
-    (positional: position hash; situational: position ^ player-to-move key)
-    appears in the buffer.
-  * full 361-way legality: rather than trial-playing each point, the
-    post-move hash for EVERY candidate point is computed analytically from
-    per-chain Zobrist keys (segment XOR over chains) — captures of adjacent
-    1-liberty opponent chains and legal multi-stone suicides are folded in
-    as XOR deltas. One [NN, MAX_HIST] compare then yields the superko mask.
-  * game end (area scoring): two consecutive passes end the game; score is
-    Tromp-Taylor area + komi + white handicap bonus, with button-Go's 0.5
-    awarded to the first passer when enabled.
+The state splits in two, because the search stores thousands of positions
+per game in its node pool and must not replicate the hash history:
 
-Territory scoring / encore phases (boardhistory.h:66-90) are represented in
-the state but implemented in a later milestone; area-scoring rules
-(Tromp-Taylor / Chinese / AGA-like) are complete.
+  * PosState — everything a single position needs (board, mover, pass/button
+    bookkeeping, recent moves). Cheap; stored per MCTS node.
+  * GameState — PosState + rules + the superko ko-hash history buffer.
+    The search reconstitutes a GameState for any tree node by appending the
+    path's hashes to the root game's history.
+
+Superko: a candidate move is illegal if its post-move ko-hash (positional:
+position hash; situational: position ^ player-to-move key) appears in the
+history. Full 361-way legality computes every candidate's post-move hash
+analytically from per-chain Zobrist keys (segment XOR) with capture and
+legal-suicide XOR deltas, then one [NN, MAX_HIST] compare.
+
+Game end (area scoring): two consecutive passes end the game; score is
+Tromp-Taylor area + komi + white handicap bonus, with button-Go's 0.5
+awarded to the first passer when enabled. Territory scoring / encore phases
+(boardhistory.h:66-90) are a later milestone.
 """
 
 from __future__ import annotations
@@ -65,18 +68,61 @@ class RulesArr(NamedTuple):
         )
 
 
-class GameState(NamedTuple):
-    board: B.BoardState
-    rules: RulesArr
+class PosState(NamedTuple):
+    """One position + per-position bookkeeping; storable per search node."""
+    board: B.BoardState           # stones, ko_loc, pos_hash
     to_move: jax.Array            # int32 1/2
-    ko_hash_hist: jax.Array       # uint32[MAX_HIST, 2]
-    hist_len: jax.Array           # int32 (number of valid entries)
     move_num: jax.Array           # int32
     consec_passes: jax.Array      # int32
-    button_taken: jax.Array       # bool (button already claimed)
-    button_for: jax.Array         # int32 0/1/2 — who claimed the button
+    button_taken: jax.Array       # bool
+    button_for: jax.Array         # int32 0/1/2
     game_over: jax.Array          # bool
     recent_moves: jax.Array       # int32[5], most recent first, NN=pass, -1=none
+
+
+class GameState(NamedTuple):
+    pos: PosState
+    rules: RulesArr
+    ko_hash_hist: jax.Array       # uint32[MAX_HIST, 2]
+    hist_len: jax.Array           # int32 (number of valid entries)
+
+    # convenience pass-throughs so call sites read naturally
+    @property
+    def board(self):
+        return self.pos.board
+
+    @property
+    def to_move(self):
+        return self.pos.to_move
+
+    @property
+    def move_num(self):
+        return self.pos.move_num
+
+    @property
+    def consec_passes(self):
+        return self.pos.consec_passes
+
+    @property
+    def button_taken(self):
+        return self.pos.button_taken
+
+    @property
+    def button_for(self):
+        return self.pos.button_for
+
+    @property
+    def game_over(self):
+        return self.pos.game_over
+
+    @property
+    def recent_moves(self):
+        return self.pos.recent_moves
+
+
+def replace_pos(gs: GameState, **kw) -> GameState:
+    """Replace PosState fields through the GameState wrapper (tests, setup)."""
+    return gs._replace(pos=gs.pos._replace(**kw))
 
 
 def _ko_hash(pos_hash: jax.Array, to_move_next: jax.Array,
@@ -87,18 +133,10 @@ def _ko_hash(pos_hash: jax.Array, to_move_next: jax.Array,
     return jnp.where(situational, pos_hash ^ zpl[to_move_next - 1], pos_hash)
 
 
-def new_game(size: int, rules: RulesArr, max_hist: int) -> GameState:
-    board = B.empty_board(size)
-    hist = jnp.zeros((max_hist, 2), jnp.uint32)
-    # record the empty starting position (black to move)
-    h0 = _ko_hash(board.pos_hash, jnp.int32(B.BLACK), rules.ko_rule)
-    hist = hist.at[0].set(h0)
-    return GameState(
-        board=board,
-        rules=rules,
+def new_pos(size: int) -> PosState:
+    return PosState(
+        board=B.empty_board(size),
         to_move=jnp.int32(B.BLACK),
-        ko_hash_hist=hist,
-        hist_len=jnp.int32(1),
         move_num=jnp.int32(0),
         consec_passes=jnp.int32(0),
         button_taken=jnp.bool_(False),
@@ -108,13 +146,85 @@ def new_game(size: int, rules: RulesArr, max_hist: int) -> GameState:
     )
 
 
+def new_game(size: int, rules: RulesArr, max_hist: int) -> GameState:
+    pos = new_pos(size)
+    hist = jnp.zeros((max_hist, 2), jnp.uint32)
+    # record the empty starting position (black to move)
+    h0 = _ko_hash(pos.board.pos_hash, jnp.int32(B.BLACK), rules.ko_rule)
+    hist = hist.at[0].set(h0)
+    return GameState(pos=pos, rules=rules, ko_hash_hist=hist,
+                     hist_len=jnp.int32(1))
+
+
+def step_pos(pos: PosState, rules: RulesArr, loc: jax.Array,
+             size: int) -> tuple[PosState, B.MoveInfo, jax.Array]:
+    """Play loc (NN = pass) for the player to move; assumed legal.
+
+    History-free core of `step`: returns the new position, move info, and
+    the new position's ko-hash (for the caller to record / check).
+    Stepping a finished game is a no-op (masked) so lockstep batches can
+    keep stepping until all games end.
+    """
+    nn = size * size
+    was_over = pos.game_over
+    loc_eff = jnp.where(was_over, jnp.int32(nn), loc)
+    player = pos.to_move
+
+    new_board, info = B.play_move(pos.board, loc_eff, player, size)
+
+    is_pass = info.is_pass
+    consec = jnp.where(is_pass, pos.consec_passes + 1, 0)
+
+    # button go (area scoring): first pass claims the 0.5-point button
+    claims_button = (rules.has_button &
+                     (rules.scoring_rule == R.SCORING_AREA) &
+                     is_pass & ~pos.button_taken & ~was_over)
+    button_taken = pos.button_taken | claims_button
+    button_for = jnp.where(claims_button, player, pos.button_for)
+
+    game_over = was_over | (consec >= 2)
+    opp = B.opponent(player)
+    recent = jnp.where(was_over, pos.recent_moves,
+                       jnp.concatenate([loc_eff[None], pos.recent_moves[:-1]]))
+
+    new_pos_state = PosState(
+        board=jax.tree.map(lambda a, b: jnp.where(was_over, a, b),
+                           pos.board, new_board),
+        to_move=jnp.where(was_over, pos.to_move, opp),
+        move_num=jnp.where(was_over, pos.move_num, pos.move_num + 1),
+        consec_passes=jnp.where(was_over, pos.consec_passes, consec),
+        button_taken=button_taken,
+        button_for=button_for,
+        game_over=game_over,
+        recent_moves=recent,
+    )
+    hk = _ko_hash(new_pos_state.board.pos_hash, new_pos_state.to_move,
+                  rules.ko_rule)
+    return new_pos_state, info, hk
+
+
+def step(gs: GameState, loc: jax.Array, size: int) -> tuple[GameState, B.MoveInfo]:
+    """Play loc (NN = pass); appends the new position hash to the history."""
+    was_over = gs.pos.game_over
+    pos2, info, hk = step_pos(gs.pos, gs.rules, loc, size)
+    max_hist = gs.ko_hash_hist.shape[0]
+    write_idx = jnp.minimum(gs.hist_len, max_hist - 1)
+    hist = gs.ko_hash_hist.at[write_idx].set(
+        jnp.where(was_over, gs.ko_hash_hist[write_idx], hk))
+    hist_len = jnp.where(was_over, gs.hist_len,
+                         jnp.minimum(gs.hist_len + 1, max_hist))
+    return GameState(pos=pos2, rules=gs.rules, ko_hash_hist=hist,
+                     hist_len=hist_len), info
+
+
 def legal_moves(gs: GameState, size: int) -> jax.Array:
     """bool[NN+1] full legality for the player to move, incl. superko.
 
-    Index NN is pass (always legal). Mirrors BoardHistory::isLegal
-    (reference boardhistory.cpp): basic board legality, then ko-hash
-    recurrence per ko rule. SPIGHT is treated as SITUATIONAL for now
-    (spight's pass-hash subtleties come with the encore milestone).
+    Index NN is pass (always legal while the game is live). Mirrors
+    BoardHistory::isLegal (reference boardhistory.cpp): basic board
+    legality, then ko-hash recurrence per ko rule. SPIGHT is treated as
+    SITUATIONAL for now (spight's pass-hash subtleties come with the
+    encore milestone).
     """
     nn = size * size
     neigh = jnp.asarray(B.neighbor_table(size))
@@ -187,60 +297,6 @@ def legal_moves(gs: GameState, size: int) -> jax.Array:
     return jnp.concatenate([legal, (~gs.game_over)[None]])
 
 
-def step(gs: GameState, loc: jax.Array, size: int) -> tuple[GameState, B.MoveInfo]:
-    """Play loc (NN = pass) for the player to move; assumed legal.
-
-    Updates board, superko history, pass/button/game-over bookkeeping.
-    Stepping a finished game is a no-op (masked), so lockstep batches can
-    keep stepping until all games end.
-    """
-    nn = size * size
-    was_over = gs.game_over
-    loc_eff = jnp.where(was_over, jnp.int32(nn), loc)
-    player = gs.to_move
-
-    new_board, info = B.play_move(gs.board, loc_eff, player, size)
-
-    is_pass = info.is_pass
-    consec = jnp.where(is_pass, gs.consec_passes + 1, 0)
-
-    # button go (area scoring): first pass claims the 0.5-point button
-    claims_button = (gs.rules.has_button &
-                     (gs.rules.scoring_rule == R.SCORING_AREA) &
-                     is_pass & ~gs.button_taken & ~was_over)
-    button_taken = gs.button_taken | claims_button
-    button_for = jnp.where(claims_button, player, gs.button_for)
-
-    game_over = was_over | (consec >= 2)
-
-    opp = B.opponent(player)
-    hk = _ko_hash(new_board.pos_hash, opp, gs.rules.ko_rule)
-    max_hist = gs.ko_hash_hist.shape[0]
-    write_idx = jnp.minimum(gs.hist_len, max_hist - 1)
-    hist = gs.ko_hash_hist.at[write_idx].set(
-        jnp.where(was_over, gs.ko_hash_hist[write_idx], hk))
-    hist_len = jnp.where(was_over, gs.hist_len,
-                         jnp.minimum(gs.hist_len + 1, max_hist))
-
-    recent = jnp.where(was_over, gs.recent_moves,
-                       jnp.concatenate([loc_eff[None], gs.recent_moves[:-1]]))
-
-    new_gs = GameState(
-        board=jax.tree.map(lambda a, b: jnp.where(was_over, a, b), gs.board, new_board),
-        rules=gs.rules,
-        to_move=jnp.where(was_over, gs.to_move, opp),
-        ko_hash_hist=hist,
-        hist_len=hist_len,
-        move_num=jnp.where(was_over, gs.move_num, gs.move_num + 1),
-        consec_passes=jnp.where(was_over, gs.consec_passes, consec),
-        button_taken=button_taken,
-        button_for=button_for,
-        game_over=game_over,
-        recent_moves=recent,
-    )
-    return new_gs, info
-
-
 def final_score_area(gs: GameState, size: int) -> tuple[jax.Array, jax.Array]:
     """(ownership int32[NN], white_minus_black float32) under area scoring.
 
@@ -254,5 +310,17 @@ def final_score_area(gs: GameState, size: int) -> tuple[jax.Array, jax.Array]:
     button = jnp.where(gs.button_taken,
                        jnp.where(gs.button_for == B.WHITE, 0.5,
                                  jnp.where(gs.button_for == B.BLACK, -0.5, 0.0)),
+                       0.0)
+    return own, score + button
+
+
+def final_score_area_pos(pos: PosState, rules: RulesArr,
+                         size: int) -> tuple[jax.Array, jax.Array]:
+    """History-free final scoring for search-node positions."""
+    own, black_minus_white = B.area_score_tromp_taylor(pos.board.stones, size)
+    score = -black_minus_white + rules.komi
+    button = jnp.where(pos.button_taken,
+                       jnp.where(pos.button_for == B.WHITE, 0.5,
+                                 jnp.where(pos.button_for == B.BLACK, -0.5, 0.0)),
                        0.0)
     return own, score + button

@@ -1,0 +1,162 @@
+"""Search parameters — mirror of cpp/search/searchparams.h:11-177.
+
+Defaults match SearchParams::SearchParams() (searchparams.cpp:13-90), which
+the reference keeps deterministic (no noise) for tests; selfplay configs
+override (cpp/configs/training/selfplay1.cfg). The device-side search reads
+a SearchParamsArr NamedTuple of scalars so one compiled search serves any
+parameter setting (and mixed settings across a batch where meaningful).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class SearchParams:
+    # utility
+    win_loss_utility_factor: float = 1.0
+    static_score_utility_factor: float = 0.3
+    dynamic_score_utility_factor: float = 0.0
+    dynamic_score_center_zero_weight: float = 0.0
+    dynamic_score_center_scale: float = 1.0
+    no_result_utility_for_white: float = 0.0
+    draw_equivalent_wins_for_white: float = 0.5
+    # puct
+    cpuct_exploration: float = 1.0
+    cpuct_exploration_log: float = 0.0
+    cpuct_exploration_base: float = 500.0
+    cpuct_utility_stdev_prior: float = 0.25
+    cpuct_utility_stdev_prior_weight: float = 1.0
+    cpuct_utility_stdev_scale: float = 0.0
+    fpu_reduction_max: float = 0.2
+    fpu_loss_prop: float = 0.0
+    fpu_parent_weight: float = 0.0
+    value_weight_exponent: float = 0.5
+    # uncertainty weighting (searchparams.h:40-49)
+    use_uncertainty: bool = False
+    uncertainty_coeff: float = 0.2
+    uncertainty_exponent: float = 1.0
+    uncertainty_max_weight: float = 8.0
+    # root
+    root_noise_enabled: bool = False
+    root_dirichlet_noise_total_concentration: float = 10.83
+    root_dirichlet_noise_weight: float = 0.25
+    root_policy_temperature: float = 1.0
+    root_policy_temperature_early: float = 1.0
+    root_fpu_reduction_max: float = 0.2
+    root_fpu_loss_prop: float = 0.0
+    # move selection
+    chosen_move_temperature: float = 0.0
+    chosen_move_temperature_early: float = 0.0
+    chosen_move_temperature_halflife: float = 19.0
+    chosen_move_subtract: float = 0.0
+    chosen_move_prune: float = 1.0
+    use_lcb_for_selection: bool = False
+    lcb_stdevs: float = 4.0
+    min_visit_prop_for_lcb: float = 0.05
+    # misc
+    nn_policy_temperature: float = 1.0
+    playout_doubling_advantage: float = 0.0
+    conservative_pass: bool = False
+
+    @staticmethod
+    def for_selfplay() -> "SearchParams":
+        """Selfplay-flavored settings per cpp/configs/training/selfplay1.cfg."""
+        return SearchParams(
+            static_score_utility_factor=0.1,
+            dynamic_score_utility_factor=0.3,
+            dynamic_score_center_zero_weight=0.2,
+            dynamic_score_center_scale=0.75,
+            cpuct_exploration=1.0,
+            cpuct_exploration_log=0.45,
+            root_noise_enabled=True,
+            root_policy_temperature=1.4,
+            root_policy_temperature_early=1.8,
+            root_fpu_reduction_max=0.1,
+            chosen_move_temperature=0.1,
+            chosen_move_temperature_early=0.75,
+            chosen_move_temperature_halflife=19.0,
+            use_uncertainty=True,
+            value_weight_exponent=0.25,
+        )
+
+    def to_arr(self) -> "SearchParamsArr":
+        f = jnp.float32
+        return SearchParamsArr(
+            win_loss_utility_factor=f(self.win_loss_utility_factor),
+            static_score_utility_factor=f(self.static_score_utility_factor),
+            dynamic_score_utility_factor=f(self.dynamic_score_utility_factor),
+            dynamic_score_center_zero_weight=f(self.dynamic_score_center_zero_weight),
+            dynamic_score_center_scale=f(self.dynamic_score_center_scale),
+            no_result_utility_for_white=f(self.no_result_utility_for_white),
+            draw_equivalent_wins_for_white=f(self.draw_equivalent_wins_for_white),
+            cpuct_exploration=f(self.cpuct_exploration),
+            cpuct_exploration_log=f(self.cpuct_exploration_log),
+            cpuct_exploration_base=f(self.cpuct_exploration_base),
+            cpuct_utility_stdev_prior=f(self.cpuct_utility_stdev_prior),
+            cpuct_utility_stdev_prior_weight=f(self.cpuct_utility_stdev_prior_weight),
+            cpuct_utility_stdev_scale=f(self.cpuct_utility_stdev_scale),
+            fpu_reduction_max=f(self.fpu_reduction_max),
+            fpu_loss_prop=f(self.fpu_loss_prop),
+            fpu_parent_weight=f(self.fpu_parent_weight),
+            value_weight_exponent=f(self.value_weight_exponent),
+            use_uncertainty=jnp.bool_(self.use_uncertainty),
+            uncertainty_coeff=f(self.uncertainty_coeff),
+            uncertainty_exponent=f(self.uncertainty_exponent),
+            uncertainty_max_weight=f(self.uncertainty_max_weight),
+            root_noise_enabled=jnp.bool_(self.root_noise_enabled),
+            root_dirichlet_noise_total_concentration=f(self.root_dirichlet_noise_total_concentration),
+            root_dirichlet_noise_weight=f(self.root_dirichlet_noise_weight),
+            root_policy_temperature=f(self.root_policy_temperature),
+            root_policy_temperature_early=f(self.root_policy_temperature_early),
+            root_fpu_reduction_max=f(self.root_fpu_reduction_max),
+            root_fpu_loss_prop=f(self.root_fpu_loss_prop),
+            chosen_move_temperature=f(self.chosen_move_temperature),
+            chosen_move_temperature_early=f(self.chosen_move_temperature_early),
+            chosen_move_temperature_halflife=f(self.chosen_move_temperature_halflife),
+            nn_policy_temperature=f(self.nn_policy_temperature),
+            playout_doubling_advantage=f(self.playout_doubling_advantage),
+            conservative_pass=jnp.bool_(self.conservative_pass),
+        )
+
+
+class SearchParamsArr(NamedTuple):
+    win_loss_utility_factor: jax.Array
+    static_score_utility_factor: jax.Array
+    dynamic_score_utility_factor: jax.Array
+    dynamic_score_center_zero_weight: jax.Array
+    dynamic_score_center_scale: jax.Array
+    no_result_utility_for_white: jax.Array
+    draw_equivalent_wins_for_white: jax.Array
+    cpuct_exploration: jax.Array
+    cpuct_exploration_log: jax.Array
+    cpuct_exploration_base: jax.Array
+    cpuct_utility_stdev_prior: jax.Array
+    cpuct_utility_stdev_prior_weight: jax.Array
+    cpuct_utility_stdev_scale: jax.Array
+    fpu_reduction_max: jax.Array
+    fpu_loss_prop: jax.Array
+    fpu_parent_weight: jax.Array
+    value_weight_exponent: jax.Array
+    use_uncertainty: jax.Array
+    uncertainty_coeff: jax.Array
+    uncertainty_exponent: jax.Array
+    uncertainty_max_weight: jax.Array
+    root_noise_enabled: jax.Array
+    root_dirichlet_noise_total_concentration: jax.Array
+    root_dirichlet_noise_weight: jax.Array
+    root_policy_temperature: jax.Array
+    root_policy_temperature_early: jax.Array
+    root_fpu_reduction_max: jax.Array
+    root_fpu_loss_prop: jax.Array
+    chosen_move_temperature: jax.Array
+    chosen_move_temperature_early: jax.Array
+    chosen_move_temperature_halflife: jax.Array
+    nn_policy_temperature: jax.Array
+    playout_doubling_advantage: jax.Array
+    conservative_pass: jax.Array

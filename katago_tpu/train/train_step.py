@@ -1,0 +1,70 @@
+"""Learner: optimizer, EMA, and the jitted/pjit-able train step.
+
+Reference: python/train.py's per-GPU DDP loop (train.py:1422-1637) with SGD
+momentum, gradient clipping, and SWA/EMA (train.py:36,814-818). Here the
+train step is one pure function; data parallelism is a jax.sharding Mesh
+over the batch axis with XLA inserting the gradient all-reduce — the
+NCCL/DDP machinery (train.py:252-319) has no equivalent code at all.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from katago_tpu.train.losses import LossWeights, compute_losses
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    ema_params: Any            # SWA/EMA of weights for export
+    step: jax.Array
+
+
+def make_optimizer(lr: float = 6e-5, momentum: float = 0.9,
+                   weight_decay: float = 3e-5, grad_clip: float = 1e6):
+    """SGD+momentum with decoupled weight decay, the reference's default
+    optimizer family (train.py lr scaling at train.py:504-526)."""
+    return optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.add_decayed_weights(weight_decay),
+        optax.sgd(learning_rate=lr, momentum=momentum),
+    )
+
+
+def init_train_state(params: Any, optimizer) -> TrainState:
+    return TrainState(
+        params=params,
+        opt_state=optimizer.init(params),
+        ema_params=params,
+        step=jnp.int32(0),
+    )
+
+
+def make_train_step(model_apply, optimizer, ema_decay: float = 0.999,
+                    weights: LossWeights = LossWeights()):
+    """Returns train_step(state, batch) -> (state, metrics). Pure; jit or
+    pjit with batch sharded over the mesh's data axis."""
+
+    def loss_fn(params, batch):
+        raw = model_apply(params, batch["spatial"], batch["global_in"])
+        return compute_losses(raw, batch, weights)
+
+    def train_step(state: TrainState, batch: dict):
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, batch)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = jax.tree.map(
+            lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+            state.ema_params, params)
+        gnorm = optax.global_norm(grads)
+        metrics = dict(metrics, gnorm=gnorm)
+        return TrainState(params, opt_state, ema, state.step + 1), metrics
+
+    return train_step

@@ -133,7 +133,7 @@ def test_featurizer_liberty_planes():
     """
     stones, _ = B.board_from_string(diagram)
     gs = H.new_game(size, H.RulesArr.from_rules(R.Rules.tromp_taylorish()), 64)
-    gs = gs._replace(board=gs.board._replace(stones=jnp.asarray(stones)))
+    gs = H.replace_pos(gs, board=gs.board._replace(stones=jnp.asarray(stones)))
     sp, gl = F.fill_features_v7(gs, size, F.FeatureParams.default())
     sp = np.asarray(sp)
     # X at corner: 1 liberty (below); O: 2 liberties
@@ -152,8 +152,8 @@ def test_featurizer_ko_plane():
     """
     stones, _ = B.board_from_string(diagram)
     gs = H.new_game(size, H.RulesArr.from_rules(R.Rules.tromp_taylorish()), 64)
-    gs = gs._replace(board=gs.board._replace(stones=jnp.asarray(stones)),
-                     to_move=jnp.int32(B.WHITE))
+    gs = H.replace_pos(gs, board=gs.board._replace(stones=jnp.asarray(stones)),
+                       to_move=jnp.int32(B.WHITE))
     gs, _ = H.step(gs, jnp.int32(B.loc_of_xy(1, 1, size)), size)  # W takes ko
     sp, gl = F.fill_features_v7(gs, size, F.FeatureParams.default())
     sp = np.asarray(sp)
@@ -172,7 +172,7 @@ def test_featurizer_pass_alive_planes():
     """
     stones, _ = B.board_from_string(diagram)
     gs = H.new_game(size, H.RulesArr.from_rules(R.Rules.tromp_taylorish()), 64)
-    gs = gs._replace(board=gs.board._replace(stones=jnp.asarray(stones)))
+    gs = H.replace_pos(gs, board=gs.board._replace(stones=jnp.asarray(stones)))
     sp, _ = F.fill_features_v7(gs, size, F.FeatureParams.default())
     sp = np.asarray(sp)
     # black to move: plane 18 = own pass-alive area incl. the two eyes

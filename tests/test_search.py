@@ -1,0 +1,175 @@
+"""Array-MCTS tests: mechanics (visit conservation, legality, determinism)
+and value-seeking behavior via stub models with known preferences."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from katago_tpu.game import board as B
+from katago_tpu.game import history as H
+from katago_tpu.game import rules as R
+from katago_tpu.search import mcts
+from katago_tpu.search.params import SearchParams
+
+SIZE = 5
+NN = SIZE * SIZE
+A = NN + 1
+
+
+def stub_model(value_fn):
+    """model_apply(params, spatial, global) -> raw dict.
+
+    value_fn(spatial) -> winloss in [-1,1] from the mover's perspective,
+    computed per game from the featurized position ([G,H,W,22])."""
+
+    def apply(params, spatial, glob):
+        g = spatial.shape[0]
+        win_minus_loss = value_fn(spatial)  # [G]
+        p_win = 0.5 * (1.0 + win_minus_loss)
+        logits = jnp.stack([jnp.log(jnp.maximum(p_win, 1e-9)),
+                            jnp.log(jnp.maximum(1.0 - p_win, 1e-9)),
+                            jnp.full((g,), -20.0)], axis=-1)
+        return {
+            "policy_logits": jnp.zeros((g, 6, A)),
+            "value_logits": logits,
+            "miscvalue": jnp.zeros((g, 10)),
+            "moremiscvalue": jnp.zeros((g, 8)),
+        }
+
+    return apply
+
+
+def neutral_model():
+    return stub_model(lambda spatial: jnp.zeros((spatial.shape[0],)))
+
+
+def make_roots(g=2, rules=None, moves=()):
+    rules = rules or R.Rules.tromp_taylorish()
+    gs = H.new_game(SIZE, H.RulesArr.from_rules(rules), 128)
+    for mv in moves:
+        gs, _ = H.step(gs, jnp.int32(mv), SIZE)
+    return jax.tree.map(lambda x: jnp.broadcast_to(x, (g,) + x.shape).copy(), gs)
+
+
+def run(model_apply, roots, sp=None, num_sims=40, seed=0):
+    sp = (sp or SearchParams()).to_arr()
+    fn = jax.jit(lambda r, k: mcts.run_search(
+        model_apply, None, r, sp, k, size=SIZE, num_sims=num_sims,
+        max_nodes=num_sims + 3, max_depth=32))
+    return fn(roots, jax.random.PRNGKey(seed))
+
+
+def test_visit_conservation_and_legality():
+    roots = make_roots(g=3)
+    res = run(neutral_model(), roots, num_sims=30)
+    rv = np.asarray(res.root_visits)
+    cv = np.asarray(res.child_visits)
+    # every sim lands somewhere: root visits = sims + root eval
+    assert (rv == 31).all()
+    # children account for all non-root visits
+    np.testing.assert_array_equal(cv.sum(axis=1), rv - 1)
+    # no visits on occupied/illegal points (empty board: all legal + pass)
+    prior = np.asarray(res.root_policy_prior)
+    assert (prior[:, :NN] >= 0).all()
+
+
+def test_search_is_deterministic():
+    roots = make_roots(g=2)
+    r1 = run(neutral_model(), roots, num_sims=25, seed=7)
+    r2 = run(neutral_model(), roots, num_sims=25, seed=7)
+    np.testing.assert_array_equal(np.asarray(r1.child_visits),
+                                  np.asarray(r2.child_visits))
+    assert np.allclose(np.asarray(r1.root_utility), np.asarray(r2.root_utility))
+
+
+def test_search_seeks_high_value_move():
+    """Stub: positions where the mover's perspective value is high iff a
+    stone sits at the center. Black searching should pile visits there."""
+    center = B.loc_of_xy(2, 2, SIZE)
+
+    def value_fn(spatial):
+        # plane 2 = opponent stones: after black plays center, white is the
+        # mover and sees a black (opp) stone at center -> mover losing
+        flat = spatial.reshape(spatial.shape[0], NN, 22)
+        black_at_center_for_white = flat[:, center, 2]
+        return -0.9 * black_at_center_for_white
+
+    roots = make_roots(g=2)
+    res = run(stub_model(value_fn), roots, num_sims=60)
+    cv = np.asarray(res.child_visits)
+    assert (cv.argmax(axis=1) == center).all()
+    assert (cv[:, center] > 20).all()
+
+
+def test_search_never_visits_illegal():
+    # position with an occupied point and a simple ko ban
+    moves = [B.loc_of_xy(0, 0, SIZE)]
+    roots = make_roots(g=2, moves=moves)
+    res = run(neutral_model(), roots, num_sims=30)
+    cv = np.asarray(res.child_visits)
+    assert (cv[:, B.loc_of_xy(0, 0, SIZE)] == 0).all()
+    prior = np.asarray(res.root_policy_prior)
+    assert (prior[:, B.loc_of_xy(0, 0, SIZE)] < 0).all()
+
+
+def test_terminal_pass_scoring_drives_choice():
+    """Black is massively ahead on the board and white just passed. Passing
+    ends the game with a huge black win; the terminal backup should make
+    pass (or anything) winning, and utilities should reflect black lead."""
+    stones = np.zeros(NN, np.int32)
+    stones[:20] = B.BLACK  # 20 black stones, no white
+    gs = H.new_game(SIZE, H.RulesArr.from_rules(R.Rules(komi=0.5)), 128)
+    gs = H.replace_pos(gs, board=gs.board._replace(stones=jnp.asarray(stones)),
+                       consec_passes=jnp.int32(1),
+                       to_move=jnp.int32(B.BLACK))
+    roots = jax.tree.map(lambda x: jnp.broadcast_to(x, (2,) + x.shape).copy(), gs)
+    res = run(neutral_model(), roots, num_sims=50)
+    # tree explored pass -> terminal; root winloss (white persp) clearly negative
+    assert (np.asarray(res.root_winloss) < -0.2).all()
+    cv = np.asarray(res.child_visits)
+    assert (cv[:, NN] > 0).all()  # pass was explored
+
+
+def test_choose_moves_temperature_zero_is_argmax():
+    roots = make_roots(g=2)
+    res = run(neutral_model(), roots, num_sims=30)
+    sp = SearchParams().to_arr()  # chosen_move_temperature = 0
+    mv = mcts.choose_moves(res, sp, jnp.zeros((2,), jnp.int32),
+                           jax.random.PRNGKey(0))
+    cv = np.asarray(res.child_visits)
+    np.testing.assert_array_equal(np.asarray(mv), cv.argmax(axis=1))
+
+
+def test_dirichlet_noise_changes_prior():
+    roots = make_roots(g=1)
+    res_plain = run(neutral_model(), roots, num_sims=5,
+                    sp=SearchParams(root_noise_enabled=False))
+    res_noise = run(neutral_model(), roots, num_sims=5,
+                    sp=SearchParams(root_noise_enabled=True))
+    p1 = np.asarray(res_plain.root_policy_prior)
+    p2 = np.asarray(res_noise.root_policy_prior)
+    assert not np.allclose(p1, p2)
+    legal = p2 >= 0
+    np.testing.assert_allclose(p2[legal].sum(), 1.0, rtol=1e-4)
+
+
+def test_superko_blocked_in_tree():
+    """Root where the only superko trap exists: the search must never
+    create a child that recreates a previous whole-board position."""
+    # build the 2-stone-suicide cycle from test_history via real play
+    size = SIZE
+    rules = R.Rules(ko_rule=R.KO_POSITIONAL, multi_stone_suicide_legal=True)
+    gs = H.new_game(size, H.RulesArr.from_rules(rules), 128)
+    seq = [(1, 0), (4, 4), (1, 1), (3, 4), (0, 2), (4, 3), None, (0, 0), None]
+    for m in seq:
+        loc = NN if m is None else B.loc_of_xy(m[0], m[1], size)
+        gs, _ = H.step(gs, jnp.int32(loc), size)
+    # white to move; a2=(0,1) would recreate an earlier position
+    a2 = B.loc_of_xy(0, 1, size)
+    legal = np.asarray(H.legal_moves(gs, size))
+    assert not legal[a2]
+    roots = jax.tree.map(lambda x: jnp.broadcast_to(x, (1,) + x.shape).copy(), gs)
+    res = run(neutral_model(), roots, num_sims=40)
+    assert np.asarray(res.child_visits)[0, a2] == 0
+    assert np.asarray(res.root_policy_prior)[0, a2] < 0
