@@ -17,3 +17,13 @@ Package layout (mirrors SURVEY.md section 2's component inventory):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("KATAGO_TPU_PLATFORM"):
+    # Explicit backend override (e.g. KATAGO_TPU_PLATFORM=cpu for host-side
+    # tooling in environments where a site hook force-registers a remote
+    # accelerator ahead of JAX_PLATFORMS).
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["KATAGO_TPU_PLATFORM"])

@@ -1,0 +1,110 @@
+"""train command — the learner loop (reference python/train.py).
+
+Reads shuffled npz shards, runs the jitted train step (data-parallel over
+the device mesh), checkpoints with optimizer+EMA state, and periodically
+exports EMA params for selfplay — the reference's
+tfsavedmodels_toexport flow (train.py:1422-1637, 579-607).
+
+Usage: python -m katago_tpu.cli.train_cmd -data-dir D -ckpt-dir C
+         -export-dir E [-size 9] [-config b2c16] [-batch-size 64]
+         [-steps 100] [-lr 6e-5]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from katago_tpu.dataio import trainingwrite as TW
+from katago_tpu.train import checkpoint as C
+from katago_tpu.train.train_step import (init_train_state, make_optimizer,
+                                         make_train_step)
+
+
+def run_training(data_dir: str, ckpt_dir: str, export_dir: str | None, *,
+                 size: int, config_name: str, batch_size: int, steps: int,
+                 lr: float, export_every: int = 0, seed: int = 0,
+                 log=print) -> dict:
+    from katago_tpu.models import config as MC
+    from katago_tpu.models.model import KataGoModel
+    cfg = MC.get_config(config_name)
+    model = KataGoModel(cfg, pos_len=size, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(seed),
+                        jnp.zeros((1, size, size, 22)), jnp.zeros((1, 19)))
+    optimizer = make_optimizer(lr=lr)
+    state = init_train_state(params, optimizer)
+
+    latest = C.latest_checkpoint(ckpt_dir)
+    start_step = 0
+    if latest:
+        state = C.restore_checkpoint(latest, state)
+        start_step = int(np.asarray(state.step))
+        log(f"resumed from {latest} at step {start_step}")
+
+    files = sorted(glob.glob(os.path.join(data_dir, "*.npz")))
+    if not files:
+        raise FileNotFoundError(f"no npz shards in {data_dir}")
+    rows = [TW.read_npz(f, size) for f in files]
+    data = {k: np.concatenate([r[k] for r in rows]) for k in rows[0]}
+    n = data["spatial"].shape[0]
+    log(f"training on {n} rows from {len(files)} shards")
+
+    train_step = jax.jit(make_train_step(model.apply, optimizer))
+    rng = np.random.default_rng(seed)
+    metrics_hist = []
+    t0 = time.time()
+    for i in range(steps):
+        idx = rng.integers(0, n, size=batch_size)
+        batch = {k: jnp.asarray(v[idx]) for k, v in data.items()}
+        state, metrics = train_step(state, batch)
+        if i % max(1, steps // 10) == 0 or i == steps - 1:
+            m = {k: float(v) for k, v in metrics.items()}
+            metrics_hist.append(m)
+            log(f"  step {start_step + i}: loss={m['loss']:.4f} "
+                f"policy={m['policy_loss']:.4f} value={m['value_loss']:.4f} "
+                f"gnorm={m['gnorm']:.3f}")
+        if export_every and export_dir and (i + 1) % export_every == 0:
+            C.export_params(export_dir,
+                            f"{config_name}-s{start_step + i + 1}",
+                            state.ema_params)
+
+    final_step = start_step + steps
+    path = C.save_checkpoint(ckpt_dir, state, final_step,
+                             metadata={"global_step": final_step,
+                                       "config": config_name, "size": size})
+    if export_dir:
+        C.export_params(export_dir, f"{config_name}-s{final_step}",
+                        state.ema_params)
+    dt = time.time() - t0
+    return {"steps": steps, "final_loss": metrics_hist[-1]["loss"],
+            "first_loss": metrics_hist[0]["loss"],
+            "rows_per_s": steps * batch_size / dt, "checkpoint": path}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-data-dir", required=True)
+    ap.add_argument("-ckpt-dir", required=True)
+    ap.add_argument("-export-dir", default=None)
+    ap.add_argument("-size", type=int, default=9)
+    ap.add_argument("-config", default="b2c16")
+    ap.add_argument("-batch-size", type=int, default=64)
+    ap.add_argument("-steps", type=int, default=100)
+    ap.add_argument("-lr", type=float, default=6e-5)
+    args = ap.parse_args(argv)
+    out = run_training(args.data_dir, args.ckpt_dir, args.export_dir,
+                       size=args.size, config_name=args.config,
+                       batch_size=args.batch_size, steps=args.steps,
+                       lr=args.lr)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

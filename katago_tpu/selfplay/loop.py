@@ -42,6 +42,47 @@ class GameBatchData:
     ownership_target: np.ndarray  # [rows, NN] f32 (+1 mover, -1 opp)
     game_idx: np.ndarray       # [rows] i32
     move_num: np.ndarray       # [rows] i32
+    mcts_winloss_white: np.ndarray  # [rows] f32 root MCTS winloss (white persp)
+    mcts_lead_white: np.ndarray     # [rows] f32 root MCTS lead (white persp)
+    visits: np.ndarray              # [rows] i32 search visits for the row
+
+    def to_npz_arrays(self, size: int, final_score_white: np.ndarray) -> dict:
+        """Reference-schema arrays (dataio.trainingwrite.pack_rows), with
+        next-turn policy and td-value targets derived across each game."""
+        from katago_tpu.dataio import trainingwrite as TW
+
+        n = self.spatial.shape[0]
+        area = size * size
+        is_white = (self.to_move == B.WHITE)
+        sign = np.where(is_white, 1.0, -1.0)
+
+        # next-turn policy: the following row of the same game
+        next_pol = np.zeros_like(self.policy_target)
+        same_game_next = np.zeros(n, bool)
+        same_game_next[:-1] = (self.game_idx[:-1] == self.game_idx[1:]) & \
+                              (self.move_num[:-1] + 1 == self.move_num[1:])
+        next_pol[np.flatnonzero(same_game_next)] = \
+            self.policy_target[np.flatnonzero(same_game_next) + 1]
+
+        # td targets per game (white persp), then flip to mover persp
+        td = np.zeros((n, 4), np.float32)
+        for g in np.unique(self.game_idx):
+            rows = np.flatnonzero(self.game_idx == g)
+            final_wl = float(np.sign(final_score_white[g]))
+            td[rows] = TW.td_value_targets(
+                self.mcts_winloss_white[rows], final_wl, area)
+        td_mover = td * sign[:, None]
+
+        lead_mover = self.mcts_lead_white * sign
+        komi_mover = np.zeros(n, np.float32)  # filled by caller if needed
+        return TW.pack_rows(
+            spatial=self.spatial, global_in=self.global_in,
+            policy_target=self.policy_target, next_policy_target=next_pol,
+            value_target=self.value_target, td_targets=td_mover,
+            score_target=self.score_target, lead_target=lead_mover,
+            ownership_target=self.ownership_target, self_komi=komi_mover,
+            turn_idx=self.move_num.astype(np.float32),
+            visits=self.visits.astype(np.float32), size=size)
 
 
 def play_games(model_apply: Callable, model_params: Any, *,
@@ -101,6 +142,8 @@ def play_games(model_apply: Callable, model_params: Any, *,
                 "policy_target": cvis / denom,
                 "to_move": np.asarray(games.pos.to_move, np.int32),
                 "move_num": np.asarray(games.pos.move_num, np.int32),
+                "mcts_winloss_white": np.asarray(res.root_winloss, np.float32),
+                "mcts_lead_white": np.asarray(res.root_lead, np.float32),
                 "live": ~done,
             })
         games, _ = step_fn(games, moves, size)
@@ -122,7 +165,8 @@ def play_games(model_apply: Callable, model_params: Any, *,
     # assemble rows with game-outcome targets from the mover's perspective
     out = {k: [] for k in ("spatial", "global_in", "policy_target", "to_move",
                            "value_target", "score_target", "ownership_target",
-                           "game_idx", "move_num")}
+                           "game_idx", "move_num", "mcts_winloss_white",
+                           "mcts_lead_white", "visits")}
     for rec in rows:
         live = rec["live"]
         idxs = np.flatnonzero(live)
@@ -147,6 +191,9 @@ def play_games(model_apply: Callable, model_params: Any, *,
         out["ownership_target"].append(own_mover)
         out["game_idx"].append(idxs.astype(np.int32))
         out["move_num"].append(rec["move_num"][idxs])
+        out["mcts_winloss_white"].append(rec["mcts_winloss_white"][idxs])
+        out["mcts_lead_white"].append(rec["mcts_lead_white"][idxs])
+        out["visits"].append(np.full(len(idxs), visits, np.int32))
 
     data = GameBatchData(**{k: np.concatenate(v, axis=0) for k, v in out.items()})
     return data, stats

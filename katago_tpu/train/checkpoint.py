@@ -1,0 +1,85 @@
+"""Checkpoint save/restore — the reference's torch-checkpoint equivalent.
+
+Reference behavior (python/train.py:579-607): checkpoints hold model
+params, SWA/EMA params, optimizer state, and train_state (global step /
+samples); plus longterm snapshots and export-for-selfplay copies. Here the
+TrainState pytree is saved with orbax; exports for selfplay/gatekeeper are
+plain param-only checkpoints in an export dir that the selfplay loop polls
+(mirroring the models-dir polling of cpp/command/selfplay.cpp:140-151).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from katago_tpu.train.train_step import TrainState
+
+
+def save_checkpoint(ckpt_dir: str, state: TrainState, step: int,
+                    keep: int = 3, metadata: dict | None = None):
+    path = os.path.abspath(os.path.join(ckpt_dir, f"step_{step:012d}"))
+    os.makedirs(ckpt_dir, exist_ok=True)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, jax.device_get(state), force=True)
+    if metadata is not None:
+        with open(os.path.join(path, "train_metadata.json"), "w") as f:
+            json.dump(metadata, f)
+    # prune old checkpoints
+    entries = sorted(d for d in os.listdir(ckpt_dir) if d.startswith("step_"))
+    for old in entries[:-keep]:
+        shutil.rmtree(os.path.join(ckpt_dir, old), ignore_errors=True)
+    return path
+
+
+def latest_checkpoint(ckpt_dir: str) -> str | None:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    entries = sorted(d for d in os.listdir(ckpt_dir) if d.startswith("step_"))
+    return os.path.join(ckpt_dir, entries[-1]) if entries else None
+
+
+def restore_checkpoint(path: str, template: TrainState) -> TrainState:
+    with ocp.PyTreeCheckpointer() as ckptr:
+        restored = ckptr.restore(path, item=jax.device_get(template))
+    return jax.tree.map(lambda t, r: np.asarray(r), template, restored)
+
+
+def export_params(export_dir: str, name: str, params) -> str:
+    """Write a param-only model export for selfplay/gatekeeper polling.
+
+    Like the reference's export_model_for_selfplay.sh output: a named
+    directory whose appearance (atomic rename) signals a new model.
+    """
+    os.makedirs(export_dir, exist_ok=True)
+    tmp = os.path.join(export_dir, f".tmp_{name}")
+    final = os.path.join(export_dir, name)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(tmp), jax.device_get(params), force=True)
+    if os.path.exists(final):
+        shutil.rmtree(final)
+    os.rename(tmp, final)
+    return final
+
+
+def find_latest_model(models_dir: str) -> str | None:
+    """Newest model export by mtime (reference LoadModel::findLatestModel)."""
+    if not os.path.isdir(models_dir):
+        return None
+    entries = [os.path.join(models_dir, d) for d in os.listdir(models_dir)
+               if not d.startswith(".")]
+    entries = [e for e in entries if os.path.isdir(e)]
+    if not entries:
+        return None
+    return max(entries, key=os.path.getmtime)
+
+
+def load_params(path: str, template):
+    with ocp.PyTreeCheckpointer() as ckptr:
+        restored = ckptr.restore(path, item=jax.device_get(template))
+    return jax.tree.map(lambda t, r: np.asarray(r), template, restored)

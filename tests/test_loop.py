@@ -1,0 +1,85 @@
+"""Closed-loop integration: selfplay -> shuffle -> train -> gatekeeper.
+
+The reference's synchronous_loop.sh cycle at micro scale, including
+checkpoint resume and npz schema round-trip.
+"""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+from katago_tpu.cli.loop_cmd import run_loop
+from katago_tpu.dataio import trainingwrite as TW
+
+
+def test_one_loop_cycle(tmp_path):
+    summary = run_loop(
+        str(tmp_path), cycles=1, size=5, config_name="b1c6",
+        games_per_cycle=4, visits=10, train_steps=10, batch_size=16,
+        lr=1e-3, gate_games=2, log=lambda *a: None)
+    assert len(summary) == 1
+    c = summary[0]
+    assert c["selfplay"]["games"] == 4
+    assert c["train"]["steps"] == 10
+    assert np.isfinite(c["train"]["final_loss"])
+    # first model accepted unconditionally
+    assert c["gatekeeper"][0]["accepted"]
+    # directory layout holds the artifacts
+    assert glob.glob(str(tmp_path / "selfplay" / "*" / "tdata" / "*.npz"))
+    assert glob.glob(str(tmp_path / "selfplay" / "*" / "sgfs" / "*.sgfs"))
+    assert glob.glob(str(tmp_path / "ckpts" / "step_*"))
+    assert glob.glob(str(tmp_path / "models" / "*"))
+
+
+def test_npz_schema_roundtrip(tmp_path):
+    size = 5
+    area = size * size
+    n = 7
+    rng = np.random.default_rng(0)
+    spatial = rng.integers(0, 2, (n, size, size, 22)).astype(np.float32)
+    pol = rng.random((n, area + 1)).astype(np.float32)
+    pol /= pol.sum(-1, keepdims=True)
+    arrays = TW.pack_rows(
+        spatial=spatial,
+        global_in=rng.random((n, 19)).astype(np.float32),
+        policy_target=pol, next_policy_target=np.zeros_like(pol),
+        value_target=np.tile([[1, 0, 0]], (n, 1)).astype(np.float32),
+        td_targets=np.zeros((n, 4), np.float32),
+        score_target=np.linspace(-10, 10, n).astype(np.float32),
+        lead_target=np.zeros(n, np.float32),
+        ownership_target=rng.uniform(-1, 1, (n, area)).astype(np.float32),
+        self_komi=np.full(n, 7.5, np.float32),
+        turn_idx=np.arange(n, dtype=np.float32),
+        visits=np.full(n, 100, np.float32), size=size)
+
+    # schema names + dtypes match the reference layout
+    assert arrays["binaryInputNCHWPacked"].dtype == np.uint8
+    assert arrays["policyTargetsNCMove"].shape == (n, 2, area + 1)
+    assert arrays["globalTargetsNC"].shape == (n, 80)
+    assert arrays["scoreDistrN"].shape == (n, 2 * area + 120)
+    assert arrays["valueTargetsNCHW"].shape == (n, 5, size, size)
+    # score distr sums to ~100 per row (two-hot)
+    np.testing.assert_allclose(
+        arrays["scoreDistrN"].astype(np.int32).sum(-1), 100, atol=1)
+
+    path = str(tmp_path / "t.npz")
+    TW.write_npz(path, arrays)
+    back = TW.read_npz(path, size)
+    np.testing.assert_array_equal(back["spatial"], spatial)
+    np.testing.assert_allclose(back["policy_target"], pol, atol=2e-4)
+    np.testing.assert_allclose(back["score_target"],
+                               np.linspace(-10, 10, n), rtol=1e-5)
+
+
+def test_td_value_targets_limits():
+    # lambda = 0 -> target equals next-step MCTS estimate (final at the end)
+    m = np.array([0.1, -0.2, 0.5], np.float32)
+    t = TW.td_value_targets(m, final_winloss=1.0, board_area=81)
+    np.testing.assert_allclose(t[:, 3], [-0.2, 0.5, 1.0], atol=1e-6)
+    # all lambdas end at the final result for the last position
+    lam_large = t[-1]
+    # discounting toward final: last row mixes toward 1.0
+    assert (t[-1] > 0.4).all()
