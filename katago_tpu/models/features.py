@@ -81,8 +81,14 @@ def self_komi(gs: H.GameState, params: FeatureParams) -> jax.Array:
 
 
 def fill_features_v7(gs: H.GameState, size: int,
-                     params: FeatureParams) -> tuple[jax.Array, jax.Array]:
-    """Returns (spatial f32[NN, 22], global f32[19]) for the player to move."""
+                     params: FeatureParams,
+                     legal_full: jax.Array | None = None
+                     ) -> tuple[jax.Array, jax.Array]:
+    """Returns (spatial f32[NN, 22], global f32[19]) for the player to move.
+
+    legal_full: optional precomputed H.legal_moves(gs) [NN+1] to avoid
+    recomputing the superko scan (callers that need the mask anyway, like
+    the search evaluator, pass it in)."""
     nn = size * size
     stones = gs.board.stones
     pla = gs.to_move
@@ -109,7 +115,9 @@ def fill_features_v7(gs: H.GameState, size: int,
     board_no_ko = gs.board._replace(ko_loc=jnp.int32(-1))
     basic_no_ko = B.legal_moves_basic(board_no_ko, pla,
                                       gs.rules.multi_suicide, size)
-    full = H.legal_moves(gs, size)[:nn]
+    if legal_full is None:
+        legal_full = H.legal_moves(gs, size)
+    full = legal_full[:nn]
     ko_banned = basic_no_ko & ~full & ~gs.game_over
     sp = sp.at[:, 6].set(ko_banned.astype(jnp.float32))
     # planes 7, 8: encore ko-recapture state — encore not yet implemented

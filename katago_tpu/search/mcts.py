@@ -61,11 +61,16 @@ class Tree(NamedTuple):
     utility_sq_sum: jax.Array    # float32[N]
     winloss_sum: jax.Array      # float32[N] (white's perspective)
     score_mean_sum: jax.Array    # float32[N]
+    score_meansq_sum: jax.Array  # float32[N] (for variance-aware score utility)
     lead_sum: jax.Array          # float32[N]
+    weight_sq_sum: jax.Array     # float32[N] (for LCB effective sample size)
     nn_utility: jax.Array        # float32[N] utility from this node's NN eval
     nn_winloss: jax.Array        # float32[N]
     nn_score_mean: jax.Array     # float32[N]
+    nn_score_meansq: jax.Array   # float32[N]
     nn_score_stdev: jax.Array    # float32[N]
+    nn_lead: jax.Array           # float32[N]
+    nn_weight: jax.Array         # float32[N] uncertainty weight of own eval
     num_nodes: jax.Array         # int32 scalar
 
 
@@ -84,10 +89,11 @@ class LeafEval(NamedTuple):
     utility: jax.Array
     winloss: jax.Array
     score_mean: jax.Array
+    score_meansq: jax.Array
     score_stdev: jax.Array
     lead: jax.Array
     policy: jax.Array            # f32[A] prior (-1 illegal)
-    weight: jax.Array            # f32 backup weight
+    weight: jax.Array            # f32 backup weight (uncertainty-scaled)
 
 
 def empty_tree(size: int, max_nodes: int) -> Tree:
@@ -110,11 +116,16 @@ def empty_tree(size: int, max_nodes: int) -> Tree:
         utility_sq_sum=jnp.zeros((n,), jnp.float32),
         winloss_sum=jnp.zeros((n,), jnp.float32),
         score_mean_sum=jnp.zeros((n,), jnp.float32),
+        score_meansq_sum=jnp.zeros((n,), jnp.float32),
         lead_sum=jnp.zeros((n,), jnp.float32),
+        weight_sq_sum=jnp.zeros((n,), jnp.float32),
         nn_utility=jnp.zeros((n,), jnp.float32),
         nn_winloss=jnp.zeros((n,), jnp.float32),
         nn_score_mean=jnp.zeros((n,), jnp.float32),
+        nn_score_meansq=jnp.zeros((n,), jnp.float32),
         nn_score_stdev=jnp.zeros((n,), jnp.float32),
+        nn_lead=jnp.zeros((n,), jnp.float32),
+        nn_weight=jnp.zeros((n,), jnp.float32),
         num_nodes=jnp.int32(0),
     )
 
@@ -125,15 +136,64 @@ def score_value(score_white: jax.Array, center: jax.Array,
     return jnp.arctan((score_white - center) / (scale * sqrt_area)) * (2.0 / jnp.pi)
 
 
-def utility_of(winloss_white, score_mean_white, sp: SearchParamsArr,
-               st_center0, dyn_center, sqrt_area) -> jax.Array:
-    """winLoss + static + dynamic score utility (searchupdatehelpers.cpp:24)."""
-    static_sv = score_value(score_mean_white, st_center0, jnp.float32(1.0), sqrt_area)
-    dyn_sv = score_value(score_mean_white, dyn_center,
-                         sp.dynamic_score_center_scale, sqrt_area)
+# 5-point Gauss-Hermite quadrature for E[f(N(mean, var))], replacing the
+# reference's precomputed expectedWhiteScoreValue tables (nninputs.cpp:161).
+_GH_X, _GH_W = np.polynomial.hermite.hermgauss(5)
+_GH_W = _GH_W / np.sqrt(np.pi)
+
+
+def expected_score_value(mean, meansq, center, scale, sqrt_area):
+    """E[SV(s)] for s ~ Normal(mean, meansq - mean^2)."""
+    var = jnp.maximum(meansq - mean * mean, 0.0)
+    sigma = jnp.sqrt(var)
+    total = 0.0
+    for x, w in zip(_GH_X, _GH_W):
+        s = mean + np.sqrt(2.0) * float(x) * sigma
+        total = total + float(w) * score_value(s, center, scale, sqrt_area)
+    return total
+
+
+def utility_of(winloss_white, score_mean_white, score_meansq_white,
+               sp: SearchParamsArr, dyn_center, sqrt_area) -> jax.Array:
+    """winLoss + static + dynamic score utility, variance-aware
+    (searchupdatehelpers.cpp:24, Search::getScoreUtility)."""
+    static_sv = expected_score_value(score_mean_white, score_meansq_white,
+                                     jnp.float32(0.0), jnp.float32(1.0),
+                                     sqrt_area)
+    dyn_sv = expected_score_value(score_mean_white, score_meansq_white,
+                                  dyn_center, sp.dynamic_score_center_scale,
+                                  sqrt_area)
     return (sp.win_loss_utility_factor * winloss_white
             + sp.static_score_utility_factor * static_sv
             + sp.dynamic_score_utility_factor * dyn_sv)
+
+
+def score_utility_derivative(score_mean, sp: SearchParamsArr, dyn_center,
+                             sqrt_area):
+    """d(scoreUtility)/d(scoreMean) — for uncertainty weighting
+    (Search::getApproxScoreUtilityDerivative)."""
+    def dsv(center, scale):
+        k = scale * sqrt_area
+        d = score_mean - center
+        return (2.0 / jnp.pi) * k / (k * k + d * d)
+
+    return (sp.static_score_utility_factor * dsv(0.0, jnp.float32(1.0))
+            + sp.dynamic_score_utility_factor *
+            dsv(dyn_center, sp.dynamic_score_center_scale))
+
+
+def uncertainty_weight(shortterm_wl_error, shortterm_score_error, score_mean,
+                       sp: SearchParamsArr, dyn_center, sqrt_area):
+    """Search::computeWeightFromNNOutput (searchupdatehelpers.cpp:114-136)."""
+    uncertainty = (sp.win_loss_utility_factor * shortterm_wl_error
+                   + score_utility_derivative(score_mean, sp, dyn_center,
+                                              sqrt_area)
+                   * shortterm_score_error)
+    powered = jnp.power(jnp.maximum(uncertainty, 1e-10),
+                        sp.uncertainty_exponent)
+    baseline = sp.uncertainty_coeff / sp.uncertainty_max_weight
+    w = sp.uncertainty_coeff / (powered + baseline)
+    return jnp.where(sp.use_uncertainty, w, 1.0)
 
 
 def _white_persp(x_mover: jax.Array, to_move: jax.Array) -> jax.Array:
@@ -208,6 +268,11 @@ def select_path(ss: SearchState, sp: SearchParamsArr, max_depth: int) -> PathSel
         score = jnp.where(pol >= 0, explore_comp + value_comp, ILLEGAL)
         return jnp.argmax(score).astype(jnp.int32)
 
+    def loop_cond(carry):
+        i, state = carry
+        done = state[1]
+        return (i < max_depth) & ~done
+
     def body(i, carry):
         cur, done, path_nodes, path_len, leaf_parent, leaf_action, \
             is_terminal, terminal_node = carry
@@ -232,8 +297,10 @@ def select_path(ss: SearchState, sp: SearchParamsArr, max_depth: int) -> PathSel
     init = (jnp.int32(0), jnp.bool_(False),
             jnp.full((max_depth,), -1, jnp.int32), jnp.int32(0),
             jnp.int32(0), jnp.int32(-1), jnp.bool_(False), jnp.int32(0))
-    cur, done, path_nodes, path_len, leaf_parent, leaf_action, \
-        is_terminal, terminal_node = jax.lax.fori_loop(0, max_depth, body, init)
+    _, (cur, done, path_nodes, path_len, leaf_parent, leaf_action,
+        is_terminal, terminal_node) = jax.lax.while_loop(
+        loop_cond, lambda c: (c[0] + 1, body(c[0], c[1])),
+        (jnp.int32(0), init))
     # depth cap without resolution: treat current node as terminal-revisit
     is_terminal = is_terminal | ~done
     terminal_node = jnp.where(~done, cur, terminal_node)
@@ -277,6 +344,23 @@ def make_leaf_gamestate(ss: SearchState, sel: PathSel, size: int,
     return leaf_pos, leaf_ko_hash, leaf_gs
 
 
+def terminal_eval_of_pos(pos: H.PosState, rules: H.RulesArr,
+                         sp: SearchParamsArr, size: int, dyn_center,
+                         sqrt_area, num_actions: int) -> LeafEval:
+    """Exact final-score values of a finished position (the reference's
+    terminal playout values)."""
+    _, white_minus_black = H.final_score_area_pos(pos, rules, size)
+    winloss = jnp.sign(white_minus_black)
+    meansq = white_minus_black * white_minus_black
+    util = utility_of(winloss, white_minus_black, meansq, sp,
+                      dyn_center, sqrt_area)
+    return LeafEval(utility=util, winloss=winloss,
+                    score_mean=white_minus_black, score_meansq=meansq,
+                    score_stdev=jnp.float32(0.0), lead=white_minus_black,
+                    policy=jnp.full((num_actions,), -1.0, jnp.float32),
+                    weight=jnp.float32(1.0))
+
+
 def terminal_eval(ss: SearchState, node: jax.Array, sp: SearchParamsArr,
                   size: int) -> LeafEval:
     """Utility backed up when a playout ends at an existing node.
@@ -289,7 +373,8 @@ def terminal_eval(ss: SearchState, node: jax.Array, sp: SearchParamsArr,
     pos = jax.tree.map(lambda a: a[node], tree.pos)
     _, white_minus_black = H.final_score_area_pos(pos, ss.rules, size)
     winloss = jnp.sign(white_minus_black)  # draws -> 0
-    util = utility_of(winloss, white_minus_black, sp, jnp.float32(0.0),
+    meansq = white_minus_black * white_minus_black
+    util = utility_of(winloss, white_minus_black, meansq, sp,
                       ss.dyn_score_center, ss.sqrt_board_area)
 
     w = jnp.maximum(tree.weight_sum[node], 1e-10)
@@ -297,10 +382,11 @@ def terminal_eval(ss: SearchState, node: jax.Array, sp: SearchParamsArr,
     util = jnp.where(is_over, util, tree.utility_sum[node] / w)
     winloss = jnp.where(is_over, winloss, tree.winloss_sum[node] / w)
     score = jnp.where(is_over, white_minus_black, tree.score_mean_sum[node] / w)
+    meansq = jnp.where(is_over, meansq, tree.score_meansq_sum[node] / w)
     lead = jnp.where(is_over, white_minus_black, tree.lead_sum[node] / w)
     a = tree.policy.shape[1]
     return LeafEval(utility=util, winloss=winloss,
-                    score_mean=score,
+                    score_mean=score, score_meansq=meansq,
                     score_stdev=jnp.float32(0.0),
                     lead=lead,
                     policy=jnp.full((a,), -1.0, jnp.float32),
@@ -309,7 +395,8 @@ def terminal_eval(ss: SearchState, node: jax.Array, sp: SearchParamsArr,
 
 def insert_and_backup(ss: SearchState, sel: PathSel, leaf_pos: H.PosState,
                       leaf_ko_hash: jax.Array, ev: LeafEval,
-                      superko_illegal: jax.Array) -> SearchState:
+                      superko_illegal: jax.Array,
+                      sp: SearchParamsArr) -> SearchState:
     """Allocate the leaf node (unless terminal/full/illegal) and back up."""
     tree = ss.tree
     n = tree.visits.shape[0]
@@ -323,6 +410,7 @@ def insert_and_backup(ss: SearchState, sel: PathSel, leaf_pos: H.PosState,
     pos = jax.tree.map(
         lambda store, v: store.at[new_idx].set(
             jnp.where(can_alloc, v, store[new_idx])), tree.pos, leaf_pos)
+    w0 = ev.weight
     tree = tree._replace(
         pos=pos,
         ko_hash=set_at(tree.ko_hash, new_idx, leaf_ko_hash),
@@ -330,10 +418,24 @@ def insert_and_backup(ss: SearchState, sel: PathSel, leaf_pos: H.PosState,
         parent_action=set_at(tree.parent_action, new_idx, sel.leaf_action),
         depth=set_at(tree.depth, new_idx, tree.depth[sel.leaf_parent] + 1),
         policy=set_at(tree.policy, new_idx, ev.policy),
+        # fresh leaf stats = its own evaluation only
+        weight_sum=set_at(tree.weight_sum, new_idx, w0),
+        weight_sq_sum=set_at(tree.weight_sq_sum, new_idx, w0 * w0),
+        utility_sum=set_at(tree.utility_sum, new_idx, w0 * ev.utility),
+        utility_sq_sum=set_at(tree.utility_sq_sum, new_idx,
+                              w0 * ev.utility * ev.utility),
+        winloss_sum=set_at(tree.winloss_sum, new_idx, w0 * ev.winloss),
+        score_mean_sum=set_at(tree.score_mean_sum, new_idx, w0 * ev.score_mean),
+        score_meansq_sum=set_at(tree.score_meansq_sum, new_idx,
+                                w0 * ev.score_meansq),
+        lead_sum=set_at(tree.lead_sum, new_idx, w0 * ev.lead),
         nn_utility=set_at(tree.nn_utility, new_idx, ev.utility),
         nn_winloss=set_at(tree.nn_winloss, new_idx, ev.winloss),
         nn_score_mean=set_at(tree.nn_score_mean, new_idx, ev.score_mean),
+        nn_score_meansq=set_at(tree.nn_score_meansq, new_idx, ev.score_meansq),
         nn_score_stdev=set_at(tree.nn_score_stdev, new_idx, ev.score_stdev),
+        nn_lead=set_at(tree.nn_lead, new_idx, ev.lead),
+        nn_weight=set_at(tree.nn_weight, new_idx, w0),
         num_nodes=tree.num_nodes + can_alloc.astype(jnp.int32),
     )
     # link parent -> child
@@ -346,34 +448,118 @@ def insert_and_backup(ss: SearchState, sel: PathSel, leaf_pos: H.PosState,
                   tree.policy[sel.leaf_parent, jnp.maximum(sel.leaf_action, 0)]))
     tree = tree._replace(children=children, policy=policy)
 
-    # backup along path + the newly created node. A terminal leaf is already
-    # the final path entry (select_path records it before stopping), so only
-    # a freshly allocated node is appended here.
+    # visits are additive per playout, as in the reference (fetch_add)
     pad = n - 1
     upd_nodes = jnp.concatenate([
         jnp.where(sel.path_nodes >= 0, sel.path_nodes, pad),
         jnp.where(can_alloc, new_idx, pad)[None],
     ])
-    valid = jnp.concatenate([
-        sel.path_nodes >= 0,
-        can_alloc[None],
-    ])
+    valid = jnp.concatenate([sel.path_nodes >= 0, can_alloc[None]])
     # a superko-rejected expansion backs up nothing — the playout is void
     # (its prior was just marked illegal; the next sim picks another move)
     valid = valid & ~superko_illegal
-    # deduplicate is unnecessary: path nodes are distinct in a tree
-    wt = jnp.where(valid, ev.weight, 0.0)
     tree = tree._replace(
-        visits=tree.visits.at[upd_nodes].add(valid.astype(jnp.int32)),
-        weight_sum=tree.weight_sum.at[upd_nodes].add(wt),
-        utility_sum=tree.utility_sum.at[upd_nodes].add(wt * ev.utility),
-        utility_sq_sum=tree.utility_sq_sum.at[upd_nodes].add(
-            wt * ev.utility * ev.utility),
-        winloss_sum=tree.winloss_sum.at[upd_nodes].add(wt * ev.winloss),
-        score_mean_sum=tree.score_mean_sum.at[upd_nodes].add(wt * ev.score_mean),
-        lead_sum=tree.lead_sum.at[upd_nodes].add(wt * ev.lead),
-    )
-    # undo any accidental write to the dummy slot
+        visits=tree.visits.at[upd_nodes].add(valid.astype(jnp.int32)))
+
+    # a terminal revisit accumulates weight on the terminal node's own eval
+    # (the reference's addLeafValue on terminal playouts); the path recompute
+    # below rebuilds its sums from nn_weight * nn_* values.
+    bump = sel.is_terminal & ~superko_illegal
+    tnode = jnp.where(bump, sel.terminal_node, pad)
+    wb = jnp.where(bump, ev.weight, 0.0)
+    tree = tree._replace(nn_weight=tree.nn_weight.at[tnode].add(wb))
+
+    # recompute stats bottom-up along the path (Search::recomputeNodeStats):
+    # each node's stats become the value-weighted average of its children
+    # plus its own uncertainty-weighted NN evaluation.
+    ss = ss._replace(tree=tree)
+    ss = backprop_path(ss, sel, sp, ~superko_illegal)
+    return ss
+
+
+def _norm_cdf(z):
+    return 0.5 * (1.0 + jax.lax.erf(z / np.sqrt(2.0)))
+
+
+def recompute_node(tree: Tree, node: jax.Array, sp: SearchParamsArr,
+                   active: jax.Array) -> Tree:
+    """Search::recomputeNodeStats: node stats = value-downweighted average of
+    child stats + the node's own uncertainty-weighted NN evaluation.
+
+    Children whose utility looks worse than the node's simple value average
+    are downweighted by NormalCDF(z)^valueWeightExponent
+    (downweightBadChildrenAndNormalizeWeight, searchupdatehelpers.cpp).
+    """
+    children = tree.children[node]                      # [A]
+    exists = children >= 0
+    c = jnp.maximum(children, 0)
+    w = jnp.where(exists, tree.weight_sum[c], 0.0)
+    good = exists & (w > 0)
+    winv = 1.0 / jnp.maximum(w, 1e-10)
+    u_avg = tree.utility_sum[c] * winv
+    pla = tree.pos.to_move[node]
+    self_u = jnp.where(pla == B.WHITE, u_avg, -u_avg)
+    total_w = jnp.sum(jnp.where(good, w, 0.0))
+
+    # value-weighted downweighting
+    stdevs = jnp.sqrt(1e-8 + 1.0 / (1.5 * jnp.sqrt(jnp.maximum(w, 1e-10))))
+    simple_value = jnp.sum(jnp.where(good, self_u * w, 0.0)) / \
+        jnp.maximum(total_w, 1e-10)
+    z = (self_u - simple_value) / stdevs
+    pfac = _norm_cdf(z) + 1e-4
+    w_adj = jnp.where(good, w * jnp.power(pfac, sp.value_weight_exponent), 0.0)
+    renorm = total_w / jnp.maximum(jnp.sum(w_adj), 1e-10)
+    w_adj = jnp.where(sp.value_weight_exponent > 0, w_adj * renorm,
+                      jnp.where(good, w, 0.0))
+
+    def wsum(field_sum):
+        avg = field_sum[c] * winv
+        return jnp.sum(jnp.where(good, w_adj * avg, 0.0))
+
+    scaling = jnp.where(good, w_adj * winv, 0.0)
+    child_wsq = jnp.sum(scaling * scaling * tree.weight_sq_sum[c])
+
+    sw = tree.nn_weight[node]                            # self weight
+    new = {
+        "weight_sum": total_w + sw,
+        "weight_sq_sum": child_wsq + sw * sw,
+        "utility_sum": wsum(tree.utility_sum) + sw * tree.nn_utility[node],
+        "utility_sq_sum": wsum(tree.utility_sq_sum)
+            + sw * tree.nn_utility[node] * tree.nn_utility[node],
+        "winloss_sum": wsum(tree.winloss_sum) + sw * tree.nn_winloss[node],
+        "score_mean_sum": wsum(tree.score_mean_sum)
+            + sw * tree.nn_score_mean[node],
+        "score_meansq_sum": wsum(tree.score_meansq_sum)
+            + sw * tree.nn_score_meansq[node],
+        "lead_sum": wsum(tree.lead_sum) + sw * tree.nn_lead[node],
+    }
+    upd = {}
+    for k, v in new.items():
+        arr = getattr(tree, k)
+        upd[k] = arr.at[node].set(jnp.where(active, v, arr[node]))
+    return tree._replace(**upd)
+
+
+def backprop_path(ss: SearchState, sel: PathSel, sp: SearchParamsArr,
+                  do_update: jax.Array) -> SearchState:
+    """Recompute stats for every path node, deepest first.
+
+    while_loop bounded by the actual path length (not the static max_depth)
+    so under vmap the trip count is the batch's deepest path — typically a
+    handful of iterations, not 64.
+    """
+    def cond(carry):
+        k, _ = carry
+        return k < sel.path_len
+
+    def body(carry):
+        k, tree = carry
+        i = sel.path_len - 1 - k
+        node = sel.path_nodes[jnp.maximum(i, 0)]
+        active = do_update & (node >= 0) & (i >= 0)
+        return k + 1, recompute_node(tree, jnp.maximum(node, 0), sp, active)
+
+    _, tree = jax.lax.while_loop(cond, body, (jnp.int32(0), ss.tree))
     return ss._replace(tree=tree)
 
 
@@ -382,12 +568,13 @@ def make_nn_evaluator(model_apply: Callable, model_params: Any, size: int):
     outputs dict; the only cross-game-batched piece of the search."""
 
     def batched_eval(leaf_gs, feat_params):
+        legal = jax.vmap(H.legal_moves, in_axes=(0, None))(leaf_gs, size)
         sp_feat, gl_feat = jax.vmap(
-            F.fill_features_v7, in_axes=(0, None, None))(leaf_gs, size, feat_params)
+            F.fill_features_v7, in_axes=(0, None, None, 0))(
+                leaf_gs, size, feat_params, legal)
         g = sp_feat.shape[0]
         sp_feat = sp_feat.reshape(g, size, size, F.NUM_SPATIAL_V7)
         raw = model_apply(model_params, sp_feat, gl_feat)
-        legal = jax.vmap(H.legal_moves, in_axes=(0, None))(leaf_gs, size)
         return raw, legal
 
     return batched_eval
@@ -404,12 +591,17 @@ def nn_leaf_eval(raw: dict, legal: jax.Array, gs_to_move: jax.Array,
     score_mover = mv[0] * 20.0
     stdev = jax.nn.softplus(mv[1]) * 20.0
     lead_mover = mv[2] * 20.0
+    mmv = raw["moremiscvalue"]
+    st_wl_err = jax.nn.softplus(mmv[0]) * 0.25
+    st_score_err = jax.nn.softplus(mmv[1]) * 30.0
 
     winloss_w = _white_persp(winloss_mover, gs_to_move)
     score_w = _white_persp(score_mover, gs_to_move)
     lead_w = _white_persp(lead_mover, gs_to_move)
-    util = utility_of(winloss_w, score_w, sp, jnp.float32(0.0),
-                      dyn_center, sqrt_area)
+    meansq_w = score_w * score_w + stdev * stdev
+    util = utility_of(winloss_w, score_w, meansq_w, sp, dyn_center, sqrt_area)
+    weight = uncertainty_weight(st_wl_err, st_score_err, score_w, sp,
+                                dyn_center, sqrt_area)
 
     logits = raw["policy_logits"][0]                 # [A] channel 0
     logits = logits / jnp.maximum(sp.nn_policy_temperature, 1e-6)
@@ -418,8 +610,8 @@ def nn_leaf_eval(raw: dict, legal: jax.Array, gs_to_move: jax.Array,
     pol = jax.nn.softmax(logits)
     pol = jnp.where(legal, pol, -1.0)
     return LeafEval(utility=util, winloss=winloss_w, score_mean=score_w,
-                    score_stdev=stdev, lead=lead_w, policy=pol,
-                    weight=jnp.float32(1.0))
+                    score_meansq=meansq_w, score_stdev=stdev, lead=lead_w,
+                    policy=pol, weight=weight)
 
 
 class SearchResult(NamedTuple):
@@ -514,11 +706,17 @@ def run_search(model_apply: Callable, model_params: Any,
                 ev.weight * ev.utility * ev.utility),
             winloss_sum=tree.winloss_sum.at[0].set(ev.weight * ev.winloss),
             score_mean_sum=tree.score_mean_sum.at[0].set(ev.weight * ev.score_mean),
+            score_meansq_sum=tree.score_meansq_sum.at[0].set(
+                ev.weight * ev.score_meansq),
             lead_sum=tree.lead_sum.at[0].set(ev.weight * ev.lead),
+            weight_sq_sum=tree.weight_sq_sum.at[0].set(ev.weight * ev.weight),
             nn_utility=tree.nn_utility.at[0].set(ev.utility),
             nn_winloss=tree.nn_winloss.at[0].set(ev.winloss),
             nn_score_mean=tree.nn_score_mean.at[0].set(ev.score_mean),
+            nn_score_meansq=tree.nn_score_meansq.at[0].set(ev.score_meansq),
             nn_score_stdev=tree.nn_score_stdev.at[0].set(ev.score_stdev),
+            nn_lead=tree.nn_lead.at[0].set(ev.lead),
+            nn_weight=tree.nn_weight.at[0].set(ev.weight),
             num_nodes=jnp.int32(1),
         )
         return tree
@@ -542,10 +740,21 @@ def run_search(model_apply: Callable, model_params: Any,
         term_ev = jax.vmap(
             lambda s, node: terminal_eval(s, node, sp, size)
         )(ss, sel.terminal_node)
-        ev = jax.tree.map(
-            lambda t, n: jnp.where(
-                sel.is_terminal.reshape((-1,) + (1,) * (n.ndim - 1)), t, n),
-            term_ev, nn_ev)
+        # a freshly-expanded leaf that finishes the game gets exact terminal
+        # values (with the NN's legal-masked policy irrelevant: no children
+        # will ever be selected below a finished node)
+        leaf_term_ev = jax.vmap(
+            lambda p, r, dc, sa: terminal_eval_of_pos(p, r, sp, size, dc, sa, a)
+        )(leaf_pos, ss.rules, ss.dyn_score_center, ss.sqrt_board_area)
+
+        def merge(t, lt, n_):
+            sh = (-1,) + (1,) * (n_.ndim - 1)
+            out = jnp.where(leaf_pos.game_over.reshape(sh), lt, n_)
+            return jnp.where(sel.is_terminal.reshape(sh), t, out)
+
+        # keep the NN policy for the leaf even if terminal (harmless)
+        ev = jax.tree.map(merge, term_ev,
+                          leaf_term_ev._replace(policy=nn_ev.policy), nn_ev)
 
         # superko along path: did the expansion recreate a position?
         # leaf_gs history already includes the leaf hash at slot hist_len-1;
@@ -562,8 +771,8 @@ def run_search(model_apply: Callable, model_params: Any,
         # pass never violates superko-based bans in our engine semantics
         superko_illegal = superko_illegal & (sel.leaf_action < nn)
 
-        ss = jax.vmap(insert_and_backup)(ss, sel, leaf_pos, leaf_kh, ev,
-                                         superko_illegal)
+        ss = jax.vmap(insert_and_backup, in_axes=(0, 0, 0, 0, 0, 0, None))(
+            ss, sel, leaf_pos, leaf_kh, ev, superko_illegal, sp)
         return (ss, rng), None
 
     (ss, rng), _ = jax.lax.scan(one_sim, (ss, rng), None, length=num_sims)
@@ -587,23 +796,87 @@ def run_search(model_apply: Callable, model_params: Any,
     )
 
 
+def _lcb_adjusted_selection_weights(result: SearchResult,
+                                    sp: SearchParamsArr) -> jax.Array:
+    """Per-game play-selection weights with the LCB bonus.
+
+    Search::getSelfUtilityLCBAndRadius + the useLcbForSelection adjustment
+    (searchhelpers.cpp:555-598, searchresults.cpp:206-240): the best-LCB
+    child (among those with enough weight) gets its selection weight raised
+    by the squared radius factor against every other child it dominates.
+    """
+    tree = result.ss.tree
+    children = tree.children[:, 0, :]                    # [G, A]
+    exists = children >= 0
+    c = jnp.maximum(children, 0)
+
+    def gat(arr):
+        return jnp.take_along_axis(arr, c, axis=1)
+
+    w = jnp.where(exists, gat(tree.weight_sum), 0.0)
+    wsq = jnp.where(exists, gat(tree.weight_sq_sum), 0.0)
+    winv = 1.0 / jnp.maximum(w, 1e-10)
+    u_avg = gat(tree.utility_sum) * winv
+    usq_avg = gat(tree.utility_sq_sum) * winv
+
+    radius_max = 2.0 * (sp.win_loss_utility_factor
+                        + sp.static_score_utility_factor
+                        + sp.dynamic_score_utility_factor) * sp.lcb_stdevs
+    ess = w * w / jnp.maximum(wsq, 1e-10)
+    prior_w = w / jnp.maximum(ess * ess * ess, 1e-10)
+    r2 = (radius_max / (2.0 * sp.lcb_stdevs)) ** 2
+    usq_avg = jnp.maximum(usq_avg, u_avg * u_avg + 1e-8)
+    usq_avg = (usq_avg * w + (usq_avg + r2 * 4.0) * prior_w) / \
+        jnp.maximum(w + prior_w, 1e-10)
+    w2 = w + prior_w
+    wsq2 = wsq + prior_w * prior_w
+    ess2 = w2 * w2 / jnp.maximum(wsq2, 1e-10)
+
+    pla = tree.pos.to_move[:, 0][:, None]
+    self_u = jnp.where(pla == B.WHITE, u_avg, -u_avg)
+    var = jnp.maximum(usq_avg - u_avg * u_avg, 0.0)
+    radius = jnp.sqrt(var / jnp.maximum(ess2, 1e-10)) * sp.lcb_stdevs
+    good = exists & (w > 0)
+    lcb = jnp.where(good, self_u - radius, -radius_max)
+
+    psv = w  # play-selection values are edge weights
+    best_w = jnp.max(psv, axis=1, keepdims=True)
+    eligible = good & (psv >= sp.min_visit_prop_for_lcb * best_w)
+    lcb_elig = jnp.where(eligible, lcb, -jnp.inf)
+    best_idx = jnp.argmax(lcb_elig, axis=1)
+    best_lcb = jnp.take_along_axis(lcb_elig, best_idx[:, None], axis=1)
+
+    excess = best_lcb - lcb                               # [G, A]
+    radius_factor = (radius + excess) / (radius + 0.20 * excess)
+    lbound = jnp.where(good & (excess >= 0),
+                       radius_factor * radius_factor * psv, 0.0)
+    bonus = jnp.max(lbound, axis=1)                       # [G]
+    any_elig = jnp.any(eligible, axis=1)
+    new_best = jnp.maximum(jnp.take_along_axis(psv, best_idx[:, None],
+                                               axis=1)[:, 0], bonus)
+    psv_adj = psv.at[jnp.arange(psv.shape[0]), best_idx].set(
+        jnp.where(any_elig, new_best, psv[jnp.arange(psv.shape[0]), best_idx]))
+    return jnp.where(sp.use_lcb_for_selection, psv_adj, psv)
+
+
 def choose_moves(result: SearchResult, sp: SearchParamsArr,
                  move_nums: jax.Array, rng: jax.Array) -> jax.Array:
-    """Temperature-based move selection from root edge visits
-    (searchresults.cpp getChosenMoveLoc; temperature halflife schedule)."""
-    cvis = result.child_visits.astype(jnp.float32)            # [G, A]
+    """Temperature-based move selection from root edge weights with optional
+    LCB adjustment (searchresults.cpp getChosenMoveLoc; temperature halflife
+    schedule)."""
+    psv = _lcb_adjusted_selection_weights(result, sp)         # [G, A]
+    has = result.child_visits > 0
+    psv = jnp.where(has, psv, 0.0)
     temp = sp.chosen_move_temperature + (
         sp.chosen_move_temperature_early - sp.chosen_move_temperature) * \
         jnp.exp2(-move_nums.astype(jnp.float32) /
                  sp.chosen_move_temperature_halflife)          # [G]
-    has = cvis > 0
-    # temperature 0 -> argmax
-    logv = jnp.where(has, jnp.log(jnp.maximum(cvis, 1e-10)), -jnp.inf)
+    logv = jnp.where(has, jnp.log(jnp.maximum(psv, 1e-10)), -jnp.inf)
     maxlog = jnp.max(logv, axis=1, keepdims=True)
     t = jnp.maximum(temp, 1e-4)[:, None]
     logits = (logv - maxlog) / t
-    g = cvis.shape[0]
+    g = psv.shape[0]
     keys = jax.random.split(rng, g)
     sampled = jax.vmap(lambda k, l: jax.random.categorical(k, l))(keys, logits)
-    greedy = jnp.argmax(jnp.where(has, cvis, -1.0), axis=1)
+    greedy = jnp.argmax(jnp.where(has, psv, -1.0), axis=1)
     return jnp.where(temp < 1e-3, greedy, sampled).astype(jnp.int32)

@@ -119,6 +119,9 @@ class SearchParams:
             chosen_move_temperature=f(self.chosen_move_temperature),
             chosen_move_temperature_early=f(self.chosen_move_temperature_early),
             chosen_move_temperature_halflife=f(self.chosen_move_temperature_halflife),
+            use_lcb_for_selection=jnp.bool_(self.use_lcb_for_selection),
+            lcb_stdevs=f(self.lcb_stdevs),
+            min_visit_prop_for_lcb=f(self.min_visit_prop_for_lcb),
             nn_policy_temperature=f(self.nn_policy_temperature),
             playout_doubling_advantage=f(self.playout_doubling_advantage),
             conservative_pass=jnp.bool_(self.conservative_pass),
@@ -157,6 +160,9 @@ class SearchParamsArr(NamedTuple):
     chosen_move_temperature: jax.Array
     chosen_move_temperature_early: jax.Array
     chosen_move_temperature_halflife: jax.Array
+    use_lcb_for_selection: jax.Array
+    lcb_stdevs: jax.Array
+    min_visit_prop_for_lcb: jax.Array
     nn_policy_temperature: jax.Array
     playout_doubling_advantage: jax.Array
     conservative_pass: jax.Array

@@ -173,3 +173,66 @@ def test_superko_blocked_in_tree():
     res = run(neutral_model(), roots, num_sims=40)
     assert np.asarray(res.child_visits)[0, a2] == 0
     assert np.asarray(res.root_policy_prior)[0, a2] < 0
+
+
+def test_uncertainty_weighting_changes_weights():
+    """With use_uncertainty, backup weights come from the shortterm error
+    heads, so root weight_sum != root visits."""
+    def apply_unc(params, spatial, glob):
+        g = spatial.shape[0]
+        out = stub_model(lambda s: jnp.zeros((s.shape[0],)))(params, spatial, glob)
+        # large shortterm errors -> low weight
+        out["moremiscvalue"] = jnp.ones((g, 8)) * 2.0
+        return out
+
+    roots = make_roots(g=2)
+    sp_on = SearchParams(use_uncertainty=True)
+    res = run(apply_unc, roots, sp=sp_on, num_sims=20)
+    w = np.asarray(res.ss.tree.weight_sum[:, 0])
+    v = np.asarray(res.root_visits)
+    assert not np.allclose(w, v)  # weights deviate from visit counts
+    assert (w > 0).all() and np.isfinite(w).all()
+
+    sp_off = SearchParams(use_uncertainty=False)
+    res2 = run(neutral_model(), roots, sp=sp_off, num_sims=20)
+    np.testing.assert_allclose(np.asarray(res2.ss.tree.weight_sum[:, 0]),
+                               np.asarray(res2.root_visits), rtol=1e-5)
+
+
+def test_lcb_selection_smoke():
+    roots = make_roots(g=2)
+    res = run(neutral_model(), roots, num_sims=30)
+    sp = SearchParams(use_lcb_for_selection=True).to_arr()
+    mv = mcts.choose_moves(res, sp, jnp.zeros((2,), jnp.int32),
+                           jax.random.PRNGKey(0))
+    mv = np.asarray(mv)
+    cv = np.asarray(res.child_visits)
+    # chosen moves are visited, legal moves
+    for g in range(2):
+        assert cv[g, mv[g]] > 0
+    # deterministic given temperature 0
+    mv2 = np.asarray(mcts.choose_moves(res, sp, jnp.zeros((2,), jnp.int32),
+                                       jax.random.PRNGKey(5)))
+    np.testing.assert_array_equal(mv, mv2)
+
+
+def test_recompute_backup_value_consistency():
+    """Root stats must equal the weighted combination of child stats + own
+    eval; with a value-seeking stub the root utility moves toward the best
+    child rather than the plain average."""
+    center = B.loc_of_xy(2, 2, SIZE)
+
+    def value_fn(spatial):
+        flat = spatial.reshape(spatial.shape[0], NN, 22)
+        return -0.9 * flat[:, center, 2]
+
+    roots = make_roots(g=1)
+    res = run(stub_model(value_fn), roots, num_sims=60,
+              sp=SearchParams(value_weight_exponent=0.5))
+    tree = res.ss.tree
+    w = float(np.asarray(tree.weight_sum[0, 0]))
+    # winloss avg (white persp): black to move and winning via center ->
+    # negative, and pulled toward the best child's value by downweighting
+    root_wl = float(np.asarray(res.root_winloss[0]))
+    assert root_wl < -0.2
+    assert w > 10
