@@ -11,10 +11,11 @@ Plane map (all from the perspective of the player to move, "pla"):
    7: encore ko-recapture-blocked (encore not yet implemented -> 0)
    8: reserved encore plane (0)
    9..13: location of previous moves 1..5 (most recent first)
-  14: stones in working ladders (current board)        [TODO: ladder solver]
-  15: prev-board ladder stones                          [TODO]
-  16: prev-prev-board ladder stones                     [TODO]
-  17: working ladder-capture moves vs opp chains >1 lib [TODO]
+  14: stones in working ladders (current board)
+  15: prev-board ladder stones (= plane 14 until prev boards are stored,
+      the reference's own hideHistory fallback, nninputs.cpp:2586)
+  16: prev-prev-board ladder stones (same fallback)
+  17: working ladder-capture moves vs opp chains >1 lib
   18: pla pass-alive area (stones + territory, safeBigTerritories)
   19: opp pass-alive area
   20/21: second-encore starting stones (encore -> 0)
@@ -46,6 +47,7 @@ import jax.numpy as jnp
 
 from katago_tpu.game import benson
 from katago_tpu.game import board as B
+from katago_tpu.game import ladder
 from katago_tpu.game import history as H
 from katago_tpu.game import rules as R
 
@@ -82,13 +84,18 @@ def self_komi(gs: H.GameState, params: FeatureParams) -> jax.Array:
 
 def fill_features_v7(gs: H.GameState, size: int,
                      params: FeatureParams,
-                     legal_full: jax.Array | None = None
+                     legal_full: jax.Array | None = None,
+                     with_ladders: bool = True
                      ) -> tuple[jax.Array, jax.Array]:
     """Returns (spatial f32[NN, 22], global f32[19]) for the player to move.
 
     legal_full: optional precomputed H.legal_moves(gs) [NN+1] to avoid
     recomputing the superko scan (callers that need the mask anyway, like
-    the search evaluator, pass it in)."""
+    the search evaluator, pass it in).
+
+    with_ladders: static switch for planes 14-17 (the ladder solver is by
+    far the most expensive feature; inner-search evaluators may trade it
+    off for throughput via SearchParams)."""
     nn = size * size
     stones = gs.board.stones
     pla = gs.to_move
@@ -135,7 +142,18 @@ def fill_features_v7(gs: H.GameState, size: int,
         sp = sp.at[:, 9 + k].set(plane)
         gl = gl.at[k].set(is_pass.astype(jnp.float32))
 
-    # planes 14-17: ladders — TODO(ladder milestone): vectorized ladder solver
+    # planes 14-17: ladders (iterLadders, nninputs.cpp:815; feature apply
+    # nninputs.cpp:2548-2580). Planes 15/16 reuse the current board's result
+    # until prev-board storage lands (hideHistory fallback).
+    if with_ladders:
+        lad = ladder.ladder_map(stones, size)
+        lad_f = lad.laddered.astype(jnp.float32)
+        sp = sp.at[:, 14].set(lad_f)
+        sp = sp.at[:, 15].set(lad_f)
+        sp = sp.at[:, 16].set(lad_f)
+        working = jnp.where(opp == B.BLACK, lad.working_vs_black,
+                            lad.working_vs_white)
+        sp = sp.at[:, 17].set(working.astype(jnp.float32))
 
     # planes 18/19: pass-alive area (calculateArea with safeBigTerritories,
     # suicide legality per getSuicideLegalForPassAlive, nninputs.cpp:951)

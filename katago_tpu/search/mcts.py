@@ -563,15 +563,22 @@ def backprop_path(ss: SearchState, sel: PathSel, sp: SearchParamsArr,
     return ss._replace(tree=tree)
 
 
-def make_nn_evaluator(model_apply: Callable, model_params: Any, size: int):
+def make_nn_evaluator(model_apply: Callable, model_params: Any, size: int,
+                      with_ladders: bool = True):
     """Returns batched_eval(leaf_gs_batch, feat_params, rng) -> per-game NN
-    outputs dict; the only cross-game-batched piece of the search."""
+    outputs dict; the only cross-game-batched piece of the search.
+
+    with_ladders: static toggle for featurizer planes 14-17 — the ladder
+    solver is the single most expensive feature (~4x total featurizer
+    cost), so throughput-critical searches may disable it (the reference
+    always pays it, nninputs.cpp:2548)."""
 
     def batched_eval(leaf_gs, feat_params):
         legal = jax.vmap(H.legal_moves, in_axes=(0, None))(leaf_gs, size)
         sp_feat, gl_feat = jax.vmap(
-            F.fill_features_v7, in_axes=(0, None, None, 0))(
-                leaf_gs, size, feat_params, legal)
+            lambda g_, l_: F.fill_features_v7(g_, size, feat_params, l_,
+                                              with_ladders=with_ladders)
+        )(leaf_gs, legal)
         g = sp_feat.shape[0]
         sp_feat = sp_feat.reshape(g, size, size, F.NUM_SPATIAL_V7)
         raw = model_apply(model_params, sp_feat, gl_feat)
@@ -628,12 +635,14 @@ class SearchResult(NamedTuple):
 def run_search(model_apply: Callable, model_params: Any,
                roots: H.GameState, sp: SearchParamsArr,
                rng: jax.Array, *, size: int, num_sims: int,
-               max_nodes: int, max_depth: int = 64) -> SearchResult:
+               max_nodes: int, max_depth: int = 64,
+               with_ladders: bool = True) -> SearchResult:
     """Run num_sims playouts for a batch of games. roots: GameState[G]."""
     nn = size * size
     a = nn + 1
     g = roots.hist_len.shape[0]
-    evaluator = make_nn_evaluator(model_apply, model_params, size)
+    evaluator = make_nn_evaluator(model_apply, model_params, size,
+                                  with_ladders=with_ladders)
 
     feat_params = F.FeatureParams(
         draw_equiv_wins_for_white=sp.draw_equivalent_wins_for_white,
