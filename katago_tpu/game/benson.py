@@ -189,3 +189,61 @@ def calculate_area(stones: jax.Array, size: int,
     result = jnp.where(w_unsafe & (result == 0), B.WHITE, result)
     result = jnp.where(non_pass_alive_stones & (result == 0), stones, result)
     return result
+
+
+def calculate_independent_life_area(
+        stones: jax.Array, size: int,
+        keep_territories, keep_stones,
+        suicide_legal) -> tuple[jax.Array, jax.Array]:
+    """Area colors excluding seki, mirroring
+    Board::calculateIndependentLifeArea (board.cpp:1876-1921, helper
+    board.cpp:2230).
+
+    Returns (area int32[NN], white_minus_black_region_count int32): the
+    signed count of independent-life regions (connected components of basic
+    area, seki excluded) for group-tax scoring (TAX_ALL subtracts 2x this).
+
+    Semantics: basic area = full area scoring (pass-alive + big territories
+    + remaining stones keep their color); a basic-area component is "seki"
+    if it contains an owner's stone in atari or touches dame (an empty
+    point with no basic-area owner); seki components are excluded. With
+    keep_territories, points whose area owner differs from their stone
+    color are kept regardless; with keep_stones, points whose owner matches
+    their stone color are kept regardless.
+    """
+    nn = size * size
+    neigh = jnp.asarray(B.neighbor_table(size))
+    basic = calculate_area(stones, size,
+                           jnp.bool_(True), jnp.bool_(True), jnp.bool_(True),
+                           suicide_legal)
+
+    chain_lab = B.connected_labels(stones, size)
+    libs = B.chain_liberties(stones, chain_lab, size)
+
+    owned = basic != B.EMPTY
+    bpad = B._pad(basic, jnp.int32(B.WALL))
+    spad = B._pad(stones, B.WALL)
+    touches_dame = jnp.any((spad[neigh] == B.EMPTY) & (bpad[neigh] == B.EMPTY),
+                           axis=1)
+    atari_own = (stones == basic) & owned & (libs == 1)
+    seed = owned & (atari_own | touches_dame)
+
+    # flood seki through same-color basic-area components
+    comp_vals = jnp.where(owned, basic, jnp.arange(nn, dtype=jnp.int32) + 8)
+    comp = B.connected_labels(comp_vals, size)
+    seki_c = jnp.zeros((nn + 1,), jnp.int32).at[
+        jnp.where(owned, comp, nn)].max(seed.astype(jnp.int32))
+    seki = owned & (seki_c[comp] == 1)
+
+    result = jnp.where(owned & ~seki, basic, B.EMPTY)
+
+    is_root = owned & ~seki & (comp == jnp.arange(nn))
+    wmb = jnp.sum(jnp.where(is_root,
+                            jnp.where(basic == B.WHITE, 1, -1), 0)).astype(
+        jnp.int32)
+
+    keep_t = owned & (basic != stones)
+    result = jnp.where(keep_territories & keep_t, basic, result)
+    keep_s = owned & (basic == stones)
+    result = jnp.where(keep_stones & keep_s, basic, result)
+    return result, wmb

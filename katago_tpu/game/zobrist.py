@@ -36,6 +36,9 @@ def _master_tables():
         "ko_loc": draw(MAX_BOARD_LEN, MAX_BOARD_LEN),
         # encore phase marker for territory scoring phases 0/1/2: [3, 2]
         "encore": draw(3),
+        # encore ko-recapture-block marks (ZOBRIST_KO_MARK_HASH equivalent,
+        # reference boardhistory.cpp:782): [y, x, 2]
+        "ko_mark": draw(MAX_BOARD_LEN, MAX_BOARD_LEN),
     }
     return tables
 
@@ -72,5 +75,17 @@ def player_table() -> np.ndarray:
 
 
 def encore_table() -> np.ndarray:
-    """uint32 [3, 2]: encore-phase keys."""
-    return _master_tables()["encore"]
+    """uint32 [3, 2]: encore-phase keys. Phase 0 is all-zero so main-phase
+    ko hashes equal the plain position hash (callers may skip the XOR)."""
+    t = _master_tables()["encore"].copy()
+    t[0] = 0
+    return t
+
+
+@functools.lru_cache(maxsize=None)
+def ko_mark_table(size: int) -> np.ndarray:
+    """uint32 [size*size + 1, 2]: encore ko-recap-block mark keys, padded so
+    scatter at the pass/pad slot is harmless."""
+    t = _master_tables()["ko_mark"][:size, :size, :].reshape(size * size, 2)
+    pad = np.zeros((1, 2), dtype=np.uint32)
+    return np.concatenate([t, pad], axis=0)

@@ -7,18 +7,18 @@ Plane map (all from the perspective of the player to move, "pla"):
    0: on-board mask
    1: pla stones              2: opp stones
    3/4/5: stones with exactly 1/2/3 liberties
-   6: ko-banned locations (simple ko + superko bans)
-   7: encore ko-recapture-blocked (encore not yet implemented -> 0)
-   8: reserved encore plane (0)
+   6: ko-banned locations (simple ko + superko bans; encore once-only bans)
+   7: encore ko-recapture-blocked locations
+   8: reserved (unused by the reference's V7 fill)
    9..13: location of previous moves 1..5 (most recent first)
   14: stones in working ladders (current board)
   15: prev-board ladder stones (= plane 14 until prev boards are stored,
       the reference's own hideHistory fallback, nninputs.cpp:2586)
   16: prev-prev-board ladder stones (same fallback)
   17: working ladder-capture moves vs opp chains >1 lib
-  18: pla pass-alive area (stones + territory, safeBigTerritories)
-  19: opp pass-alive area
-  20/21: second-encore starting stones (encore -> 0)
+  18: pla current territory (full area / independent-life per rules)
+  19: opp current territory
+  20/21: second-encore starting stones (encore phase 2 only)
 
 Global map:
    0..4: previous moves 1..5 were passes
@@ -27,7 +27,7 @@ Global map:
    8: multi-stone suicide legal
    9: territory scoring
   10,11: tax (seki 1,0 / all 1,1)
-  12,13: encore phase >0 / >1 (0 for now)
+  12,13: encore phase >0 / >1
   14: pass would end phase
   15,16: playout-doubling-advantage flag and 0.5*pda
   17: button available
@@ -72,8 +72,10 @@ class FeatureParams(NamedTuple):
 
 
 def self_komi(gs: H.GameState, params: FeatureParams) -> jax.Array:
-    """currentSelfKomi: komi from mover's perspective w/ draw-utility fold."""
-    komi = gs.rules.komi
+    """currentSelfKomi (boardhistory.cpp:579): komi + per-game white bonus
+    (territory chill / button) from the mover's perspective, with the
+    draw-utility fold."""
+    komi = gs.rules.komi + gs.pos.white_bonus
     komi_is_int = komi == jnp.round(komi)
     result_int = komi_is_int != gs.rules.has_button
     draw_adj = jnp.where(result_int,
@@ -127,7 +129,8 @@ def fill_features_v7(gs: H.GameState, size: int,
     full = legal_full[:nn]
     ko_banned = basic_no_ko & ~full & ~gs.game_over
     sp = sp.at[:, 6].set(ko_banned.astype(jnp.float32))
-    # planes 7, 8: encore ko-recapture state — encore not yet implemented
+    # plane 7: encore ko-recapture-blocked locations (nninputs.cpp:2367)
+    sp = sp.at[:, 7].set(gs.pos.ko_recap_blocked.astype(jnp.float32))
 
     # history: planes 9-13 + globals 0-4
     hide_history = gs.game_over | (params.conservative_pass &
@@ -155,17 +158,35 @@ def fill_features_v7(gs: H.GameState, size: int,
                             lad.working_vs_white)
         sp = sp.at[:, 17].set(working.astype(jnp.float32))
 
-    # planes 18/19: pass-alive area (calculateArea with safeBigTerritories,
-    # suicide legality per getSuicideLegalForPassAlive, nninputs.cpp:951)
-    area = benson.calculate_area(
-        stones, size,
-        jnp.bool_(False),   # nonPassAliveStones
-        jnp.bool_(True),    # safeBigTerritories
-        jnp.bool_(False),   # unsafeBigTerritories
+    # planes 18/19: current territory (nninputs.cpp:2374-2460):
+    #   area+TAX_NONE  -> full area (pass-alive + big territories + stones)
+    #   area+tax       -> independent-life area keeping stones
+    #   territory      -> only in encore >= 2: independent-life area
+    #                     (keep territories iff TAX_NONE) + stones surviving
+    #                     since the second-encore start
+    is_area_scoring = gs.rules.scoring_rule == R.SCORING_AREA
+    tax_none = gs.rules.tax_rule == R.TAX_NONE
+    in_encore2 = gs.pos.encore_phase >= 2
+    area_plain = benson.calculate_area(
+        stones, size, jnp.bool_(True), jnp.bool_(True), jnp.bool_(True),
         gs.rules.multi_suicide)
-    sp = sp.at[:, 18].set((area == pla).astype(jnp.float32))
-    sp = sp.at[:, 19].set((area == opp).astype(jnp.float32))
-    # planes 20/21: second-encore start stones — encore not yet implemented
+    keep_territories = ~is_area_scoring & tax_none
+    keep_stones = is_area_scoring & ~tax_none
+    area_il, _ = benson.calculate_independent_life_area(
+        stones, size, keep_territories=keep_territories,
+        keep_stones=keep_stones, suicide_legal=gs.rules.multi_suicide)
+    area = jnp.where(is_area_scoring & tax_none, area_plain, area_il)
+    has_area = is_area_scoring | in_encore2
+    ses = gs.pos.second_encore_start.astype(jnp.int32)
+    pla_terr = (area == pla) | (~is_area_scoring & (area == B.EMPTY) &
+                                (stones == pla) & (ses == pla))
+    opp_terr = (area == opp) | (~is_area_scoring & (area == B.EMPTY) &
+                                (stones == opp) & (ses == opp))
+    sp = sp.at[:, 18].set((has_area & pla_terr).astype(jnp.float32))
+    sp = sp.at[:, 19].set((has_area & opp_terr).astype(jnp.float32))
+    # planes 20/21: second-encore starting stones (nninputs.cpp:2583)
+    sp = sp.at[:, 20].set((in_encore2 & (ses == pla)).astype(jnp.float32))
+    sp = sp.at[:, 21].set((in_encore2 & (ses == opp)).astype(jnp.float32))
 
     # ---- globals ----
     sk = self_komi(gs, params)
@@ -186,9 +207,24 @@ def fill_features_v7(gs: H.GameState, size: int,
     gl = gl.at[10].set(((tax == R.TAX_SEKI) | (tax == R.TAX_ALL))
                        .astype(jnp.float32))
     gl = gl.at[11].set((tax == R.TAX_ALL).astype(jnp.float32))
-    # 12, 13: encore phase — 0 until encore milestone
+    gl = gl.at[12].set((gs.pos.encore_phase > 0).astype(jnp.float32))
+    gl = gl.at[13].set((gs.pos.encore_phase > 1).astype(jnp.float32))
 
-    pass_would_end = (~hide_history) & (gs.consec_passes >= 1) & ~gs.game_over
+    # passWouldEndPhase: a pass now reaches 2 consecutive ending passes, or
+    # repeats a position this player already passed from (spight-like)
+    in_encore = gs.pos.encore_phase > 0
+    pass_counts = in_encore | (ko != R.KO_SPIGHT)
+    kh_now = H._pos_ko_hash(gs.pos, gs.rules)
+    spight_phase = in_encore | (ko == R.KO_SIMPLE) | (ko == R.KO_SPIGHT)
+    is_black_mover = pla == B.BLACK
+    ring = jnp.where(is_black_mover, gs.pass_hash_black, gs.pass_hash_white)
+    ring_n = jnp.where(is_black_mover, gs.pass_hash_black_n,
+                       gs.pass_hash_white_n)
+    ring_valid = jnp.arange(H.MAX_PASS_HASHES) < ring_n
+    spightlike = spight_phase & jnp.any(
+        jnp.all(ring == kh_now[None, :], axis=1) & ring_valid)
+    pass_would_end = ((pass_counts & (gs.consec_passes >= 1)) | spightlike) \
+        & ~gs.game_over & ~hide_history
     gl = gl.at[14].set(pass_would_end.astype(jnp.float32))
 
     pda = params.playout_doubling_advantage
@@ -200,7 +236,7 @@ def fill_features_v7(gs: H.GameState, size: int,
 
     # parity wave (nninputs.cpp:2667-2728): triangle wave of selfKomi vs the
     # nearest drawable komi parity; area scoring only (or encore >= 2)
-    area_scoring = gs.rules.scoring_rule == R.SCORING_AREA
+    area_scoring = (gs.rules.scoring_rule == R.SCORING_AREA) | in_encore2
     drawable_even = (nn % 2) == 0
     komi_floor = jnp.where(
         jnp.bool_(drawable_even),

@@ -339,8 +339,16 @@ def make_leaf_gamestate(ss: SearchState, sel: PathSel, size: int,
     hist = hist.at[leaf_write].set(leaf_ko_hash)
     hist_len = jnp.minimum(hist_len + 1, max_hist)
 
+    # pass-hash rings are not reconstructed along the search path:
+    # spight-like pass endings inside the tree are approximated by
+    # consecutive-pass counting (see history.py module docstring)
+    p = H.MAX_PASS_HASHES
     leaf_gs = H.GameState(pos=leaf_pos, rules=ss.rules,
-                          ko_hash_hist=hist, hist_len=hist_len)
+                          ko_hash_hist=hist, hist_len=hist_len,
+                          pass_hash_black=jnp.zeros((p, 2), jnp.uint32),
+                          pass_hash_black_n=jnp.int32(0),
+                          pass_hash_white=jnp.zeros((p, 2), jnp.uint32),
+                          pass_hash_white_n=jnp.int32(0))
     return leaf_pos, leaf_ko_hash, leaf_gs
 
 
@@ -653,8 +661,7 @@ def run_search(model_apply: Callable, model_params: Any,
     # ---- initialize per-game search state with the root node ----
     trees = jax.vmap(lambda _: empty_tree(size, max_nodes))(jnp.arange(g))
     root_ko_hash = jax.vmap(
-        lambda gs: H._ko_hash(gs.pos.board.pos_hash, gs.pos.to_move,
-                              gs.rules.ko_rule))(roots)
+        lambda gs: H._pos_ko_hash(gs.pos, gs.rules))(roots)
 
     ss = SearchState(
         tree=trees,
