@@ -53,7 +53,7 @@ def run_training(data_dir: str, ckpt_dir: str, export_dir: str | None, *,
         raise FileNotFoundError(f"no npz shards in {data_dir}")
     rows = [TW.read_npz(f, size) for f in files]
     data = {k: np.concatenate([r[k] for r in rows]) for k in rows[0]}
-    n = data["spatial"].shape[0]
+    n = data["binaryInputNCHW"].shape[0]
     log(f"training on {n} rows from {len(files)} shards")
 
     train_step = jax.jit(make_train_step(model.apply, optimizer))

@@ -119,8 +119,10 @@ def pack_rows(spatial: np.ndarray, global_in: np.ndarray,
     sd[rows, lo] = np.round((1.0 - frac) * 100).astype(np.int8)
     sd[rows, hi] = np.clip(sd[rows, hi] + np.round(frac * 100), -128, 127).astype(np.int8)
 
+    # C0 ownership is stored raw in [-1,1] (trainingwrite.h:286 — only C4
+    # area/territory uses the [-120,120] scale)
     vt = np.zeros((n, 5, size, size), np.int8)
-    vt[:, 0] = np.round(ownership_target.reshape(n, size, size) * 120).astype(np.int8)
+    vt[:, 0] = np.round(ownership_target.reshape(n, size, size)).astype(np.int8)
 
     qv = np.zeros((n, 3, area + 1), np.int16)
 
@@ -139,26 +141,32 @@ def write_npz(path: str, arrays: dict[str, np.ndarray]):
     np.savez_compressed(path, **arrays)
 
 
-def read_npz(path: str, size: int) -> dict[str, np.ndarray]:
-    """Read a reference-schema npz back into learner batch arrays
-    (mover-perspective float targets), the inverse of pack_rows for the
-    fields the current loss set consumes."""
+def decode_rows(arrays: dict[str, np.ndarray], size: int
+                ) -> dict[str, np.ndarray]:
+    """Schema arrays (as stored on disk) -> the learner's float batch dict:
+    binary planes unpacked to float NCHW, everything else float-cast raw
+    (matching data_processing_pytorch.py:28-299 — per-channel scaling like
+    scoreDistrN/100 or valueTargets C4/120 happens inside the loss)."""
     area = size * size
+    packed = arrays["binaryInputNCHWPacked"]
+    n = packed.shape[0]
+    planes = np.unpackbits(packed, axis=2)[:, :, :area]
+    binary = planes.reshape(n, 22, size, size).astype(np.float32)
+    return {
+        "binaryInputNCHW": binary,
+        "globalInputNC": arrays["globalInputNC"].astype(np.float32),
+        "policyTargetsNCMove":
+            arrays["policyTargetsNCMove"].astype(np.float32),
+        "globalTargetsNC": arrays["globalTargetsNC"].astype(np.float32),
+        "scoreDistrN": arrays["scoreDistrN"].astype(np.float32),
+        "valueTargetsNCHW": arrays["valueTargetsNCHW"].astype(np.float32),
+        "qValueTargetsNCMove":
+            arrays["qValueTargetsNCMove"].astype(np.float32),
+    }
+
+
+def read_npz(path: str, size: int) -> dict[str, np.ndarray]:
+    """Read a reference-schema npz into the learner's batch dict."""
     with np.load(path) as z:
-        packed = z["binaryInputNCHWPacked"]
-        n = packed.shape[0]
-        planes = np.unpackbits(packed, axis=2)[:, :, :area]
-        spatial = np.transpose(planes, (0, 2, 1)).reshape(
-            n, size, size, 22).astype(np.float32)
-        pol = z["policyTargetsNCMove"][:, 0].astype(np.float32)
-        pol_sum = np.maximum(pol.sum(-1, keepdims=True), 1.0)
-        gt = z["globalTargetsNC"]
-        own = z["valueTargetsNCHW"][:, 0].astype(np.float32) / 120.0
-        return {
-            "spatial": spatial,
-            "global_in": z["globalInputNC"].astype(np.float32),
-            "policy_target": pol / pol_sum,
-            "value_target": gt[:, 0:3].astype(np.float32),
-            "score_target": gt[:, 20].astype(np.float32),
-            "ownership_target": own.reshape(n, area),
-        }
+        return decode_rows({k: z[k] for k in z.files if k != "metadataInputNC"
+                            }, size)

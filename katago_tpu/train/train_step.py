@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from katago_tpu.train.losses import LossWeights, compute_losses
+from katago_tpu.train.losses import LossScales, SekiEma, compute_losses
 
 
 class TrainState(NamedTuple):
@@ -23,6 +23,7 @@ class TrainState(NamedTuple):
     opt_state: Any
     ema_params: Any            # SWA/EMA of weights for export
     step: jax.Array
+    seki_ema: SekiEma          # seki loss moving unowned-proportion state
 
 
 def make_optimizer(lr: float = 6e-5, momentum: float = 0.9,
@@ -42,21 +43,28 @@ def init_train_state(params: Any, optimizer) -> TrainState:
         opt_state=optimizer.init(params),
         ema_params=params,
         step=jnp.int32(0),
+        seki_ema=SekiEma.init(),
     )
 
 
 def make_train_step(model_apply, optimizer, ema_decay: float = 0.999,
-                    weights: LossWeights = LossWeights()):
+                    scales: LossScales = LossScales()):
     """Returns train_step(state, batch) -> (state, metrics). Pure; jit or
-    pjit with batch sharded over the mesh's data axis."""
+    pjit with batch sharded over the mesh's data axis.
 
-    def loss_fn(params, batch):
-        raw = model_apply(params, batch["spatial"], batch["global_in"])
-        return compute_losses(raw, batch, weights)
+    batch: the reference-schema dict of dataio.trainingwrite.read_npz
+    (binaryInputNCHW float NCHW etc.); model inputs are derived here."""
+
+    def loss_fn(params, batch, seki_ema):
+        spatial = batch["binaryInputNCHW"].transpose(0, 2, 3, 1)  # NHWC
+        raw = model_apply(params, spatial, batch["globalInputNC"])
+        loss, metrics, ema = compute_losses(
+            raw, batch, scales=scales, seki_ema=seki_ema, is_training=True)
+        return loss, (metrics, ema)
 
     def train_step(state: TrainState, batch: dict):
-        (loss, metrics), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, batch)
+        (_, (metrics, seki_ema)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, batch, state.seki_ema)
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         params = optax.apply_updates(state.params, updates)
@@ -65,6 +73,7 @@ def make_train_step(model_apply, optimizer, ema_decay: float = 0.999,
             state.ema_params, params)
         gnorm = optax.global_norm(grads)
         metrics = dict(metrics, gnorm=gnorm)
-        return TrainState(params, opt_state, ema, state.step + 1), metrics
+        return TrainState(params, opt_state, ema, state.step + 1,
+                          seki_ema), metrics
 
     return train_step

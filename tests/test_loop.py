@@ -68,9 +68,12 @@ def test_npz_schema_roundtrip(tmp_path):
     path = str(tmp_path / "t.npz")
     TW.write_npz(path, arrays)
     back = TW.read_npz(path, size)
-    np.testing.assert_array_equal(back["spatial"], spatial)
-    np.testing.assert_allclose(back["policy_target"], pol, atol=2e-4)
-    np.testing.assert_allclose(back["score_target"],
+    np.testing.assert_array_equal(
+        back["binaryInputNCHW"].transpose(0, 2, 3, 1), spatial)
+    pol_back = back["policyTargetsNCMove"][:, 0]
+    pol_back = pol_back / pol_back.sum(-1, keepdims=True)
+    np.testing.assert_allclose(pol_back, pol, atol=2e-4)
+    np.testing.assert_allclose(back["globalTargetsNC"][:, 20],
                                np.linspace(-10, 10, n), rtol=1e-5)
 
 

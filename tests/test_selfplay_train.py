@@ -43,18 +43,16 @@ def test_selfplay_to_training_slice():
     assert np.abs(data.ownership_target).max() <= 1.0
 
     # ---- learner: a few steps on the generated data reduce the loss ----
+    # route through the reference npz schema (pack -> decode), the same
+    # path the real training pipeline uses
+    from katago_tpu.dataio import trainingwrite as TW
     optimizer = make_optimizer(lr=0.01)
     state = init_train_state(params, optimizer)
     train_step = jax.jit(make_train_step(model.apply, optimizer))
 
-    batch = {
-        "spatial": jnp.asarray(data.spatial),
-        "global_in": jnp.asarray(data.global_in),
-        "policy_target": jnp.asarray(data.policy_target),
-        "value_target": jnp.asarray(data.value_target),
-        "score_target": jnp.asarray(data.score_target),
-        "ownership_target": jnp.asarray(data.ownership_target),
-    }
+    arrays = data.to_npz_arrays(SIZE, np.asarray(stats["white_minus_black"]))
+    batch = {k: jnp.asarray(v)
+             for k, v in TW.decode_rows(arrays, SIZE).items()}
     losses = []
     for _ in range(20):
         state, metrics = train_step(state, batch)
