@@ -31,14 +31,14 @@ from katago_tpu.train.train_step import (init_train_state, make_optimizer,
 def run_training(data_dir: str, ckpt_dir: str, export_dir: str | None, *,
                  size: int, config_name: str, batch_size: int, steps: int,
                  lr: float, export_every: int = 0, seed: int = 0,
-                 log=print) -> dict:
+                 optimizer_kind: str = "sgd", log=print) -> dict:
     from katago_tpu.models import config as MC
     from katago_tpu.models.model import KataGoModel
     cfg = MC.get_config(config_name)
     model = KataGoModel(cfg, pos_len=size, dtype=jnp.float32)
     params = model.init(jax.random.PRNGKey(seed),
                         jnp.zeros((1, size, size, 22)), jnp.zeros((1, 19)))
-    optimizer = make_optimizer(lr=lr)
+    optimizer = make_optimizer(lr=lr, kind=optimizer_kind)
     state = init_train_state(params, optimizer)
 
     latest = C.latest_checkpoint(ckpt_dir)
@@ -98,11 +98,13 @@ def main(argv=None):
     ap.add_argument("-batch-size", type=int, default=64)
     ap.add_argument("-steps", type=int, default=100)
     ap.add_argument("-lr", type=float, default=6e-5)
+    ap.add_argument("-optimizer", default="sgd",
+                    choices=["sgd", "muon", "normuon", "polar"])
     args = ap.parse_args(argv)
     out = run_training(args.data_dir, args.ckpt_dir, args.export_dir,
                        size=args.size, config_name=args.config,
                        batch_size=args.batch_size, steps=args.steps,
-                       lr=args.lr)
+                       lr=args.lr, optimizer_kind=args.optimizer)
     print(json.dumps(out))
 
 

@@ -26,14 +26,40 @@ class TrainState(NamedTuple):
     seki_ema: SekiEma          # seki loss moving unowned-proportion state
 
 
+def lr_scale_auto(samples: int) -> float:
+    """The reference's hardcoded LR auto-scale by samples seen
+    (train.py:504-522)."""
+    for bound, scale in [(550e6, 8.0), (1400e6, 6.0), (2500e6, 4.0),
+                         (3400e6, 3.0), (4200e6, 2.0), (4900e6, 1.5),
+                         (5500e6, 1.0), (6400e6, 0.7)]:
+        if samples < bound:
+            return scale
+    return 0.5
+
+
 def make_optimizer(lr: float = 6e-5, momentum: float = 0.9,
-                   weight_decay: float = 3e-5, grad_clip: float = 1e6):
-    """SGD+momentum with decoupled weight decay, the reference's default
-    optimizer family (train.py lr scaling at train.py:504-526)."""
+                   weight_decay: float = 3e-5, grad_clip: float = 1e6,
+                   kind: str = "sgd"):
+    """Optimizer factory.
+
+    kind="sgd": SGD+momentum with decoupled weight decay, the reference's
+    default family (train.py lr scaling at train.py:504-526).
+    kind="muon"/"normuon"/"polar": the reference's Muon family
+    (python/muon/muon.py) — matrix params via orthogonalized momentum,
+    AdamW for the rest.
+    """
+    if kind == "sgd":
+        return optax.chain(
+            optax.clip_by_global_norm(grad_clip),
+            optax.add_decayed_weights(weight_decay),
+            optax.sgd(learning_rate=lr, momentum=momentum),
+        )
+    from katago_tpu.train.muon import muon
     return optax.chain(
         optax.clip_by_global_norm(grad_clip),
-        optax.add_decayed_weights(weight_decay),
-        optax.sgd(learning_rate=lr, momentum=momentum),
+        muon(lr, weight_decay=weight_decay,
+             normuon=(kind == "normuon"),
+             use_polar_express=(kind in ("polar", "normuon"))),
     )
 
 
