@@ -25,36 +25,56 @@ import numpy as np
 GLOBAL_TARGET_CHANNELS = 80
 EXTRA_SCORE_DISTR_RADIUS = 60
 
-# lambda constants for the td-value targets (trainingwrite.h C4-C19)
-TD_LAMBDA_COEFFS = (0.176, 0.056, 0.016, 0.0)
+# td-value group coefficients (trainingwrite.cpp:573-581):
+# nowFactor = 0 (pure final result), 1/(1+area*c) for c in {.176,.056,.016},
+# and 1 (the immediate MCTS estimate)
+TD_NOW_COEFFS = (None, 0.176, 0.056, 0.016, 0.0)
 
 
-def td_lambda_for_area(board_area: int, coeff: float) -> float:
-    if coeff == 0.0:
-        return 0.0
-    return 1.0 - 1.0 / (1.0 + board_area * coeff)
+def td_blend(white_targets: np.ndarray, now_factor: float) -> np.ndarray:
+    """fillValueTDTargets (trainingwrite.cpp:411): forward-geometric blend
+    of per-turn value targets, current turn first, remaining weight on the
+    final entry.
 
-
-def td_value_targets(mcts_winloss: np.ndarray, final_winloss: float,
-                     board_area: int) -> np.ndarray:
-    """[T, 4*4] td-like targets: for each lambda, the exponentially-weighted
-    forward-looking blend of future MCTS winloss estimates and the final
-    result, all from a fixed (white) perspective then flipped by caller.
-
-    mcts_winloss: [T] root MCTS winloss (white persp) per turn.
-    final_winloss: scalar game result in [-1, 1] (white persp).
-    Returns [T, 4] per-lambda targets (win-minus-loss form).
+    white_targets: [T+1, K] per-turn white-perspective targets; the last
+    row is the game's final result. Returns [T, K] blends (one per turn):
+    S_t = f*m_t + (1-f)*S_{t+1}, S_T = m_T.
     """
-    t = len(mcts_winloss)
-    out = np.zeros((t, len(TD_LAMBDA_COEFFS)), np.float32)
-    for i, coeff in enumerate(TD_LAMBDA_COEFFS):
-        lam = td_lambda_for_area(board_area, coeff)
-        # backward recursion: v_t = (1-lam)*m_{t+1} + lam*v_{t+1}; v_T = final
-        v = final_winloss
-        for k in range(t - 1, -1, -1):
-            m = mcts_winloss[k + 1] if k + 1 < t else final_winloss
-            v = (1.0 - lam) * m + lam * v
-            out[k, i] = v
+    t = white_targets.shape[0] - 1
+    out = np.zeros((t, white_targets.shape[1]), np.float32)
+    s = white_targets[t].astype(np.float32)
+    for k in range(t - 1, -1, -1):
+        s = now_factor * white_targets[k] + (1.0 - now_factor) * s
+        out[k] = s
+    return out
+
+
+def td_groups(white_targets: np.ndarray, board_area: int) -> np.ndarray:
+    """[T, 5, K]: the five td groups of trainingwrite.cpp:573-581."""
+    t = white_targets.shape[0] - 1
+    k = white_targets.shape[1]
+    out = np.zeros((t, 5, k), np.float32)
+    for gi, c in enumerate(TD_NOW_COEFFS):
+        if c is None:
+            nf = 0.0
+        elif c == 0.0:
+            nf = 1.0
+        else:
+            nf = 1.0 / (1.0 + board_area * c)
+        out[:, gi, :] = td_blend(white_targets, nf)
+    return out
+
+
+def variance_time_target(white_winloss: np.ndarray) -> np.ndarray:
+    """C22 (trainingwrite.cpp:604-616): per turn, sum over future turns of
+    turnsFromNow * (delta winloss)^2. white_winloss: [T+1] incl. final."""
+    t = len(white_winloss) - 1
+    d2 = np.square(np.diff(white_winloss)).astype(np.float64)   # [T]
+    out = np.zeros((t,), np.float32)
+    # sum_{i>t} (i-t) * d2[i-1] computed by double suffix-cumsum
+    suffix = np.cumsum(d2[::-1])[::-1]           # sum_{j>=k} d2[j]
+    suffix2 = np.cumsum(suffix[::-1])[::-1]      # sum_{j>=k} (j-k+1) d2[j]
+    out[:] = suffix2
     return out
 
 
@@ -64,11 +84,29 @@ def pack_rows(spatial: np.ndarray, global_in: np.ndarray,
               score_target: np.ndarray, lead_target: np.ndarray,
               ownership_target: np.ndarray, self_komi: np.ndarray,
               turn_idx: np.ndarray, visits: np.ndarray,
-              size: int) -> dict[str, np.ndarray]:
+              size: int,
+              variance_time: np.ndarray | None = None,
+              futurepos: np.ndarray | None = None,
+              seki_diff: np.ndarray | None = None,
+              scoring: np.ndarray | None = None,
+              q_winloss: np.ndarray | None = None,
+              q_score: np.ndarray | None = None,
+              q_visits: np.ndarray | None = None,
+              game_hash: np.ndarray | None = None
+              ) -> dict[str, np.ndarray]:
     """Assemble reference-schema arrays from mover-perspective row data.
 
     spatial [N,H,W,22] f32 binary; policy targets [N,area+1] probabilities
-    (converted to visit-count int16); td_targets [N,4] win-minus-loss.
+    (converted to visit-count int16).
+
+    td_targets: either [N,4] win-minus-loss per group (legacy; noresult 0,
+    score channel = final score) or [N,5,4] full (win,loss,noresult,score)
+    groups per trainingwrite.cpp:573-581 — group 0 becomes C0-3.
+
+    Optional targets, zero-filled with weight 0 when absent:
+    variance_time [N]; futurepos [N,2,area] mover-persp +-1; seki_diff
+    [N,area] +-1; scoring [N,area] mover-persp in [-1,1]; q_* [N,area+1];
+    game_hash [N] uint64 row-group id (C41-46 chunks).
     """
     n = spatial.shape[0]
     area = size * size
@@ -81,27 +119,44 @@ def pack_rows(spatial: np.ndarray, global_in: np.ndarray,
     pol[:, 1] = np.round(next_policy_target * 30000).astype(np.int16)
 
     gt = np.zeros((n, GLOBAL_TARGET_CHANNELS), np.float32)
-    gt[:, 0] = value_target[:, 0]           # win
-    gt[:, 1] = value_target[:, 1]           # loss
-    gt[:, 2] = value_target[:, 2]           # noresult
-    gt[:, 3] = score_target                 # C3: score as value-ish channel
-    for i in range(4):                      # C4..C19 td winloss targets
-        wl = td_targets[:, i]
-        gt[:, 4 + 4 * i + 0] = 0.5 * (1.0 + wl)
-        gt[:, 4 + 4 * i + 1] = 0.5 * (1.0 - wl)
-        gt[:, 4 + 4 * i + 2] = 0.0
-        gt[:, 4 + 4 * i + 3] = score_target
+    if td_targets.ndim == 3:
+        # [N, 5, 4] full groups: C0-3, C4-7, C8-11, C12-15, C16-19
+        gt[:, 0:20] = td_targets.reshape(n, 20)
+    else:
+        gt[:, 0] = value_target[:, 0]
+        gt[:, 1] = value_target[:, 1]
+        gt[:, 2] = value_target[:, 2]
+        gt[:, 3] = score_target
+        for i in range(4):
+            wl = td_targets[:, i]
+            gt[:, 4 + 4 * i + 0] = 0.5 * (1.0 + wl)
+            gt[:, 4 + 4 * i + 1] = 0.5 * (1.0 - wl)
+            gt[:, 4 + 4 * i + 3] = score_target
     gt[:, 20] = score_target                # C20 final score
     gt[:, 21] = lead_target                 # C21 lead
+    if variance_time is not None:
+        gt[:, 22] = variance_time           # C22 WL-variance arrival time
     gt[:, 24] = 0.0                         # full weight on td targets
     gt[:, 25] = 1.0                         # C25 row weight
     gt[:, 26] = 1.0                         # C26 policy weight
     gt[:, 27] = 1.0                         # C27 ownership/scoredistr weight
     gt[:, 28] = (next_policy_target.sum(-1) > 0).astype(np.float32)
     gt[:, 29] = 1.0                         # C29 lead weight
+    gt[:, 33] = 0.0 if futurepos is None else 1.0   # C33 futurepos weight
+    gt[:, 34] = 0.0 if scoring is None else 1.0     # C34 scoring weight
     gt[:, 36:41] = 1.0                      # C36-40 history-usable flags
+    if game_hash is not None:               # C41-46: 128-bit id in chunks
+        h = game_hash.astype(np.uint64)
+        for i, bits in enumerate((22, 22, 20)):
+            gt[:, 41 + i] = (h & ((1 << bits) - 1)).astype(np.float32)
+            h = h >> np.uint64(bits)
+        # upper 64 bits unavailable from a uint64 id; reuse mixed low bits
+        h2 = game_hash.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        for i, bits in enumerate((22, 22, 20)):
+            gt[:, 44 + i] = (h2 & ((1 << bits) - 1)).astype(np.float32)
+            h2 = h2 >> np.uint64(bits)
     gt[:, 47] = self_komi                   # C47 komi (mover persp)
-    gt[:, 48] = 1.0                         # C48 area-scoring phase
+    gt[:, 48] = 1.0                         # C48 area-scoring-like phase
     gt[:, 51] = turn_idx                    # C51 turn index
     gt[:, 60] = visits                      # C60 search visits
     gt[:, 62] = 1.0                         # C62 game finished
@@ -123,8 +178,24 @@ def pack_rows(spatial: np.ndarray, global_in: np.ndarray,
     # area/territory uses the [-120,120] scale)
     vt = np.zeros((n, 5, size, size), np.int8)
     vt[:, 0] = np.round(ownership_target.reshape(n, size, size)).astype(np.int8)
+    if seki_diff is not None:
+        vt[:, 1] = np.round(seki_diff.reshape(n, size, size)).astype(np.int8)
+    if futurepos is not None:
+        vt[:, 2] = np.round(futurepos[:, 0].reshape(n, size, size)
+                            ).astype(np.int8)
+        vt[:, 3] = np.round(futurepos[:, 1].reshape(n, size, size)
+                            ).astype(np.int8)
+    if scoring is not None:
+        vt[:, 4] = np.clip(np.round(scoring.reshape(n, size, size) * 120.0),
+                           -120, 120).astype(np.int8)
 
     qv = np.zeros((n, 3, area + 1), np.int16)
+    if q_winloss is not None:
+        qv[:, 0] = np.clip(np.round(q_winloss * 32000.0), -32000, 32000
+                           ).astype(np.int16)
+        qv[:, 1] = np.clip(np.round(q_score * 60.0), -32000, 32000
+                           ).astype(np.int16)
+        qv[:, 2] = np.clip(q_visits, 0, 32000).astype(np.int16)
 
     return {
         "binaryInputNCHWPacked": packed,

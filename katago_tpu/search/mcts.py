@@ -638,6 +638,8 @@ class SearchResult(NamedTuple):
     root_score_mean: jax.Array  # f32[G]
     root_lead: jax.Array         # f32[G]
     root_utility: jax.Array      # f32[G]
+    child_winloss: jax.Array     # f32[G, A] per-child avg winloss (white)
+    child_score_mean: jax.Array  # f32[G, A] per-child avg score (white)
 
 
 def run_search(model_apply: Callable, model_params: Any,
@@ -800,6 +802,14 @@ def run_search(model_apply: Callable, model_params: Any,
     cvis = jnp.where(has_child,
                      jnp.take_along_axis(tree.visits, child_idx, axis=1), 0)
     root_w = jnp.maximum(tree.weight_sum[:, 0], 1e-10)
+    cw = jnp.maximum(jnp.take_along_axis(tree.weight_sum, child_idx, axis=1),
+                     1e-10)
+    child_wl = jnp.where(
+        has_child, jnp.take_along_axis(tree.winloss_sum, child_idx,
+                                       axis=1) / cw, 0.0)
+    child_sc = jnp.where(
+        has_child, jnp.take_along_axis(tree.score_mean_sum, child_idx,
+                                       axis=1) / cw, 0.0)
     return SearchResult(
         ss=ss,
         root_visits=tree.visits[:, 0],
@@ -809,6 +819,8 @@ def run_search(model_apply: Callable, model_params: Any,
         root_score_mean=tree.score_mean_sum[:, 0] / root_w,
         root_lead=tree.lead_sum[:, 0] / root_w,
         root_utility=tree.utility_sum[:, 0] / root_w,
+        child_winloss=child_wl,
+        child_score_mean=child_sc,
     )
 
 

@@ -45,16 +45,27 @@ class GameBatchData:
     mcts_winloss_white: np.ndarray  # [rows] f32 root MCTS winloss (white persp)
     mcts_lead_white: np.ndarray     # [rows] f32 root MCTS lead (white persp)
     visits: np.ndarray              # [rows] i32 search visits for the row
+    mcts_score_white: np.ndarray    # [rows] f32 root MCTS score (white persp)
+    stones: np.ndarray              # [rows, NN] i8 board before the move
+    q_winloss_white: np.ndarray     # [rows, NN+1] f32 child winloss (white)
+    q_score_white: np.ndarray       # [rows, NN+1] f32 child score (white)
+    q_visits: np.ndarray            # [rows, NN+1] i32 child visits
+    seki_diff_mover: np.ndarray     # [rows, NN] f32 full-area-vs-ownership
 
-    def to_npz_arrays(self, size: int, final_score_white: np.ndarray) -> dict:
-        """Reference-schema arrays (dataio.trainingwrite.pack_rows), with
-        next-turn policy and td-value targets derived across each game."""
+    def to_npz_arrays(self, size: int, final_score_white: np.ndarray,
+                      komi_white: np.ndarray | None = None) -> dict:
+        """Reference-schema arrays (dataio.trainingwrite.pack_rows): all
+        target channels of trainingwrite.h:183-290 that batched selfplay can
+        produce — full td-value groups (win/loss/noresult/score blends of
+        per-turn MCTS estimates ending at the game result), variance-time,
+        future positions (+8/+32 turns), seki diff, per-point scoring,
+        q-value targets, per-game row-group hashes."""
         from katago_tpu.dataio import trainingwrite as TW
 
         n = self.spatial.shape[0]
         area = size * size
         is_white = (self.to_move == B.WHITE)
-        sign = np.where(is_white, 1.0, -1.0)
+        sign = np.where(is_white, 1.0, -1.0).astype(np.float32)
 
         # next-turn policy: the following row of the same game
         next_pol = np.zeros_like(self.policy_target)
@@ -64,17 +75,62 @@ class GameBatchData:
         next_pol[np.flatnonzero(same_game_next)] = \
             self.policy_target[np.flatnonzero(same_game_next) + 1]
 
-        # td targets per game (white persp), then flip to mover persp
-        td = np.zeros((n, 4), np.float32)
+        # per-game td groups + variance time + future boards (white persp,
+        # flipped to mover at the end)
+        td5 = np.zeros((n, 5, 4), np.float32)
+        vartime = np.zeros((n,), np.float32)
+        fpos = np.zeros((n, 2, area), np.float32)     # absolute colors first
+        ghash = np.zeros((n,), np.uint64)
         for g in np.unique(self.game_idx):
             rows = np.flatnonzero(self.game_idx == g)
-            final_wl = float(np.sign(final_score_white[g]))
-            td[rows] = TW.td_value_targets(
-                self.mcts_winloss_white[rows], final_wl, area)
-        td_mover = td * sign[:, None]
+            t = len(rows)
+            final_sc = float(final_score_white[g])
+            final_wl = float(np.sign(final_sc))
+            wt = np.zeros((t + 1, 4), np.float32)     # win,loss,nr,score
+            wl = self.mcts_winloss_white[rows]
+            wt[:t, 0] = 0.5 * (1.0 + wl)
+            wt[:t, 1] = 0.5 * (1.0 - wl)
+            wt[:t, 3] = self.mcts_score_white[rows]
+            wt[t] = [0.5 * (1 + final_wl), 0.5 * (1 - final_wl), 0.0,
+                     final_sc]
+            td5[rows] = TW.td_groups(wt, area)
+            vartime[rows] = TW.variance_time_target(
+                np.concatenate([wl, [final_wl]]))
+            # future boards at +8 / +32 turns (trainingwrite.cpp:790-792)
+            st = self.stones[rows]                     # [t, area] colors
+            i8 = np.minimum(np.arange(t) + 8, t - 1)
+            i32_ = np.minimum(np.arange(t) + 32, t - 1)
+            fpos[rows, 0] = st[i8]
+            fpos[rows, 1] = st[i32_]
+            ghash[rows] = np.uint64(
+                ((0x9E3779B97F4A7C15 * (int(g) + 1)) ^
+                 (abs(int(final_sc * 2)) + 1)) % (1 << 64))
+
+        # flip white-persp channels to mover persp
+        td_mover = td5.copy()
+        td_mover[:, :, 0] = np.where(is_white[:, None], td5[:, :, 0],
+                                     td5[:, :, 1])
+        td_mover[:, :, 1] = np.where(is_white[:, None], td5[:, :, 1],
+                                     td5[:, :, 0])
+        td_mover[:, :, 3] = td5[:, :, 3] * sign[:, None]
+        cap = float(area + TW.EXTRA_SCORE_DISTR_RADIUS)
+        td_mover[:, :, 3] = np.clip(td_mover[:, :, 3], -cap, cap)
+
+        # future positions: colors -> mover persp +-1
+        mover = self.to_move[:, None, None]
+        fpos_mover = np.where(fpos == mover, 1.0,
+                              np.where(fpos == 0, 0.0, -1.0)).astype(
+            np.float32)
+
+        # per-point scoring (C4): final ownership is the per-point score
+        # under area scoring (mover persp, in [-1,1])
+        scoring = self.ownership_target.astype(np.float32)
 
         lead_mover = self.mcts_lead_white * sign
-        komi_mover = np.zeros(n, np.float32)  # filled by caller if needed
+        if komi_white is None:
+            komi_mover = np.zeros(n, np.float32)
+        else:
+            komi_mover = komi_white[self.game_idx] * sign
         return TW.pack_rows(
             spatial=self.spatial, global_in=self.global_in,
             policy_target=self.policy_target, next_policy_target=next_pol,
@@ -82,7 +138,15 @@ class GameBatchData:
             score_target=self.score_target, lead_target=lead_mover,
             ownership_target=self.ownership_target, self_komi=komi_mover,
             turn_idx=self.move_num.astype(np.float32),
-            visits=self.visits.astype(np.float32), size=size)
+            visits=self.visits.astype(np.float32), size=size,
+            variance_time=vartime,
+            futurepos=fpos_mover,
+            seki_diff=self.seki_diff_mover,
+            scoring=scoring,
+            q_winloss=self.q_winloss_white * sign[:, None],
+            q_score=self.q_score_white * sign[:, None],
+            q_visits=self.q_visits,
+            game_hash=ghash)
 
 
 def play_games(model_apply: Callable, model_params: Any, *,
@@ -144,6 +208,12 @@ def play_games(model_apply: Callable, model_params: Any, *,
                 "move_num": np.asarray(games.pos.move_num, np.int32),
                 "mcts_winloss_white": np.asarray(res.root_winloss, np.float32),
                 "mcts_lead_white": np.asarray(res.root_lead, np.float32),
+                "mcts_score_white": np.asarray(res.root_score_mean,
+                                               np.float32),
+                "stones": np.asarray(games.board.stones, np.int8),
+                "q_winloss_white": np.asarray(res.child_winloss, np.float32),
+                "q_score_white": np.asarray(res.child_score_mean, np.float32),
+                "q_visits": np.asarray(res.child_visits, np.int32),
                 "live": ~done,
             })
         games, _ = step_fn(games, moves, size)
@@ -151,6 +221,14 @@ def play_games(model_apply: Callable, model_params: Any, *,
     own, score_w = score_fn(games, size)
     own = np.asarray(own, np.float32)        # +1 black / -1 white
     score_w = np.asarray(score_w, np.float32)  # white minus black
+    # full "naive" area for the seki-diff target (valueTargetsNCHW C1)
+    from katago_tpu.game import benson
+    full_area_fn = jax.jit(jax.vmap(
+        lambda st, ms: benson.calculate_area(
+            st, size, jnp.bool_(True), jnp.bool_(True), jnp.bool_(True), ms)),
+        static_argnums=())
+    full_area = np.asarray(full_area_fn(games.board.stones,
+                                        games.rules.multi_suicide), np.int32)
     stats = {
         "moves_per_game": np.asarray(games.pos.move_num, np.int32),
         "white_minus_black": score_w,
@@ -166,7 +244,15 @@ def play_games(model_apply: Callable, model_params: Any, *,
     out = {k: [] for k in ("spatial", "global_in", "policy_target", "to_move",
                            "value_target", "score_target", "ownership_target",
                            "game_idx", "move_num", "mcts_winloss_white",
-                           "mcts_lead_white", "visits")}
+                           "mcts_lead_white", "visits", "mcts_score_white",
+                           "stones", "q_winloss_white", "q_score_white",
+                           "q_visits", "seki_diff_mover")}
+    # seki diff (white-persp colors): full-area owner of points that ended
+    # up unowned (trainingwrite.cpp:750-752)
+    own_color = np.where(own > 0, B.BLACK, np.where(own < 0, B.WHITE, 0))
+    seki_pts = (full_area != 0) & (own_color == 0)
+    seki_black = seki_pts & (full_area == B.BLACK)
+    seki_white = seki_pts & (full_area == B.WHITE)
     for rec in rows:
         live = rec["live"]
         idxs = np.flatnonzero(live)
@@ -182,6 +268,10 @@ def play_games(model_apply: Callable, model_params: Any, *,
         value_t = np.stack([win + 0.5 * draw, loss + 0.5 * draw,
                             np.zeros_like(win)], axis=-1)
         own_mover = np.where(is_white[:, None] > 0, -own[idxs], own[idxs])
+        seki_mover = np.where(
+            seki_black[idxs], np.where(is_white[:, None] > 0, -1.0, 1.0),
+            np.where(seki_white[idxs],
+                     np.where(is_white[:, None] > 0, 1.0, -1.0), 0.0))
         out["spatial"].append(rec["spatial"][idxs])
         out["global_in"].append(rec["global_in"][idxs])
         out["policy_target"].append(rec["policy_target"][idxs])
@@ -194,6 +284,12 @@ def play_games(model_apply: Callable, model_params: Any, *,
         out["mcts_winloss_white"].append(rec["mcts_winloss_white"][idxs])
         out["mcts_lead_white"].append(rec["mcts_lead_white"][idxs])
         out["visits"].append(np.full(len(idxs), visits, np.int32))
+        out["mcts_score_white"].append(rec["mcts_score_white"][idxs])
+        out["stones"].append(rec["stones"][idxs])
+        out["q_winloss_white"].append(rec["q_winloss_white"][idxs])
+        out["q_score_white"].append(rec["q_score_white"][idxs])
+        out["q_visits"].append(rec["q_visits"][idxs])
+        out["seki_diff_mover"].append(seki_mover.astype(np.float32))
 
     data = GameBatchData(**{k: np.concatenate(v, axis=0) for k, v in out.items()})
     return data, stats

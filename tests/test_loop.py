@@ -77,12 +77,30 @@ def test_npz_schema_roundtrip(tmp_path):
                                np.linspace(-10, 10, n), rtol=1e-5)
 
 
-def test_td_value_targets_limits():
-    # lambda = 0 -> target equals next-step MCTS estimate (final at the end)
-    m = np.array([0.1, -0.2, 0.5], np.float32)
-    t = TW.td_value_targets(m, final_winloss=1.0, board_area=81)
-    np.testing.assert_allclose(t[:, 3], [-0.2, 0.5, 1.0], atol=1e-6)
-    # all lambdas end at the final result for the last position
-    lam_large = t[-1]
-    # discounting toward final: last row mixes toward 1.0
-    assert (t[-1] > 0.4).all()
+def test_td_blend_limits():
+    # white_targets: per-turn [win,loss,nr,score], final row = game result
+    wt = np.array([[0.55, 0.45, 0.0, 0.1],
+                   [0.40, 0.60, 0.0, -0.2],
+                   [0.75, 0.25, 0.0, 0.5],
+                   [1.00, 0.00, 0.0, 3.0]], np.float32)  # final: white win
+    # nowFactor 1 -> the immediate estimate at each turn
+    t1 = TW.td_blend(wt, 1.0)
+    np.testing.assert_allclose(t1, wt[:3], atol=1e-6)
+    # nowFactor 0 -> the final result everywhere
+    t0 = TW.td_blend(wt, 0.0)
+    np.testing.assert_allclose(t0, np.tile(wt[3], (3, 1)), atol=1e-6)
+    # intermediate blends move monotonically toward the final result
+    tm = TW.td_blend(wt, 0.3)
+    assert (tm[:, 0] >= np.minimum(t1[:3, 0], 1.0) - 1e-6).all()
+    groups = TW.td_groups(wt, board_area=81)
+    assert groups.shape == (3, 5, 4)
+    np.testing.assert_allclose(groups[:, 0], t0, atol=1e-6)  # C0-3 = final
+    np.testing.assert_allclose(groups[:, 4], t1, atol=1e-6)  # C16-19 = now
+
+
+def test_variance_time_target():
+    wl = np.array([0.0, 0.5, 0.5, -0.5], np.float32)
+    out = TW.variance_time_target(wl)
+    # turn 2: |Δ|²=1 at distance 1 -> 1
+    # turn 1: 0*... + 1*2 = 2 ; turn 0: 0.25*1 + 0 + 1*3 = 3.25
+    np.testing.assert_allclose(out, [3.25, 2.0, 1.0], atol=1e-6)
