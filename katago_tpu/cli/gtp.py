@@ -25,6 +25,7 @@ from katago_tpu.game import board as B
 from katago_tpu.game import history as H
 from katago_tpu.game import rules as R
 from katago_tpu.search import mcts
+from katago_tpu.search import timecontrols as TC
 from katago_tpu.search.params import SearchParams
 from katago_tpu.utils.config_parser import ConfigParser
 
@@ -38,6 +39,7 @@ KNOWN_COMMANDS = [
     "kata-get-rules", "kata-set-rules", "kata-set-rule", "kata-get-param",
     "kata-set-param", "kata-raw-nn", "kata-analyze", "lz-analyze",
     "clear_cache", "loadsgf", "printsgf", "showboard",
+    "kata-time_settings", "kata-list-time-settings",
 ]
 
 
@@ -76,6 +78,11 @@ class GTPEngine:
         self.search_params = base
         self._search_cache: dict[tuple, object] = {}
         self._rng = jax.random.PRNGKey(int(time.time() * 1000) % (2**31))
+        # per-player clocks (None = visit-limited); GTP lag buffer seconds
+        self.time_controls: dict[int, TC.TimeControls | None] = {
+            B.BLACK: None, B.WHITE: None}
+        self.lag_buffer = 1.0
+        self._playouts_per_s: float | None = None
 
         if model_path:
             from katago_tpu.models import desc as D
@@ -153,11 +160,39 @@ class GTPEngine:
         return fn(roots, sub)
 
     def genmove(self, player: int) -> int:
-        res = self.search_root(player)
+        visits = self._visits_for_clock(player)
+        t0 = time.time()
+        res = self.search_root(player, visits=visits)
+        jax.block_until_ready(res.root_visits)
+        dt = max(time.time() - t0, 1e-3)
+        # running playouts/s estimate for time management (skip compiles)
+        pps = visits / dt
+        if self._playouts_per_s is None or pps > self._playouts_per_s:
+            self._playouts_per_s = pps
+        else:
+            self._playouts_per_s = 0.7 * self._playouts_per_s + 0.3 * pps
         cv = np.asarray(res.child_visits[0])
         loc = int(cv.argmax())
         self.play(player, loc)
+        if self.time_controls[player] is not None:
+            tc = self.time_controls[player]
+            if not tc.in_overtime:
+                tc.main_time_left -= dt
+                tc.main_time_left += tc.increment
         return loc
+
+    def _visits_for_clock(self, player: int) -> int:
+        """Map the player's clock onto a visit budget (timecontrols.py)."""
+        tc = self.time_controls[player]
+        if tc is None or tc.is_effectively_unlimited():
+            return self.visits
+        stones = int(np.asarray(
+            (self.gs.pos.board.stones != B.EMPTY).sum()))
+        _, rec, _ = tc.get_time(self.size * self.size, stones,
+                                lag_buffer=self.lag_buffer)
+        pps = self._playouts_per_s or 100.0
+        return TC.visits_for_time_budget(rec, pps, min_visits=8,
+                                         max_visits=self.visits)
 
     def analyze_info(self, res, top_k: int = 10) -> str:
         """kata-analyze info lines from a SearchResult (batch idx 0)."""
@@ -305,8 +340,54 @@ def run_gtp(engine: GTPEngine, infile=sys.stdin, outfile=sys.stdout,
                     engine.play(B.BLACK, l)
                 engine.gs = H.replace_pos(engine.gs, to_move=jnp.int32(B.WHITE))
                 respond(" ".join(loc_to_gtp(l, engine.size) for l in locs), cmd_id)
-            elif cmd in ("time_settings", "time_left", "kata-list-time-settings"):
-                respond("", cmd_id)  # accepted; visit-limited search
+            elif cmd == "time_settings":
+                # GTP: main_time byo_yomi_time byo_yomi_stones
+                mt, byo_t, byo_s = float(args[0]), float(args[1]), int(args[2])
+                if byo_s == 0 and byo_t > 0:
+                    tc_new = lambda: TC.TimeControls.absolute_time(mt)
+                elif byo_t <= 0:
+                    tc_new = lambda: TC.TimeControls.absolute_time(mt)
+                else:
+                    tc_new = lambda: TC.TimeControls.canadian_or_byo_yomi_time(
+                        mt, byo_t, 1, byo_s)
+                engine.time_controls[B.BLACK] = tc_new()
+                engine.time_controls[B.WHITE] = tc_new()
+                respond("", cmd_id)
+            elif cmd == "kata-time_settings":
+                # kind args...: none | absolute MT | byoyomi MT PT NP |
+                # canadian MT PT NS | fischer MT INC
+                kind = args[0].lower()
+                def mk():
+                    if kind == "none":
+                        return None
+                    if kind == "absolute":
+                        return TC.TimeControls.absolute_time(float(args[1]))
+                    if kind == "fischer":
+                        return TC.TimeControls.fischer_time(float(args[1]),
+                                                            float(args[2]))
+                    if kind == "byoyomi":
+                        return TC.TimeControls.canadian_or_byo_yomi_time(
+                            float(args[1]), float(args[2]), int(args[3]), 1)
+                    if kind == "canadian":
+                        return TC.TimeControls.canadian_or_byo_yomi_time(
+                            float(args[1]), float(args[2]), 1, int(args[3]))
+                    raise ValueError(f"unknown time settings kind {kind}")
+                engine.time_controls[B.BLACK] = mk()
+                engine.time_controls[B.WHITE] = mk()
+                respond("", cmd_id)
+            elif cmd == "time_left":
+                player = player_of[args[0].lower()]
+                tc = engine.time_controls[player]
+                if tc is None:
+                    tc = TC.TimeControls.absolute_time(float(args[1]))
+                    engine.time_controls[player] = tc
+                tc.update_from_gtp_time_left(float(args[1]), int(args[2]))
+                respond("", cmd_id)
+            elif cmd == "kata-list-time-settings":
+                respond("none absolute byoyomi canadian fischer", cmd_id)
+            elif cmd == "kata-debug-print-tc":
+                tcs = engine.time_controls[int(engine.gs.pos.to_move)]
+                respond(str(tcs), cmd_id)
             elif cmd == "kata-get-rules":
                 respond(engine.rules.to_json_string(), cmd_id)
             elif cmd == "kata-set-rules":
