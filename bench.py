@@ -22,8 +22,11 @@ def main():
     from katago_tpu.game import rules as R
     from katago_tpu.models import config as MC
     from katago_tpu.models.model import KataGoModel
+    from katago_tpu.parallel.mesh import setup_accelerator_dispatch
     from katago_tpu.search import mcts
     from katago_tpu.search.params import SearchParams
+
+    accel = setup_accelerator_dispatch()
 
     size = 9
     num_games = 64
@@ -40,19 +43,29 @@ def main():
     glob = jnp.zeros((num_games, 19), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), spatial, glob)
 
+    # explicit placement: jit follows the committed input devices
+    roots = jax.device_put(roots, accel)
+    params = jax.device_put(params, accel)
+
     sp = SearchParams.for_selfplay().to_arr()
+    # with_ladders=False: embedding the ladder solver inside the search scan
+    # currently faults the tunneled TPU runtime's compiler (standalone
+    # ladder featurization compiles and runs fine); search-internal evals
+    # skip planes 14-17 until the ladder pass moves to a pallas kernel.
     search_fn = jax.jit(lambda r, k: mcts.run_search(
         model.apply, params, r, sp, k, size=size, num_sims=visits,
-        max_nodes=visits + 3))
+        max_nodes=visits + 3, with_ladders=False))
 
     # compile + warmup
-    res = search_fn(roots, jax.random.PRNGKey(1))
+    res = search_fn(roots, jax.device_put(jax.random.PRNGKey(1), accel))
     jax.block_until_ready(res.root_visits)
 
+    keys = [jax.device_put(jax.random.PRNGKey(2 + i), accel)
+            for i in range(5)]
     iters = 5
     t0 = time.time()
     for i in range(iters):
-        res = search_fn(roots, jax.random.PRNGKey(2 + i))
+        res = search_fn(roots, keys[i])
         jax.block_until_ready(res.root_visits)
     dt = (time.time() - t0) / iters
 

@@ -30,9 +30,11 @@ def run_benchmark(*, size: int, visits: int, batch_sizes: list[int],
                   log=print) -> dict:
     from katago_tpu.game import history as H
     from katago_tpu.game import rules as R
+    from katago_tpu.parallel.mesh import setup_accelerator_dispatch
     from katago_tpu.search import mcts
     from katago_tpu.search.params import SearchParams
 
+    accel = setup_accelerator_dispatch()
     if model_path:
         from katago_tpu.models import desc as D
         net = D.load_model(model_path)
@@ -57,19 +59,23 @@ def run_benchmark(*, size: int, visits: int, batch_sizes: list[int],
     results = []
     log(f"benchmarking {name} at {size}x{size}, {visits} visits/move on "
         f"{jax.devices()[0].platform}")
+    params = jax.device_put(params, accel) if params is not None else None
     for g in batch_sizes:
         roots = jax.tree.map(
             lambda x: jnp.broadcast_to(x, (g,) + x.shape).copy(), gs)
+        roots = jax.device_put(roots, accel)
+        keys = [jax.device_put(jax.random.PRNGKey(i), accel)
+                for i in range(iters + 1)]
         fn = jax.jit(lambda r, k: mcts.run_search(
             apply_fn, params, r, sp, k, size=size, num_sims=visits,
             max_nodes=visits + 3, with_ladders=with_ladders))
         t0 = time.time()
-        res = fn(roots, jax.random.PRNGKey(1))
+        res = fn(roots, keys[0])
         jax.block_until_ready(res.root_visits)
         compile_s = time.time() - t0
         t0 = time.time()
         for i in range(iters):
-            res = fn(roots, jax.random.PRNGKey(2 + i))
+            res = fn(roots, keys[1 + i])
         jax.block_until_ready(res.root_visits)
         dt = (time.time() - t0) / iters
         pps = g * visits / dt

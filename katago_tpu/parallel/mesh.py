@@ -48,3 +48,26 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
 def replicate(tree: Any, mesh: Mesh) -> Any:
     sh = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def setup_accelerator_dispatch():
+    """Route trace-time eager constants to the CPU and return the
+    accelerator device for explicit input placement.
+
+    Over a tunneled accelerator runtime (the axon platform, ~100ms per
+    dispatch), leaving the accelerator as the default device makes JAX
+    execute every trace-time constant expression (jnp.asarray of lookup
+    tables, jnp.arange, jnp.zeros, ...) as its own remote tiny program —
+    lowering a featurizer-sized graph takes minutes instead of seconds.
+    Setting the default device to CPU keeps those on the host; jitted
+    functions still run on the accelerator because their inputs are
+    explicitly device_put there (jit follows committed argument devices).
+
+    Returns the accelerator device (or the CPU if none is present).
+    """
+    cpus = jax.devices("cpu")
+    accels = [d for d in jax.devices() if d.platform != "cpu"]
+    if accels:
+        jax.config.update("jax_default_device", cpus[0])
+        return accels[0]
+    return cpus[0]
