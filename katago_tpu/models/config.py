@@ -5,9 +5,10 @@ The reference defines dict configs keyed by names like b6c96 / b18c384nbt
 of block kinds, head channel sizes, norm kind and activation. We mirror the
 same named configs and semantics with a typed dataclass.
 
-Block kinds supported this round: "regular", "regulargpool", "bottle{1,2,3}"
-(+gpool), "bottlenest2" (+gpool). Transformer kinds (v17 RoPE attention,
-model_pytorch.py:1921+) are a later milestone.
+Block kinds supported: "regular", "regulargpool", "bottle{1,2,3}" (+gpool),
+"bottlenest2" (+gpool), and the v17 transformer kinds "attnrope" (RMSNorm +
+2D-RoPE multi-head attention, model_pytorch.py:2079), "ffng" / "ffnsg"
+(RMSNorm + FFN, plain / SwiGLU, model_pytorch.py:2485).
 """
 
 from __future__ import annotations
@@ -35,6 +36,12 @@ class ModelConfig:
     sbv2_num_channels: int = 48
     num_scorebeliefs: int = 4
     initial_conv_1x1: bool = False
+    # v17 transformer knobs (modelconfigs.py b5c48h3tfr etc.)
+    transformer_ffn_channels: int = 0
+    transformer_heads: int = 0
+    transformer_kv_heads: int = 0
+    attention_qk_norm: bool = False
+    rope_theta: float = 100.0
 
     @property
     def num_policy_outputs(self) -> int:
@@ -128,6 +135,38 @@ _register(ModelConfig(
                        + [("bottlenest2", 4)]),
     p1_num_channels=64, g1_num_channels=64, v1_num_channels=128,
     v2_size=144, sbv2_num_channels=128, num_scorebeliefs=8,
+))
+
+
+# v17 transformer configs (modelconfigs.py:985-1100)
+_register(ModelConfig(
+    name="b5c48h3tfr", version=17, trunk_num_channels=48,
+    mid_num_channels=48, gpool_num_channels=32,
+    transformer_ffn_channels=128, transformer_heads=3,
+    transformer_kv_heads=3,
+    block_kind=tuple(k for _ in range(5) for k in ("attnrope", "ffng")),
+    p1_num_channels=16, g1_num_channels=16, v1_num_channels=16,
+    v2_size=48, sbv2_num_channels=32, num_scorebeliefs=4,
+))
+
+_register(ModelConfig(
+    name="b7c96h3tfrs", version=17, trunk_num_channels=96,
+    mid_num_channels=96, gpool_num_channels=32,
+    transformer_ffn_channels=256, transformer_heads=3,
+    transformer_kv_heads=3,
+    block_kind=tuple(k for _ in range(7) for k in ("attnrope", "ffnsg")),
+    p1_num_channels=32, g1_num_channels=32, v1_num_channels=32,
+    v2_size=64, sbv2_num_channels=48, num_scorebeliefs=4,
+))
+
+_register(ModelConfig(
+    name="b7c96h6kv3tfrs", version=17, trunk_num_channels=96,
+    mid_num_channels=96, gpool_num_channels=32,
+    transformer_ffn_channels=256, transformer_heads=6,
+    transformer_kv_heads=3, attention_qk_norm=True,
+    block_kind=tuple(k for _ in range(7) for k in ("attnrope", "ffnsg")),
+    p1_num_channels=32, g1_num_channels=32, v1_num_channels=32,
+    v2_size=64, sbv2_num_channels=48, num_scorebeliefs=4,
 ))
 
 

@@ -229,6 +229,135 @@ class NestedBottleneckResBlock(nn.Module):
         return out
 
 
+class RMSNorm(nn.Module):
+    """torch.nn.RMSNorm equivalent (model_pytorch.py transformer norms)."""
+    features: int
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        xf = x.astype(jnp.float32)
+        ms = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+        return (xf * jax.lax.rsqrt(ms + self.eps) * scale).astype(x.dtype)
+
+
+def rope_cos_sin_2d(dim: int, pos_len: int, theta: float = 100.0):
+    """precompute_freqs_cos_sin_2d (model_pytorch.py:1415-1435): 2-D RoPE
+    tables, interleaved layout. Returns (cos, sin) f32[pos_len^2, dim]."""
+    assert dim % 4 == 0
+    dim_half = dim // 2
+    freqs = 1.0 / (theta ** (np.arange(0, dim_half, 2, dtype=np.float32)
+                             / dim_half))
+    t = np.arange(pos_len, dtype=np.float32)
+    grid_h, grid_w = np.meshgrid(t, t, indexing="ij")
+    emb_h = grid_h[..., None] * freqs
+    emb_w = grid_w[..., None] * freqs
+    emb = np.concatenate([emb_h, emb_w], axis=-1).reshape(
+        pos_len * pos_len, dim_half)
+    emb = np.repeat(emb, 2, axis=-1)
+    return np.cos(emb), np.sin(emb)
+
+
+def _rotate_every_two(x):
+    x2 = x.reshape(x.shape[:-1] + (-1, 2))
+    x0, x1 = x2[..., 0], x2[..., 1]
+    return jnp.stack([-x1, x0], axis=-1).reshape(x.shape)
+
+
+def apply_rope(q, k, cos, sin):
+    """apply_rotary_emb (model_pytorch.py:1437-1455). q,k: [B,S,H,D];
+    cos,sin: [S,D]."""
+    cos = cos[None, :, None, :]
+    sin = sin[None, :, None, :]
+    q2 = q * cos + _rotate_every_two(q) * sin
+    k2 = k * cos + _rotate_every_two(k) * sin
+    return q2.astype(q.dtype), k2.astype(k.dtype)
+
+
+class TransformerAttentionBlock(nn.Module):
+    """v17 attention half-block (TransformerAttentionBlock,
+    model_pytorch.py:2079): RMSNorm -> GQA projections -> 2D RoPE ->
+    masked attention over board positions -> out projection. Returns the
+    residual (caller adds to the trunk). GAB/TAB template attention and
+    learnable RoPE are follow-ups; the core RoPE path matches "attnrope".
+    """
+    cfg: ModelConfig
+    pos_len: int
+    use_rope: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask, mask_sum_hw):
+        cfg = self.cfg
+        b, h, w, c = x.shape
+        s = h * w
+        n_heads = cfg.transformer_heads
+        n_kv = cfg.transformer_kv_heads or n_heads
+        q_dim = c // n_heads
+        v_dim = c // n_heads
+        n_rep = n_heads // n_kv
+
+        xs = x.reshape(b, s, c)
+        xn = RMSNorm(c)(xs).astype(self.dtype)
+
+        dense = lambda f, name: nn.Dense(
+            f, use_bias=False, dtype=self.dtype,
+            kernel_init=nn.initializers.lecun_normal(), name=name)
+        q = dense(n_heads * q_dim, "q_proj")(xn).reshape(b, s, n_heads, q_dim)
+        k = dense(n_kv * q_dim, "k_proj")(xn).reshape(b, s, n_kv, q_dim)
+        v = dense(n_kv * v_dim, "v_proj")(xn).reshape(b, s, n_kv, v_dim)
+
+        if cfg.attention_qk_norm:
+            q = RMSNorm(q_dim, name="q_norm")(q).astype(self.dtype)
+            k = RMSNorm(q_dim, name="k_norm")(k).astype(self.dtype)
+
+        if self.use_rope:
+            cos, sin = rope_cos_sin_2d(q_dim, self.pos_len, cfg.rope_theta)
+            q, k = apply_rope(q, k, jnp.asarray(cos), jnp.asarray(sin))
+
+        if n_rep > 1:
+            k = jnp.repeat(k, n_rep, axis=2)
+            v = jnp.repeat(v, n_rep, axis=2)
+
+        # masked attention: off-board keys excluded
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(q_dim)
+        key_mask = mask.reshape(b, 1, 1, s)
+        logits = jnp.where(key_mask > 0, logits, -1e30)
+        att = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(
+            self.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", att, v).reshape(b, s,
+                                                            n_heads * v_dim)
+        out = dense(c, "out_proj")(out)
+        return out.reshape(b, h, w, c) * mask
+
+
+class TransformerFFNBlock(nn.Module):
+    """v17 FFN half-block (TransformerFFNBlock, model_pytorch.py:2485):
+    RMSNorm -> FFN (optionally SwiGLU) -> projection. Returns residual."""
+    cfg: ModelConfig
+    use_swiglu: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask, mask_sum_hw):
+        cfg = self.cfg
+        b, h, w, c = x.shape
+        ffn = cfg.transformer_ffn_channels
+        xn = RMSNorm(c)(x).astype(self.dtype)
+        dense = lambda f, name: nn.Dense(
+            f, use_bias=False, dtype=self.dtype,
+            kernel_init=nn.initializers.lecun_normal(), name=name)
+        y = dense(ffn, "ffn_linear1")(xn)
+        if self.use_swiglu:
+            gate = dense(ffn, "ffn_linear_gate")(xn)
+            y = jax.nn.silu(gate) * y
+        else:
+            y = act_fn(cfg.activation)(y)
+        y = dense(c, "ffn_linear2")(y)
+        return y * mask
+
+
 class PolicyHead(nn.Module):
     """Policy over NN+1 moves x num_policy_outputs channels.
 
@@ -369,6 +498,17 @@ class KataGoModel(nn.Module):
         num_blocks = len(cfg.block_kind)
         fixup_scale = 1.0 / math.sqrt(max(num_blocks, 1))
         for kind in cfg.block_kind:
+            if kind in ("attnrope", "attn"):
+                blk = TransformerAttentionBlock(
+                    cfg, self.pos_len, use_rope=(kind == "attnrope"),
+                    dtype=self.dtype)
+                x = x + blk(x, mask, mask_sum_hw)
+                continue
+            if kind in ("ffng", "ffnsg"):
+                blk = TransformerFFNBlock(cfg, use_swiglu=(kind == "ffnsg"),
+                                          dtype=self.dtype)
+                x = x + blk(x, mask, mask_sum_hw)
+                continue
             use_gpool = kind.endswith("gpool")
             base = kind[:-5] if use_gpool else kind
             c_gp = cfg.gpool_num_channels if use_gpool else None

