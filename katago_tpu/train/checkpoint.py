@@ -67,6 +67,19 @@ def export_params(export_dir: str, name: str, params) -> str:
     return final
 
 
+def export_bin_gz(export_dir: str, name: str, params, cfg) -> str | None:
+    """Additionally publish the reference .bin.gz engine format
+    (export_model_pytorch.py equivalent; models/export.py). Returns None
+    for architectures the conv format can't express (transformers)."""
+    from katago_tpu.models.export import export_model
+    os.makedirs(export_dir, exist_ok=True)
+    path = os.path.join(export_dir, f"{name}.bin.gz")
+    try:
+        return export_model(jax.device_get(params), cfg, path, name=name)
+    except ValueError:
+        return None
+
+
 def find_latest_model(models_dir: str) -> str | None:
     """Newest model export by mtime (reference LoadModel::findLatestModel)."""
     if not os.path.isdir(models_dir):
