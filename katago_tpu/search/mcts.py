@@ -571,6 +571,87 @@ def backprop_path(ss: SearchState, sel: PathSel, sp: SearchParamsArr,
     return ss._replace(tree=tree)
 
 
+def extract_subtree(tree: Tree, action: jax.Array) -> Tree:
+    """Re-root a single game's tree at the child reached by `action`
+    (Search::makeMove tree reuse, search.h:253-257).
+
+    Returns a compacted tree whose node 0 is the old root's child for
+    `action` and whose nodes are exactly that child's subtree (stats,
+    positions, and links preserved; everything else cleared). If the child
+    was never expanded the result has num_nodes == 0 and the caller falls
+    back to a fresh root.
+
+    Membership is computed by pointer-jumping over the parent array
+    (log-depth, fixed trip count); children are always allocated after
+    parents, so the new root is the minimum index of its subtree and the
+    cumsum compaction maps it to slot 0.
+    """
+    n = tree.visits.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    a = jnp.maximum(action, 0)
+    new_root = tree.children[0, a]
+    has = (new_root >= 0) & (action >= 0)
+    nr = jnp.maximum(new_root, 0)
+
+    valid = idx < tree.num_nodes
+    in_sub = (idx == nr) & valid
+    p = jnp.where(valid & (tree.parent >= 0), tree.parent, idx)
+    steps = int(np.ceil(np.log2(max(n, 2)))) + 1
+    for _ in range(steps):
+        in_sub = in_sub | in_sub[p]
+        p = p[p]
+    in_sub = in_sub & valid & has
+
+    new_idx = jnp.cumsum(in_sub.astype(jnp.int32)) - 1       # [-1..count)
+    count = jnp.sum(in_sub.astype(jnp.int32))
+    target = jnp.where(in_sub, new_idx, n)                   # n = dump slot
+
+    def scatter(arr, fill=0):
+        shape = (n + 1,) + arr.shape[1:]
+        out = jnp.full(shape, fill, arr.dtype)
+        out = out.at[target].set(arr)
+        return out[:n]
+
+    # remap index-valued arrays
+    new_idx_pad = jnp.concatenate([new_idx, jnp.full((1,), -1, jnp.int32)])
+    child_ok = (tree.children >= 0) & in_sub[jnp.clip(tree.children, 0,
+                                                      n - 1)]
+    children_rm = jnp.where(child_ok,
+                            new_idx_pad[jnp.clip(tree.children, 0, n - 1)],
+                            -1)
+    parent_ok = (tree.parent >= 0) & in_sub[jnp.clip(tree.parent, 0, n - 1)]
+    parent_rm = jnp.where(parent_ok,
+                          new_idx_pad[jnp.clip(tree.parent, 0, n - 1)], -1)
+
+    new_pos = jax.tree.map(scatter, tree.pos)
+    return Tree(
+        pos=new_pos,
+        ko_hash=scatter(tree.ko_hash),
+        parent=scatter(parent_rm, -1),
+        parent_action=scatter(tree.parent_action, -1),
+        depth=scatter(tree.depth - tree.depth[nr]),
+        children=scatter(children_rm, -1),
+        policy=scatter(tree.policy),
+        visits=scatter(tree.visits),
+        weight_sum=scatter(tree.weight_sum),
+        utility_sum=scatter(tree.utility_sum),
+        utility_sq_sum=scatter(tree.utility_sq_sum),
+        winloss_sum=scatter(tree.winloss_sum),
+        score_mean_sum=scatter(tree.score_mean_sum),
+        score_meansq_sum=scatter(tree.score_meansq_sum),
+        lead_sum=scatter(tree.lead_sum),
+        weight_sq_sum=scatter(tree.weight_sq_sum),
+        nn_utility=scatter(tree.nn_utility),
+        nn_winloss=scatter(tree.nn_winloss),
+        nn_score_mean=scatter(tree.nn_score_mean),
+        nn_score_meansq=scatter(tree.nn_score_meansq),
+        nn_score_stdev=scatter(tree.nn_score_stdev),
+        nn_lead=scatter(tree.nn_lead),
+        nn_weight=scatter(tree.nn_weight),
+        num_nodes=count,
+    )
+
+
 def make_nn_evaluator(model_apply: Callable, model_params: Any, size: int,
                       with_ladders: bool = True):
     """Returns batched_eval(leaf_gs_batch, feat_params, rng) -> per-game NN
@@ -646,8 +727,16 @@ def run_search(model_apply: Callable, model_params: Any,
                roots: H.GameState, sp: SearchParamsArr,
                rng: jax.Array, *, size: int, num_sims: int,
                max_nodes: int, max_depth: int = 64,
-               with_ladders: bool = True) -> SearchResult:
-    """Run num_sims playouts for a batch of games. roots: GameState[G]."""
+               with_ladders: bool = True,
+               prev_tree: Tree | None = None,
+               prev_actions: jax.Array | None = None) -> SearchResult:
+    """Run num_sims playouts for a batch of games. roots: GameState[G].
+
+    prev_tree/prev_actions: tree reuse (Search::makeMove) — the previous
+    search's trees [G,...] and the actions that were then played; each
+    game re-roots at the played child (falling back to a fresh root when
+    the child was never expanded). Root Dirichlet noise and root policy
+    temperature are re-applied to the reused root's stored prior."""
     nn = size * size
     a = nn + 1
     g = roots.hist_len.shape[0]
@@ -739,8 +828,56 @@ def run_search(model_apply: Callable, model_params: Any,
         )
         return tree
 
-    ss = ss._replace(tree=jax.vmap(install_root)(ss.tree, roots,
-                                                 root_ko_hash, root_ev))
+    fresh = jax.vmap(install_root)(ss.tree, roots, root_ko_hash, root_ev)
+
+    if prev_tree is not None:
+        prev_n = prev_tree.visits.shape[1]
+        if prev_n > max_nodes:
+            raise ValueError(
+                f"tree reuse requires prev max_nodes ({prev_n}) <= new "
+                f"max_nodes ({max_nodes}); shrinking pools would corrupt "
+                "subtree links")
+        reused = jax.vmap(extract_subtree)(prev_tree, prev_actions)
+        if prev_n < max_nodes:
+            # pad the reused pool with empty rows up to the new budget
+            empty = jax.vmap(lambda _: empty_tree(size, max_nodes))(
+                jnp.arange(g))
+            reused = jax.tree.map(
+                lambda a, e: (jnp.concatenate(
+                    [a, e[:, prev_n:]], axis=1) if a.ndim >= 2 and
+                    a.shape[1] == prev_n else a),
+                reused, empty)
+        ok = reused.num_nodes > 0
+        # re-apply the root policy transform (temperature + noise) to the
+        # reused root's stored leaf prior
+        rng, sub2 = jax.random.split(rng)
+
+        def reroot_policy(pol, key, temp):
+            legal_mask = pol >= 0
+            pl_ = jnp.where(legal_mask, jnp.maximum(pol, 1e-10), 1.0)
+            pl_ = jnp.power(pl_, 1.0 / jnp.maximum(temp, 1e-6))
+            pl_ = pl_ / jnp.maximum(
+                jnp.sum(jnp.where(legal_mask, pl_, 0.0)), 1e-10)
+            return jnp.where(legal_mask,
+                             add_noise(jnp.where(legal_mask, pl_, -1.0), key),
+                             -1.0)
+
+        reroot_pol = jax.vmap(reroot_policy)(
+            reused.policy[:, 0, :], jax.random.split(sub2, g),
+            root_policy_temp)
+        reused = reused._replace(
+            policy=reused.policy.at[:, 0, :].set(reroot_pol),
+            # the live game state is authoritative for the root position
+            pos=jax.tree.map(lambda store, v: store.at[:, 0].set(v),
+                             reused.pos, roots.pos))
+        tree0 = jax.tree.map(
+            lambda r, f: jnp.where(
+                ok.reshape((-1,) + (1,) * (f.ndim - 1)), r, f)
+            if f.ndim > 1 else jnp.where(ok, r, f),
+            reused, fresh)
+        ss = ss._replace(tree=tree0)
+    else:
+        ss = ss._replace(tree=fresh)
 
     # ---- playout loop ----
     def one_sim(carry, _):

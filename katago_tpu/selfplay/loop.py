@@ -155,7 +155,8 @@ def play_games(model_apply: Callable, model_params: Any, *,
                search_params: SearchParams | None = None,
                max_moves: int | None = None,
                rng: jax.Array | None = None,
-               record: bool = True) -> tuple[GameBatchData | None, dict]:
+               record: bool = True,
+               tree_reuse: bool = True) -> tuple[GameBatchData | None, dict]:
     """Play a batch of selfplay games to completion. Returns recorded data
     and summary stats (moves, scores, winners)."""
     nn = size * size
@@ -171,6 +172,10 @@ def play_games(model_apply: Callable, model_params: Any, *,
     search_fn = jax.jit(lambda roots, key: mcts.run_search(
         model_apply, model_params, roots, sp, key, size=size,
         num_sims=visits, max_nodes=visits + 3))
+    search_reuse_fn = jax.jit(lambda roots, key, pt, pa: mcts.run_search(
+        model_apply, model_params, roots, sp, key, size=size,
+        num_sims=visits, max_nodes=visits + 3,
+        prev_tree=pt, prev_actions=pa))
     choose_fn = jax.jit(lambda res, mn, key: mcts.choose_moves(res, sp, mn, key))
     step_fn = jax.jit(jax.vmap(H.step, in_axes=(0, 0, None)), static_argnums=2)
     feat_fn = jax.jit(jax.vmap(F.fill_features_v7, in_axes=(0, None, None)),
@@ -186,13 +191,19 @@ def play_games(model_apply: Callable, model_params: Any, *,
 
     rows = []  # host-side per-move records
     total_playouts = 0
+    prev = None   # (tree, actions) for Search::makeMove-style reuse
     for move_i in range(max_moves):
         done = np.asarray(games.pos.game_over)
         if done.all():
             break
         rng, k1, k2 = jax.random.split(rng, 3)
-        res = search_fn(games, k1)
+        if prev is None or not tree_reuse:
+            res = search_fn(games, k1)
+        else:
+            res = search_reuse_fn(games, k1, prev[0], prev[1])
         moves = choose_fn(res, games.pos.move_num, k2)
+        if tree_reuse:
+            prev = (res.ss.tree, moves)
         total_playouts += int((~done).sum()) * visits
 
         if record:

@@ -236,3 +236,58 @@ def test_recompute_backup_value_consistency():
     root_wl = float(np.asarray(res.root_winloss[0]))
     assert root_wl < -0.2
     assert w > 10
+
+
+def test_tree_reuse_extract_subtree():
+    """extract_subtree re-roots at the played child: stats preserved,
+    indices remapped, fresh fallback when unexpanded."""
+    roots = make_roots(g=1)
+    res = run(neutral_model(), roots, num_sims=40)
+    tree1 = jax.tree.map(lambda a: a[0], res.ss.tree)
+    cv = np.asarray(res.child_visits[0])
+    a = int(cv.argmax())
+    child = int(np.asarray(tree1.children)[0, a])
+    assert child > 0
+    sub = mcts.extract_subtree(tree1, jnp.int32(a))
+    n_sub = int(sub.num_nodes)
+    assert 1 <= n_sub <= int(tree1.num_nodes)
+    # new root carries the child's stats
+    assert int(sub.visits[0]) == int(np.asarray(tree1.visits)[child])
+    assert float(sub.weight_sum[0]) == pytest.approx(
+        float(np.asarray(tree1.weight_sum)[child]))
+    # link consistency: every non-root node's parent is inside the subtree
+    parent = np.asarray(sub.parent)[:n_sub]
+    assert parent[0] == -1
+    assert ((parent[1:] >= 0) & (parent[1:] < n_sub)).all()
+    children = np.asarray(sub.children)[:n_sub]
+    assert (children < n_sub).all()
+    # unexpanded action -> empty result
+    illegal = np.flatnonzero(cv == 0)
+    empty = mcts.extract_subtree(tree1, jnp.int32(int(illegal[0])))
+    has_child = int(np.asarray(tree1.children)[0, int(illegal[0])])
+    if has_child < 0:
+        assert int(empty.num_nodes) == 0
+
+
+def test_tree_reuse_continues_search():
+    """A reused search starts from the subtree's visits and still returns
+    consistent results after the game steps forward."""
+    from katago_tpu.game import history as Hm
+    roots = make_roots(g=2)
+    model = neutral_model()
+    res = run(model, roots, num_sims=30)
+    sp = SearchParams().to_arr()
+    mv = mcts.choose_moves(res, sp, jnp.zeros((2,), jnp.int32),
+                           jax.random.PRNGKey(0))
+    games2, _ = jax.vmap(Hm.step, in_axes=(0, 0, None))(roots, mv, SIZE)
+    res2 = mcts.run_search(model, None, games2, sp, jax.random.PRNGKey(1),
+                           size=SIZE, num_sims=20, max_nodes=54,
+                           prev_tree=res.ss.tree, prev_actions=mv)
+    rv = np.asarray(res2.root_visits)
+    # reused roots start with the child's prior visits, so totals exceed
+    # a fresh 20-sim search wherever the played child had been explored
+    prior = np.asarray(res.child_visits)[np.arange(2), np.asarray(mv)]
+    for gidx in range(2):
+        if prior[gidx] > 0:
+            assert rv[gidx] >= 20 + prior[gidx] - 1
+    assert np.isfinite(np.asarray(res2.root_winloss)).all()
