@@ -36,6 +36,9 @@ class ModelConfig:
     sbv2_num_channels: int = 48
     num_scorebeliefs: int = 4
     initial_conv_1x1: bool = False
+    # humanSL metadata conditioning (model_pytorch.py:2881)
+    metadata_encoder: bool = False
+    metadata_encoder_channels: int = 64
     # v17 transformer knobs (modelconfigs.py b5c48h3tfr etc.)
     transformer_ffn_channels: int = 0
     transformer_heads: int = 0

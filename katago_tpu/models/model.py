@@ -358,6 +358,33 @@ class TransformerFFNBlock(nn.Module):
         return y * mask
 
 
+class MetadataEncoder(nn.Module):
+    """HumanSL SGF-metadata conditioning (MetadataEncoder,
+    model_pytorch.py:2881): 192 metadata floats -> 2-layer MLP -> trunk
+    bias, scaled by 0.5. Channel 86 (board area) is masked out (the trunk
+    already sees the board mask)."""
+    cfg: ModelConfig
+    internal_channels: int = 64
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_meta):
+        actn = self.cfg.activation
+        mask = jnp.ones((192,), jnp.float32).at[86].set(0.0)
+        x = input_meta * mask[None, :]
+        x = nn.Dense(self.internal_channels,
+                     kernel_init=katago_init(actn, 0.8),
+                     bias_init=nn.initializers.zeros)(x)
+        x = act_fn(actn)(x)
+        x = nn.Dense(self.internal_channels,
+                     kernel_init=katago_init(actn, 0.8),
+                     bias_init=nn.initializers.zeros)(x)
+        x = act_fn(actn)(x)
+        x = nn.Dense(self.cfg.trunk_num_channels, use_bias=False,
+                     kernel_init=katago_init(actn, 0.8))(x)
+        return 0.5 * x
+
+
 class PolicyHead(nn.Module):
     """Policy over NN+1 moves x num_policy_outputs channels.
 
@@ -474,13 +501,15 @@ class ValueHead(nn.Module):
 
 class KataGoModel(nn.Module):
     """Full net. Input: spatial [B,H,W,22] f32, global [B,19] f32,
-    mask [B,H,W,1]. Output dict with policy + value-head tensors."""
+    mask [B,H,W,1], optional metadata [B,192] (humanSL conditioning when
+    cfg.metadata_encoder is on). Output dict with policy + value-head
+    tensors."""
     cfg: ModelConfig
     pos_len: int
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, spatial, global_in, mask=None):
+    def __call__(self, spatial, global_in, mask=None, metadata=None):
         cfg = self.cfg
         actn = cfg.activation
         b, h, w, _ = spatial.shape
@@ -494,6 +523,13 @@ class KataGoModel(nn.Module):
                      kernel_init=katago_init(actn, 0.6))(
                          global_in.astype(self.dtype))
         x = x + g[:, None, None, :]
+        if cfg.metadata_encoder:
+            if metadata is None:
+                metadata = jnp.zeros((b, 192), jnp.float32)
+            meta_bias = MetadataEncoder(
+                cfg, internal_channels=cfg.metadata_encoder_channels)(
+                metadata)
+            x = x + meta_bias[:, None, None, :].astype(self.dtype)
 
         num_blocks = len(cfg.block_kind)
         fixup_scale = 1.0 / math.sqrt(max(num_blocks, 1))
