@@ -482,7 +482,11 @@ def main(argv=None):
 
     visits = 100
     rules = R.Rules.tromp_taylorish()
+    search_params = None
+    lag_buffer = None
     if args.config:
+        from katago_tpu.utils.setup import (load_search_params,
+                                            search_limits, warn_unused)
         cfg = ConfigParser(args.config)
         if args.override:
             cfg.apply_overrides(args.override)
@@ -492,11 +496,19 @@ def main(argv=None):
         if cfg.contains("komi"):
             rules = R.Rules(**{**rules.__dict__,
                                "komi": cfg.get_float("komi")})
+        # Setup::loadSingleParams: the full reference search-knob surface
+        search_params = load_search_params(cfg)
+        limits = search_limits(cfg)
+        lag_buffer = limits.get("lag_buffer")
+        warn_unused(cfg, log=lambda s: print(s, file=sys.stderr))
     if args.visits:
         visits = args.visits
 
     engine = GTPEngine(model_path=args.model, size=args.boardsize,
-                       rules=rules, visits=visits)
+                       rules=rules, visits=visits,
+                       search_params=search_params)
+    if lag_buffer is not None:
+        engine.lag_buffer = lag_buffer
     run_gtp(engine)
 
 
