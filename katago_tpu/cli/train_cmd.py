@@ -59,17 +59,27 @@ def run_training(data_dir: str, ckpt_dir: str, export_dir: str | None, *,
     train_step = jax.jit(make_train_step(model.apply, optimizer))
     rng = np.random.default_rng(seed)
     metrics_hist = []
+    # anomaly detection + JSON-lines metrics (trainloop_helpers.py:300,
+    # metrics_logging.py)
+    from katago_tpu.train.watchers import GnormWatcher, MetricsLogger
+    watcher = GnormWatcher(log=log)
+    mlog = MetricsLogger(os.path.join(ckpt_dir, "metrics.json"))
     t0 = time.time()
     for i in range(steps):
         idx = rng.integers(0, n, size=batch_size)
         batch = {k: jnp.asarray(v[idx]) for k, v in data.items()}
         state, metrics = train_step(state, batch)
+        gn = float(metrics["gnorm"])
+        watcher.observe(gn)
+        mlog.accumulate({k: float(v) for k, v in metrics.items()},
+                        batch_size=batch_size)
+        mlog.clear_nonfinite(log=log)
         if i % max(1, steps // 10) == 0 or i == steps - 1:
-            m = {k: float(v) for k, v in metrics.items()}
-            metrics_hist.append(m)
+            m = mlog.log_line({"step": start_step + i})
+            metrics_hist.append({k: float(v) for k, v in metrics.items()})
             log(f"  step {start_step + i}: loss={m['loss']:.4f} "
                 f"policy={m['policy_loss']:.4f} value={m['value_loss']:.4f} "
-                f"gnorm={m['gnorm']:.3f}")
+                f"gnorm={gn:.3f}")
         if export_every and export_dir and (i + 1) % export_every == 0:
             C.export_params(export_dir,
                             f"{config_name}-s{start_step + i + 1}",
