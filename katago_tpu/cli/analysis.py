@@ -69,6 +69,12 @@ class AnalysisEngine:
             return [{"id": req.get("id"), "action": "clear_cache"}]
         if action == "terminate":
             return [{"id": req.get("id"), "action": "terminate"}]
+        if action == "query_models":
+            return [{"id": req.get("id"), "action": "query_models",
+                     "models": [{"name": self.model_name,
+                                 "internalName": self.model_name,
+                                 "maxBatchSize": -1,
+                                 "usesHumanSLProfile": False}]}]
 
         rid = req.get("id")
         if rid is None:
@@ -97,6 +103,7 @@ class AnalysisEngine:
         moves = req.get("moves", [])
         initial = req.get("initialStones", [])
         want_ownership = bool(req.get("includeOwnership", False))
+        want_policy = bool(req.get("includePolicy", False))
 
         player_of = {"B": B.BLACK, "W": B.WHITE,
                      "b": B.BLACK, "w": B.WHITE}
@@ -125,10 +132,11 @@ class AnalysisEngine:
             self._rng, sub = jax.random.split(self._rng)
             res = self._search_fn(size, visits)(roots, sub)
             out.append(self._response(rid, turn, state, res, size,
-                                      want_ownership))
+                                      want_ownership, want_policy))
         return out
 
-    def _response(self, rid, turn, state, res, size, want_ownership) -> dict:
+    def _response(self, rid, turn, state, res, size, want_ownership,
+                  want_policy=False) -> dict:
         cv = np.asarray(res.child_visits[0])
         prior = np.asarray(res.root_policy_prior[0])
         tree = res.ss.tree
@@ -182,6 +190,8 @@ class AnalysisEngine:
                                    jnp.asarray(gl_feat).reshape(1, 19))
             own = np.tanh(np.asarray(raw["ownership_pretanh"][0])).reshape(-1)
             resp["ownership"] = [round(sign * float(v), 4) for v in own]
+        if want_policy:
+            resp["policy"] = [round(float(max(p, -1.0)), 6) for p in prior]
         return resp
 
 
