@@ -92,7 +92,8 @@ def pack_rows(spatial: np.ndarray, global_in: np.ndarray,
               q_winloss: np.ndarray | None = None,
               q_score: np.ndarray | None = None,
               q_visits: np.ndarray | None = None,
-              game_hash: np.ndarray | None = None
+              game_hash: np.ndarray | None = None,
+              row_weight: np.ndarray | None = None
               ) -> dict[str, np.ndarray]:
     """Assemble reference-schema arrays from mover-perspective row data.
 
@@ -137,7 +138,7 @@ def pack_rows(spatial: np.ndarray, global_in: np.ndarray,
     if variance_time is not None:
         gt[:, 22] = variance_time           # C22 WL-variance arrival time
     gt[:, 24] = 0.0                         # full weight on td targets
-    gt[:, 25] = 1.0                         # C25 row weight
+    gt[:, 25] = 1.0 if row_weight is None else row_weight  # C25 row weight
     gt[:, 26] = 1.0                         # C26 policy weight
     gt[:, 27] = 1.0                         # C27 ownership/scoredistr weight
     gt[:, 28] = (next_policy_target.sum(-1) > 0).astype(np.float32)

@@ -51,6 +51,7 @@ class GameBatchData:
     q_score_white: np.ndarray       # [rows, NN+1] f32 child score (white)
     q_visits: np.ndarray            # [rows, NN+1] i32 child visits
     seki_diff_mover: np.ndarray     # [rows, NN] f32 full-area-vs-ownership
+    policy_prior: np.ndarray        # [rows, NN+1] f32 root prior
 
     def to_npz_arrays(self, size: int, final_score_white: np.ndarray,
                       komi_white: np.ndarray | None = None) -> dict:
@@ -126,6 +127,12 @@ class GameBatchData:
         # under area scoring (mover persp, in [-1,1])
         scoring = self.ownership_target.astype(np.float32)
 
+        # policy-surprise row weighting (playsettings.h:56)
+        from katago_tpu.selfplay.playsettings import policy_surprise_weights
+        row_weight = policy_surprise_weights(
+            self.policy_target, self.policy_prior,
+            np.ones(n, np.float32), 0.5)
+
         lead_mover = self.mcts_lead_white * sign
         if komi_white is None:
             komi_mover = np.zeros(n, np.float32)
@@ -146,7 +153,8 @@ class GameBatchData:
             q_winloss=self.q_winloss_white * sign[:, None],
             q_score=self.q_score_white * sign[:, None],
             q_visits=self.q_visits,
-            game_hash=ghash)
+            game_hash=ghash,
+            row_weight=row_weight)
 
 
 def play_games(model_apply: Callable, model_params: Any, *,
@@ -156,26 +164,47 @@ def play_games(model_apply: Callable, model_params: Any, *,
                max_moves: int | None = None,
                rng: jax.Array | None = None,
                record: bool = True,
-               tree_reuse: bool = True) -> tuple[GameBatchData | None, dict]:
+               tree_reuse: bool = True,
+               play_settings=None) -> tuple[GameBatchData | None, dict]:
     """Play a batch of selfplay games to completion. Returns recorded data
-    and summary stats (moves, scores, winners)."""
+    and summary stats (moves, scores, winners).
+
+    play_settings: PlaySettings data-quality knobs (policy-init openings,
+    cheap/full search mixing — cheap-search moves advance the game but are
+    not recorded, matching cheapSearchTargetWeight=0)."""
+    from katago_tpu.selfplay.playsettings import PlaySettings
     nn = size * size
     rules = rules or R.Rules.tromp_taylorish()
     sp = (search_params or SearchParams.for_selfplay()).to_arr()
+    ps = play_settings or PlaySettings.for_testing(visits)
     max_moves = max_moves or int(nn * 1.6) + 20
     rng = rng if rng is not None else jax.random.PRNGKey(0)
+    host_rng = np.random.default_rng(
+        int(jax.random.randint(rng, (), 0, 2 ** 31 - 1)))
 
     gs = H.new_game(size, H.RulesArr.from_rules(rules), max_hist=max_moves + 8)
     games = jax.tree.map(
         lambda x: jnp.broadcast_to(x, (num_games,) + x.shape).copy(), gs)
 
-    search_fn = jax.jit(lambda roots, key: mcts.run_search(
-        model_apply, model_params, roots, sp, key, size=size,
-        num_sims=visits, max_nodes=visits + 3))
-    search_reuse_fn = jax.jit(lambda roots, key, pt, pa: mcts.run_search(
-        model_apply, model_params, roots, sp, key, size=size,
-        num_sims=visits, max_nodes=visits + 3,
-        prev_tree=pt, prev_actions=pa))
+    # cheap and full searches share one node-pool shape so tree reuse works
+    # across budget switches (playsettings cheap/full mixing)
+    max_nodes = visits + 3
+    cheap_visits = min(max(ps.cheap_search_visits, 2), visits)
+
+    def make_search(n_sims, reuse):
+        if reuse:
+            return jax.jit(lambda roots, key, pt, pa: mcts.run_search(
+                model_apply, model_params, roots, sp, key, size=size,
+                num_sims=n_sims, max_nodes=max_nodes,
+                prev_tree=pt, prev_actions=pa))
+        return jax.jit(lambda roots, key: mcts.run_search(
+            model_apply, model_params, roots, sp, key, size=size,
+            num_sims=n_sims, max_nodes=max_nodes))
+
+    search_fns = {True: (make_search(visits, False),
+                         make_search(visits, True)),
+                  False: (make_search(cheap_visits, False),
+                          make_search(cheap_visits, True))}
     choose_fn = jax.jit(lambda res, mn, key: mcts.choose_moves(res, sp, mn, key))
     step_fn = jax.jit(jax.vmap(H.step, in_axes=(0, 0, None)), static_argnums=2)
     feat_fn = jax.jit(jax.vmap(F.fill_features_v7, in_axes=(0, None, None)),
@@ -189,6 +218,13 @@ def play_games(model_apply: Callable, model_params: Any, *,
         conservative_pass=sp.conservative_pass,
     )
 
+    # per-game policy-init opening lengths (PlaySettings policyInitAvgMoveNum)
+    if ps.init_games_with_policy and ps.policy_init_avg_move_num > 0:
+        init_len = host_rng.exponential(
+            ps.policy_init_avg_move_num, size=num_games).astype(np.int32)
+    else:
+        init_len = np.zeros(num_games, np.int32)
+
     rows = []  # host-side per-move records
     total_playouts = 0
     prev = None   # (tree, actions) for Search::makeMove-style reuse
@@ -196,17 +232,34 @@ def play_games(model_apply: Callable, model_params: Any, *,
         done = np.asarray(games.pos.game_over)
         if done.all():
             break
-        rng, k1, k2 = jax.random.split(rng, 3)
+        # cheap/full decision per move (cheapSearchProb)
+        is_full = host_rng.random() >= ps.cheap_search_prob
+        move_visits = visits if is_full else cheap_visits
+        search_fn, search_reuse_fn = search_fns[is_full]
+        rng, k1, k2, k3 = jax.random.split(rng, 4)
         if prev is None or not tree_reuse:
             res = search_fn(games, k1)
         else:
             res = search_reuse_fn(games, k1, prev[0], prev[1])
         moves = choose_fn(res, games.pos.move_num, k2)
+        # policy-init: in-opening games sample from the raw prior instead
+        in_init = (np.asarray(games.pos.move_num) <
+                   init_len) & ~done
+        if in_init.any():
+            prior = res.root_policy_prior
+            logits = jnp.where(prior > 0, jnp.log(jnp.maximum(prior, 1e-10)),
+                               -jnp.inf)
+            pol_moves = jax.vmap(
+                lambda k, l: jax.random.categorical(k, l))(
+                jax.random.split(k3, num_games), logits)
+            moves = jnp.where(jnp.asarray(in_init), pol_moves, moves)
         if tree_reuse:
             prev = (res.ss.tree, moves)
-        total_playouts += int((~done).sum()) * visits
+        total_playouts += int((~done).sum()) * move_visits
 
-        if record:
+        # cheap-search and policy-init rows are not recorded
+        # (cheapSearchTargetWeight = 0, playsettings.h:47)
+        if record and is_full:
             sp_feat, gl_feat = feat_fn(games, size, feat_params)
             cvis = np.asarray(res.child_visits, np.float32)
             denom = np.maximum(cvis.sum(axis=1, keepdims=True), 1.0)
@@ -225,7 +278,9 @@ def play_games(model_apply: Callable, model_params: Any, *,
                 "q_winloss_white": np.asarray(res.child_winloss, np.float32),
                 "q_score_white": np.asarray(res.child_score_mean, np.float32),
                 "q_visits": np.asarray(res.child_visits, np.int32),
-                "live": ~done,
+                "policy_prior": np.asarray(res.root_policy_prior, np.float32),
+                "row_visits": move_visits,
+                "live": ~done & ~in_init,
             })
         games, _ = step_fn(games, moves, size)
 
@@ -257,7 +312,7 @@ def play_games(model_apply: Callable, model_params: Any, *,
                            "game_idx", "move_num", "mcts_winloss_white",
                            "mcts_lead_white", "visits", "mcts_score_white",
                            "stones", "q_winloss_white", "q_score_white",
-                           "q_visits", "seki_diff_mover")}
+                           "q_visits", "seki_diff_mover", "policy_prior")}
     # seki diff (white-persp colors): full-area owner of points that ended
     # up unowned (trainingwrite.cpp:750-752)
     own_color = np.where(own > 0, B.BLACK, np.where(own < 0, B.WHITE, 0))
@@ -294,13 +349,14 @@ def play_games(model_apply: Callable, model_params: Any, *,
         out["move_num"].append(rec["move_num"][idxs])
         out["mcts_winloss_white"].append(rec["mcts_winloss_white"][idxs])
         out["mcts_lead_white"].append(rec["mcts_lead_white"][idxs])
-        out["visits"].append(np.full(len(idxs), visits, np.int32))
+        out["visits"].append(np.full(len(idxs), rec["row_visits"], np.int32))
         out["mcts_score_white"].append(rec["mcts_score_white"][idxs])
         out["stones"].append(rec["stones"][idxs])
         out["q_winloss_white"].append(rec["q_winloss_white"][idxs])
         out["q_score_white"].append(rec["q_score_white"][idxs])
         out["q_visits"].append(rec["q_visits"][idxs])
         out["seki_diff_mover"].append(seki_mover.astype(np.float32))
+        out["policy_prior"].append(rec["policy_prior"][idxs])
 
     data = GameBatchData(**{k: np.concatenate(v, axis=0) for k, v in out.items()})
     return data, stats
