@@ -405,11 +405,31 @@ def insert_and_backup(ss: SearchState, sel: PathSel, leaf_pos: H.PosState,
                       leaf_ko_hash: jax.Array, ev: LeafEval,
                       superko_illegal: jax.Array,
                       sp: SearchParamsArr) -> SearchState:
-    """Allocate the leaf node (unless terminal/full/illegal) and back up."""
+    """Allocate the leaf node (unless terminal/full/illegal) and back up.
+
+    Graph search (MCGS-lite): if an allocated node at the SAME depth already
+    holds this position's ko-hash, the expansion links the parent to that
+    existing node instead of allocating a duplicate — transpositions share
+    one subtree (searchnodetable.{cpp,h} / docs/GraphSearch.md). The
+    equal-depth guard keeps the DAG acyclic (every edge goes depth ->
+    depth+1), the array analogue of graphhash.h:9-16's repBound cycle
+    guard. Stats stay correct because backup is recompute-style: parents
+    re-average their children on every path update, which is exactly the
+    value-propagation rule GraphSearch.md prescribes for transpositions.
+    """
     tree = ss.tree
     n = tree.visits.shape[0]
 
-    can_alloc = (~sel.is_terminal) & (tree.num_nodes < n) & ~superko_illegal
+    would_alloc = (~sel.is_terminal) & (tree.num_nodes < n) & ~superko_illegal
+    # transposition probe at the target depth
+    depth_new = tree.depth[sel.leaf_parent] + 1
+    idx = jnp.arange(n, dtype=jnp.int32)
+    is_tp = (idx < tree.num_nodes) & (tree.depth == depth_new) & \
+        jnp.all(tree.ko_hash == leaf_ko_hash[None, :], axis=1)
+    tp_idx = jnp.argmax(is_tp).astype(jnp.int32)
+    use_tp = sp.use_graph_search & jnp.any(is_tp) & would_alloc
+
+    can_alloc = would_alloc & ~use_tp
     new_idx = jnp.where(can_alloc, tree.num_nodes, n - 1)  # dummy last slot
 
     def set_at(arr, idx, val):
@@ -446,9 +466,10 @@ def insert_and_backup(ss: SearchState, sel: PathSel, leaf_pos: H.PosState,
         nn_weight=set_at(tree.nn_weight, new_idx, w0),
         num_nodes=tree.num_nodes + can_alloc.astype(jnp.int32),
     )
-    # link parent -> child
+    # link parent -> child (fresh node, or the transposed existing node)
+    link_idx = jnp.where(use_tp, tp_idx, new_idx)
     children = tree.children.at[sel.leaf_parent, jnp.maximum(sel.leaf_action, 0)].set(
-        jnp.where(can_alloc, new_idx,
+        jnp.where(can_alloc | use_tp, link_idx,
                   tree.children[sel.leaf_parent, jnp.maximum(sel.leaf_action, 0)]))
     # superko-illegal expansion: mark prior illegal so it's never tried again
     policy = tree.policy.at[sel.leaf_parent, jnp.maximum(sel.leaf_action, 0)].set(
@@ -456,13 +477,14 @@ def insert_and_backup(ss: SearchState, sel: PathSel, leaf_pos: H.PosState,
                   tree.policy[sel.leaf_parent, jnp.maximum(sel.leaf_action, 0)]))
     tree = tree._replace(children=children, policy=policy)
 
-    # visits are additive per playout, as in the reference (fetch_add)
+    # visits are additive per playout, as in the reference (fetch_add);
+    # a transposition hit counts a visit on the shared node
     pad = n - 1
     upd_nodes = jnp.concatenate([
         jnp.where(sel.path_nodes >= 0, sel.path_nodes, pad),
-        jnp.where(can_alloc, new_idx, pad)[None],
+        jnp.where(can_alloc, new_idx, jnp.where(use_tp, tp_idx, pad))[None],
     ])
-    valid = jnp.concatenate([sel.path_nodes >= 0, can_alloc[None]])
+    valid = jnp.concatenate([sel.path_nodes >= 0, (can_alloc | use_tp)[None]])
     # a superko-rejected expansion backs up nothing — the playout is void
     # (its prior was just marked illegal; the next sim picks another move)
     valid = valid & ~superko_illegal

@@ -59,6 +59,8 @@ class SearchParams:
     use_lcb_for_selection: bool = False
     lcb_stdevs: float = 4.0
     min_visit_prop_for_lcb: float = 0.05
+    # graph search (MCGS transpositions, searchparams.h:52-55)
+    use_graph_search: bool = True
     # misc
     nn_policy_temperature: float = 1.0
     playout_doubling_advantage: float = 0.0
@@ -122,6 +124,7 @@ class SearchParams:
             use_lcb_for_selection=jnp.bool_(self.use_lcb_for_selection),
             lcb_stdevs=f(self.lcb_stdevs),
             min_visit_prop_for_lcb=f(self.min_visit_prop_for_lcb),
+            use_graph_search=jnp.bool_(self.use_graph_search),
             nn_policy_temperature=f(self.nn_policy_temperature),
             playout_doubling_advantage=f(self.playout_doubling_advantage),
             conservative_pass=jnp.bool_(self.conservative_pass),
@@ -163,6 +166,7 @@ class SearchParamsArr(NamedTuple):
     use_lcb_for_selection: jax.Array
     lcb_stdevs: jax.Array
     min_visit_prop_for_lcb: jax.Array
+    use_graph_search: jax.Array
     nn_policy_temperature: jax.Array
     playout_doubling_advantage: jax.Array
     conservative_pass: jax.Array

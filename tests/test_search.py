@@ -291,3 +291,27 @@ def test_tree_reuse_continues_search():
         if prior[gidx] > 0:
             assert rv[gidx] >= 20 + prior[gidx] - 1
     assert np.isfinite(np.asarray(res2.root_winloss)).all()
+
+
+def test_graph_search_transposition_sharing():
+    """Two move orders reaching the same position share one node
+    (MCGS-lite; searchnodetable / docs/GraphSearch.md)."""
+    roots = make_roots(g=1)
+    res_on = run(neutral_model(), roots, num_sims=60,
+                 sp=SearchParams(use_graph_search=True))
+    res_off = run(neutral_model(), roots, num_sims=60,
+                  sp=SearchParams(use_graph_search=False))
+    n_on = int(res_on.ss.tree.num_nodes[0])
+    n_off = int(res_off.ss.tree.num_nodes[0])
+    # transpositions (A,B) vs (B,A) are plentiful at depth 2 on a small
+    # board with a uniform prior: the graph uses strictly fewer nodes
+    assert n_on < n_off
+    assert int(res_on.root_visits[0]) == 61  # playouts unaffected
+    # linked children are consistent (no self/ancestor cycles at depth 1)
+    tree = res_on.ss.tree
+    children = np.asarray(tree.children[0])
+    depth = np.asarray(tree.depth[0])
+    for node in range(n_on):
+        for c in children[node]:
+            if c >= 0:
+                assert depth[c] == depth[node] + 1
