@@ -71,7 +71,14 @@ class Tree(NamedTuple):
     nn_score_stdev: jax.Array    # float32[N]
     nn_lead: jax.Array           # float32[N]
     nn_weight: jax.Array         # float32[N] uncertainty weight of own eval
+    bias_key: jax.Array          # int32[N] subtree-value-bias table slot (-1)
+    last_bias_delta: jax.Array   # float32[N] node's last table contribution
+    last_bias_weight: jax.Array  # float32[N]
     num_nodes: jax.Array         # int32 scalar
+
+
+BIAS_TABLE_SIZE = 2048  # subtree-value-bias slots per game (65536 shards
+                        # of maps in the reference, subtreevaluebiastable.h)
 
 
 class SearchState(NamedTuple):
@@ -82,6 +89,8 @@ class SearchState(NamedTuple):
     root_hist_len: jax.Array     # int32
     dyn_score_center: jax.Array  # float32
     sqrt_board_area: jax.Array   # float32
+    bias_sum: jax.Array          # f32[BIAS_TABLE_SIZE] delta-utility sums
+    bias_weight: jax.Array       # f32[BIAS_TABLE_SIZE]
 
 
 class LeafEval(NamedTuple):
@@ -126,6 +135,9 @@ def empty_tree(size: int, max_nodes: int) -> Tree:
         nn_score_stdev=jnp.zeros((n,), jnp.float32),
         nn_lead=jnp.zeros((n,), jnp.float32),
         nn_weight=jnp.zeros((n,), jnp.float32),
+        bias_key=jnp.full((n,), -1, jnp.int32),
+        last_bias_delta=jnp.zeros((n,), jnp.float32),
+        last_bias_weight=jnp.zeros((n,), jnp.float32),
         num_nodes=jnp.int32(0),
     )
 
@@ -352,6 +364,28 @@ def make_leaf_gamestate(ss: SearchState, sel: PathSel, size: int,
     return leaf_pos, leaf_ko_hash, leaf_gs
 
 
+def _bias_key(parent_stones, prev_move, move_loc, pla, size: int):
+    """Subtree-value-bias table slot for a node reached by playing move_loc
+    as pla on the parent board (LocalPatternHasher::getHash around the move
+    + parent prev move, subtreevaluebiastable.cpp Book-keeping collapsed to
+    a mixed-integer hash over the 3x3 neighborhood)."""
+    nn = size * size
+    neigh = jnp.asarray(B.neighbor_table(size))
+    lc = jnp.clip(move_loc, 0, nn - 1)
+    spad = B._pad(parent_stones, B.WALL)
+    nbrs = spad[neigh[lc]]                                  # [4]
+    # include diagonals via the neighbor-of-neighbor trick (cheap 3x3-ish)
+    h = jnp.uint32(2166136261)
+    for i in range(4):
+        h = (h ^ nbrs[i].astype(jnp.uint32)) * jnp.uint32(16777619)
+    h = (h ^ lc.astype(jnp.uint32)) * jnp.uint32(16777619)
+    h = (h ^ jnp.clip(prev_move, 0, nn).astype(jnp.uint32)) * \
+        jnp.uint32(16777619)
+    h = (h ^ pla.astype(jnp.uint32)) * jnp.uint32(16777619)
+    valid = (move_loc >= 0) & (move_loc < nn)
+    return jnp.where(valid, (h % BIAS_TABLE_SIZE).astype(jnp.int32), -1)
+
+
 def terminal_eval_of_pos(pos: H.PosState, rules: H.RulesArr,
                          sp: SearchParamsArr, size: int, dyn_center,
                          sqrt_area, num_actions: int) -> LeafEval:
@@ -464,6 +498,16 @@ def insert_and_backup(ss: SearchState, sel: PathSel, leaf_pos: H.PosState,
         nn_score_stdev=set_at(tree.nn_score_stdev, new_idx, ev.score_stdev),
         nn_lead=set_at(tree.nn_lead, new_idx, ev.lead),
         nn_weight=set_at(tree.nn_weight, new_idx, w0),
+        bias_key=set_at(
+            tree.bias_key, new_idx,
+            _bias_key(tree.pos.board.stones[sel.leaf_parent],
+                      tree.pos.recent_moves[sel.leaf_parent, 0],
+                      sel.leaf_action, tree.pos.to_move[sel.leaf_parent],
+                      int(np.sqrt(tree.policy.shape[1] - 1)))),
+        last_bias_delta=set_at(tree.last_bias_delta, new_idx,
+                               jnp.float32(0.0)),
+        last_bias_weight=set_at(tree.last_bias_weight, new_idx,
+                                jnp.float32(0.0)),
         num_nodes=tree.num_nodes + can_alloc.astype(jnp.int32),
     )
     # link parent -> child (fresh node, or the transposed existing node)
@@ -512,13 +556,20 @@ def _norm_cdf(z):
 
 
 def recompute_node(tree: Tree, node: jax.Array, sp: SearchParamsArr,
-                   active: jax.Array) -> Tree:
+                   active: jax.Array, bias_sum=None, bias_weight=None):
     """Search::recomputeNodeStats: node stats = value-downweighted average of
     child stats + the node's own uncertainty-weighted NN evaluation.
 
     Children whose utility looks worse than the node's simple value average
     are downweighted by NormalCDF(z)^valueWeightExponent
     (downweightBadChildrenAndNormalizeWeight, searchupdatehelpers.cpp).
+
+    When bias tables are passed and subtreeValueBiasFactor != 0, the node
+    also (a) publishes its (children-avg minus own-NN) utility delta into
+    its pattern slot, replacing its previous contribution, and (b) biases
+    its own-NN utility toward the slot's average
+    (searchupdatehelpers.cpp:26-36, 273-300). Returns (tree, bias_sum,
+    bias_weight) when tables are passed, else tree.
     """
     children = tree.children[node]                      # [A]
     exists = children >= 0
@@ -550,12 +601,47 @@ def recompute_node(tree: Tree, node: jax.Array, sp: SearchParamsArr,
     child_wsq = jnp.sum(scaling * scaling * tree.weight_sq_sum[c])
 
     sw = tree.nn_weight[node]                            # self weight
+    nn_util = tree.nn_utility[node]
+    if bias_sum is not None:
+        use_bias = (sp.subtree_value_bias_factor != 0.0) & \
+            (tree.bias_key[node] >= 0) & active
+        key = jnp.maximum(tree.bias_key[node], 0)
+        # publish this node's delta (children-utility minus own-NN utility),
+        # replacing its previous contribution
+        children_util = wsum(tree.utility_sum) / jnp.maximum(total_w, 1e-10)
+        bias_w_new = jnp.power(jnp.maximum(total_w, 0.0),
+                               sp.subtree_value_bias_weight_exponent)
+        has_children = total_w > 1e-10
+        delta_new = jnp.where(has_children,
+                              (children_util - nn_util) * bias_w_new, 0.0)
+        bias_w_new = jnp.where(has_children, bias_w_new, 0.0)
+        d_delta = jnp.where(use_bias,
+                            delta_new - tree.last_bias_delta[node], 0.0)
+        d_w = jnp.where(use_bias,
+                        bias_w_new - tree.last_bias_weight[node], 0.0)
+        bias_sum = bias_sum.at[key].add(d_delta)
+        bias_weight = bias_weight.at[key].add(d_w)
+        tree = tree._replace(
+            last_bias_delta=tree.last_bias_delta.at[node].set(
+                jnp.where(use_bias, delta_new,
+                          tree.last_bias_delta[node])),
+            last_bias_weight=tree.last_bias_weight.at[node].set(
+                jnp.where(use_bias, bias_w_new,
+                          tree.last_bias_weight[node])))
+        # bias the node's own evaluation toward the table average
+        entry_w = bias_weight[key]
+        entry_avg = jnp.where(entry_w > 0.001,
+                              bias_sum[key] / jnp.maximum(entry_w, 1e-10),
+                              0.0)
+        nn_util = jnp.where(use_bias,
+                            nn_util + sp.subtree_value_bias_factor *
+                            entry_avg, nn_util)
     new = {
         "weight_sum": total_w + sw,
         "weight_sq_sum": child_wsq + sw * sw,
-        "utility_sum": wsum(tree.utility_sum) + sw * tree.nn_utility[node],
+        "utility_sum": wsum(tree.utility_sum) + sw * nn_util,
         "utility_sq_sum": wsum(tree.utility_sq_sum)
-            + sw * tree.nn_utility[node] * tree.nn_utility[node],
+            + sw * nn_util * nn_util,
         "winloss_sum": wsum(tree.winloss_sum) + sw * tree.nn_winloss[node],
         "score_mean_sum": wsum(tree.score_mean_sum)
             + sw * tree.nn_score_mean[node],
@@ -567,6 +653,8 @@ def recompute_node(tree: Tree, node: jax.Array, sp: SearchParamsArr,
     for k, v in new.items():
         arr = getattr(tree, k)
         upd[k] = arr.at[node].set(jnp.where(active, v, arr[node]))
+    if bias_sum is not None:
+        return tree._replace(**upd), bias_sum, bias_weight
     return tree._replace(**upd)
 
 
@@ -579,18 +667,21 @@ def backprop_path(ss: SearchState, sel: PathSel, sp: SearchParamsArr,
     handful of iterations, not 64.
     """
     def cond(carry):
-        k, _ = carry
+        k, _, _, _ = carry
         return k < sel.path_len
 
     def body(carry):
-        k, tree = carry
+        k, tree, bsum, bw = carry
         i = sel.path_len - 1 - k
         node = sel.path_nodes[jnp.maximum(i, 0)]
         active = do_update & (node >= 0) & (i >= 0)
-        return k + 1, recompute_node(tree, jnp.maximum(node, 0), sp, active)
+        tree, bsum, bw = recompute_node(tree, jnp.maximum(node, 0), sp,
+                                        active, bsum, bw)
+        return k + 1, tree, bsum, bw
 
-    _, tree = jax.lax.while_loop(cond, body, (jnp.int32(0), ss.tree))
-    return ss._replace(tree=tree)
+    _, tree, bsum, bw = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), ss.tree, ss.bias_sum, ss.bias_weight))
+    return ss._replace(tree=tree, bias_sum=bsum, bias_weight=bw)
 
 
 def extract_subtree(tree: Tree, action: jax.Array) -> Tree:
@@ -670,6 +761,11 @@ def extract_subtree(tree: Tree, action: jax.Array) -> Tree:
         nn_score_stdev=scatter(tree.nn_score_stdev),
         nn_lead=scatter(tree.nn_lead),
         nn_weight=scatter(tree.nn_weight),
+        # pattern keys survive re-rooting; last-contribution trackers reset
+        # because the bias table is fresh per search
+        bias_key=scatter(tree.bias_key, -1),
+        last_bias_delta=scatter(jnp.zeros_like(tree.last_bias_delta)),
+        last_bias_weight=scatter(jnp.zeros_like(tree.last_bias_weight)),
         num_nodes=count,
     )
 
@@ -783,6 +879,8 @@ def run_search(model_apply: Callable, model_params: Any,
         root_hist_len=roots.hist_len,
         dyn_score_center=jnp.zeros((g,), jnp.float32),
         sqrt_board_area=jnp.full((g,), float(np.sqrt(nn)), jnp.float32),
+        bias_sum=jnp.zeros((g, BIAS_TABLE_SIZE), jnp.float32),
+        bias_weight=jnp.zeros((g, BIAS_TABLE_SIZE), jnp.float32),
     )
 
     # root NN eval

@@ -61,6 +61,9 @@ class SearchParams:
     min_visit_prop_for_lcb: float = 0.05
     # graph search (MCGS transpositions, searchparams.h:52-55)
     use_graph_search: bool = True
+    # subtree value bias (searchparams.h:115-118; selfplay1.cfg:180)
+    subtree_value_bias_factor: float = 0.0
+    subtree_value_bias_weight_exponent: float = 0.5
     # misc
     nn_policy_temperature: float = 1.0
     playout_doubling_advantage: float = 0.0
@@ -80,6 +83,7 @@ class SearchParams:
             root_policy_temperature=1.4,
             root_policy_temperature_early=1.8,
             root_fpu_reduction_max=0.1,
+            subtree_value_bias_factor=0.30,
             chosen_move_temperature=0.1,
             chosen_move_temperature_early=0.75,
             chosen_move_temperature_halflife=19.0,
@@ -125,6 +129,9 @@ class SearchParams:
             lcb_stdevs=f(self.lcb_stdevs),
             min_visit_prop_for_lcb=f(self.min_visit_prop_for_lcb),
             use_graph_search=jnp.bool_(self.use_graph_search),
+            subtree_value_bias_factor=f(self.subtree_value_bias_factor),
+            subtree_value_bias_weight_exponent=f(
+                self.subtree_value_bias_weight_exponent),
             nn_policy_temperature=f(self.nn_policy_temperature),
             playout_doubling_advantage=f(self.playout_doubling_advantage),
             conservative_pass=jnp.bool_(self.conservative_pass),
@@ -167,6 +174,8 @@ class SearchParamsArr(NamedTuple):
     lcb_stdevs: jax.Array
     min_visit_prop_for_lcb: jax.Array
     use_graph_search: jax.Array
+    subtree_value_bias_factor: jax.Array
+    subtree_value_bias_weight_exponent: jax.Array
     nn_policy_temperature: jax.Array
     playout_doubling_advantage: jax.Array
     conservative_pass: jax.Array

@@ -52,6 +52,9 @@ _PARAM_KEYS = {
     "chosenMoveSubtract": "chosen_move_subtract",
     "chosenMovePrune": "chosen_move_prune",
     "useLcbForSelection": "use_lcb_for_selection",
+    "useGraphSearch": "use_graph_search",
+    "subtreeValueBiasFactor": "subtree_value_bias_factor",
+    "subtreeValueBiasWeightExponent": "subtree_value_bias_weight_exponent",
     "lcbStdevs": "lcb_stdevs",
     "minVisitPropForLCB": "min_visit_prop_for_lcb",
     "nnPolicyTemperature": "nn_policy_temperature",

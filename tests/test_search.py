@@ -315,3 +315,26 @@ def test_graph_search_transposition_sharing():
         for c in children[node]:
             if c >= 0:
                 assert depth[c] == depth[node] + 1
+
+
+def test_subtree_value_bias_shifts_utility():
+    """With subtreeValueBiasFactor on, repeated pattern errors shift node
+    utilities; tables stay finite and the search still conserves visits."""
+    roots = make_roots(g=2)
+
+    def value_fn(spatial):
+        flat = spatial.reshape(spatial.shape[0], NN, 22)
+        return -0.5 * flat[:, B.loc_of_xy(2, 2, SIZE), 2]
+
+    res = run(stub_model(value_fn), roots, num_sims=40,
+              sp=SearchParams(subtree_value_bias_factor=0.30))
+    assert int(res.root_visits[0]) == 41
+    bs = np.asarray(res.ss.bias_sum)
+    bw = np.asarray(res.ss.bias_weight)
+    assert np.isfinite(bs).all() and np.isfinite(bw).all()
+    assert (bw >= -1e-5).all()
+    assert np.abs(bs).sum() > 0          # some deltas were published
+    # off: tables untouched
+    res0 = run(stub_model(value_fn), roots, num_sims=20,
+               sp=SearchParams(subtree_value_bias_factor=0.0))
+    assert np.abs(np.asarray(res0.ss.bias_sum)).sum() == 0.0
