@@ -65,7 +65,8 @@ def run_selfplay(output_dir: str, models_dir: str | None, *, size: int,
             model.apply, params, size=size, num_games=games_per_batch,
             visits=visits, rules=rules, search_params=sp, rng=sub)
         dt = time.time() - t0
-        arrays = data.to_npz_arrays(size, stats["white_minus_black"])
+        arrays = data.to_npz_arrays(size, stats["white_minus_black"],
+                                    komi_white=stats.get("komi_white"))
         shard = os.path.join(tdata_dir, f"batch{batch_i:06d}_{seed}.npz")
         np.savez_compressed(shard, **arrays)
 

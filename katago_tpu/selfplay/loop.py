@@ -185,6 +185,12 @@ def play_games(model_apply: Callable, model_params: Any, *,
     gs = H.new_game(size, H.RulesArr.from_rules(rules), max_hist=max_moves + 8)
     games = jax.tree.map(
         lambda x: jnp.broadcast_to(x, (num_games,) + x.shape).copy(), gs)
+    # per-game komi randomization (GameInitializer; RulesArr is per-game
+    # dynamic, so one compiled program plays all komis)
+    from katago_tpu.selfplay.playsettings import sample_komis
+    komi_white = sample_komis(rules.komi, ps, num_games, host_rng)
+    games = games._replace(rules=games.rules._replace(
+        komi=jnp.asarray(komi_white)))
 
     # cheap and full searches share one node-pool shape so tree reuse works
     # across budget switches (playsettings cheap/full mixing)
@@ -296,6 +302,7 @@ def play_games(model_apply: Callable, model_params: Any, *,
     full_area = np.asarray(full_area_fn(games.board.stones,
                                         games.rules.multi_suicide), np.int32)
     stats = {
+        "komi_white": komi_white,
         "moves_per_game": np.asarray(games.pos.move_num, np.int32),
         "white_minus_black": score_w,
         "white_wins": (score_w > 0).sum(),

@@ -28,17 +28,36 @@ class PlaySettings:
     cheap_search_target_weight: float = 0.0
     # policy-surprise weighting (playsettings.h:56)
     policy_surprise_data_weight: float = 0.5
+    # per-game komi randomization (GameInitializer, play.cpp:195-199 and
+    # selfplay1.cfg:101-103)
+    komi_stdev: float = 0.0
+    komi_big_stdev_prob: float = 0.06
+    komi_big_stdev: float = 12.0
 
     @staticmethod
     def for_selfplay() -> "PlaySettings":
         """configs/training/selfplay1.cfg-flavored defaults."""
-        return PlaySettings()
+        return PlaySettings(komi_stdev=1.0)
 
     @staticmethod
     def for_testing(full_visits: int) -> "PlaySettings":
         return PlaySettings(init_games_with_policy=False,
                             cheap_search_prob=0.0,
                             cheap_search_visits=max(full_visits // 4, 2))
+
+
+def sample_komis(base_komi: float, ps: "PlaySettings", num_games: int,
+                 rng: np.random.Generator) -> np.ndarray:
+    """Per-game komi draws on the half-integer grid
+    (GameInitializer::createGameSharedUnsynchronized komi sampling)."""
+    komi = np.full(num_games, base_komi, np.float64)
+    if ps.komi_stdev > 0:
+        komi = komi + rng.normal(0.0, ps.komi_stdev, num_games)
+        big = rng.random(num_games) < ps.komi_big_stdev_prob
+        komi = komi + np.where(big,
+                               rng.normal(0.0, ps.komi_big_stdev, num_games),
+                               0.0)
+    return (np.round(komi * 2.0) / 2.0).astype(np.float32)
 
 
 def policy_surprise_weights(policy_target: np.ndarray,
