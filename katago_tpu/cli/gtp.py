@@ -109,6 +109,7 @@ class GTPEngine:
                              max_hist)
         self.history: list = [self.gs]
         self.moves: list[tuple[int, int]] = []
+        self._reuse_tree = None   # Search::makeMove-style tree carry-over
 
     def set_size(self, size: int):
         self.size = size
@@ -130,6 +131,10 @@ class GTPEngine:
         self.gs, _ = H.step(gs, jnp.int32(loc), self.size)
         self.history.append(self.gs)
         self.moves.append((player, loc))
+        # incrementally re-root the carried search tree at the played move
+        if self._reuse_tree is not None:
+            self._reuse_tree = jax.jit(jax.vmap(mcts.extract_subtree))(
+                self._reuse_tree, jnp.asarray([loc], jnp.int32))
 
     def undo(self):
         if len(self.history) <= 1:
@@ -137,18 +142,27 @@ class GTPEngine:
         self.history.pop()
         self.moves.pop()
         self.gs = self.history[-1]
+        self._reuse_tree = None   # re-rooting cannot go backwards
 
     # -- search ------------------------------------------------------------
 
-    def _get_search_fn(self, visits: int):
-        key = (self.size, visits)
+    def _get_search_fn(self, visits: int, reuse_n: int | None = None):
+        key = (self.size, visits, reuse_n)
         if key not in self._search_cache:
             sp = self.search_params.to_arr()
             size = self.size
-            self._search_cache[key] = jax.jit(
-                lambda roots, k: mcts.run_search(
-                    self.model_apply, None, roots, sp, k, size=size,
-                    num_sims=visits, max_nodes=visits + 3))
+            if reuse_n is None:
+                self._search_cache[key] = jax.jit(
+                    lambda roots, k: mcts.run_search(
+                        self.model_apply, None, roots, sp, k, size=size,
+                        num_sims=visits, max_nodes=visits + 3))
+            else:
+                # prev tree is already rooted at the current position
+                self._search_cache[key] = jax.jit(
+                    lambda roots, k, pt: mcts.run_search(
+                        self.model_apply, None, roots, sp, k, size=size,
+                        num_sims=visits, max_nodes=visits + 3,
+                        prev_tree=pt, prev_actions=None))
         return self._search_cache[key]
 
     def search_root(self, player: int, visits: int | None = None):
@@ -156,8 +170,16 @@ class GTPEngine:
         gs = H.replace_pos(self.gs, to_move=jnp.int32(player))
         roots = jax.tree.map(lambda x: jnp.broadcast_to(x, (1,) + x.shape).copy(), gs)
         self._rng, sub = jax.random.split(self._rng)
-        fn = self._get_search_fn(visits)
-        return fn(roots, sub)
+        prev = self._reuse_tree
+        if prev is not None and prev.visits.shape[1] <= visits + 3 and \
+                int(prev.num_nodes[0]) > 0:
+            fn = self._get_search_fn(visits, reuse_n=prev.visits.shape[1])
+            res = fn(roots, sub, prev)
+        else:
+            fn = self._get_search_fn(visits)
+            res = fn(roots, sub)
+        self._reuse_tree = res.ss.tree
+        return res
 
     def genmove(self, player: int) -> int:
         visits = self._visits_for_clock(player)

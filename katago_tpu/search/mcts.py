@@ -853,8 +853,11 @@ def run_search(model_apply: Callable, model_params: Any,
     prev_tree/prev_actions: tree reuse (Search::makeMove) — the previous
     search's trees [G,...] and the actions that were then played; each
     game re-roots at the played child (falling back to a fresh root when
-    the child was never expanded). Root Dirichlet noise and root policy
-    temperature are re-applied to the reused root's stored prior."""
+    the child was never expanded). With prev_actions=None the prev_tree is
+    taken as already rooted at the current position (callers that re-root
+    incrementally, like the GTP engine, use this). Root Dirichlet noise
+    and root policy temperature are re-applied to the reused root's
+    stored prior."""
     nn = size * size
     a = nn + 1
     g = roots.hist_len.shape[0]
@@ -957,7 +960,10 @@ def run_search(model_apply: Callable, model_params: Any,
                 f"tree reuse requires prev max_nodes ({prev_n}) <= new "
                 f"max_nodes ({max_nodes}); shrinking pools would corrupt "
                 "subtree links")
-        reused = jax.vmap(extract_subtree)(prev_tree, prev_actions)
+        if prev_actions is not None:
+            reused = jax.vmap(extract_subtree)(prev_tree, prev_actions)
+        else:
+            reused = prev_tree
         if prev_n < max_nodes:
             # pad the reused pool with empty rows up to the new budget
             empty = jax.vmap(lambda _: empty_tree(size, max_nodes))(
