@@ -45,7 +45,8 @@ def run_loop(base_dir: str, *, cycles: int, size: int, config_name: str,
         sp_stats = run_selfplay(
             dirs["selfplay"], dirs["models"], size=size,
             games_per_batch=games_per_cycle, visits=visits, max_batches=1,
-            config_name=config_name, seed=seed * 1000 + cycle, log=log)
+            config_name=config_name, seed=seed * 1000 + cycle,
+            data_quality="test", log=log)
 
         shards = sorted(glob.glob(os.path.join(dirs["selfplay"], "*", "tdata",
                                                "*.npz")))

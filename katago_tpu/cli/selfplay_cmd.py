@@ -39,7 +39,8 @@ def make_model(size: int, config_name: str):
 def run_selfplay(output_dir: str, models_dir: str | None, *, size: int,
                  games_per_batch: int, visits: int, max_batches: int,
                  config_name: str = "b2c16", rules: R.Rules | None = None,
-                 seed: int = 0, log=print) -> dict:
+                 seed: int = 0, data_quality: str = "selfplay",
+                 log=print) -> dict:
     model, params = make_model(size, config_name)
     model_name = "random-init"
     if models_dir:
@@ -58,12 +59,16 @@ def run_selfplay(output_dir: str, models_dir: str | None, *, size: int,
     rng = jax.random.PRNGKey(seed)
     totals = {"games": 0, "rows": 0, "playouts": 0}
     sp = SearchParams.for_selfplay()
+    from katago_tpu.selfplay.playsettings import PlaySettings
+    ps = PlaySettings.for_selfplay() if data_quality == "selfplay" \
+        else PlaySettings.for_testing(visits)
     for batch_i in range(max_batches):
         rng, sub = jax.random.split(rng)
         t0 = time.time()
         data, stats = play_games(
             model.apply, params, size=size, num_games=games_per_batch,
-            visits=visits, rules=rules, search_params=sp, rng=sub)
+            visits=visits, rules=rules, search_params=sp, rng=sub,
+            play_settings=ps)
         dt = time.time() - t0
         arrays = data.to_npz_arrays(size, stats["white_minus_black"],
                                     komi_white=stats.get("komi_white"))
@@ -103,11 +108,17 @@ def main(argv=None):
     ap.add_argument("-max-batches", type=int, default=4)
     ap.add_argument("-config", default="b2c16")
     ap.add_argument("-seed", type=int, default=0)
+    ap.add_argument("-data-quality", default="test",
+                    choices=["selfplay", "test"],
+                    help="selfplay = policy-init + cheap/full mixing + komi "
+                         "randomization (production data); test = every "
+                         "move full-searched and recorded")
     args = ap.parse_args(argv)
     totals = run_selfplay(args.output_dir, args.models_dir, size=args.size,
                           games_per_batch=args.games_per_batch,
                           visits=args.visits, max_batches=args.max_batches,
-                          config_name=args.config, seed=args.seed)
+                          config_name=args.config, seed=args.seed,
+                          data_quality=args.data_quality)
     print(json.dumps(totals))
 
 
