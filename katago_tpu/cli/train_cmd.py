@@ -65,9 +65,24 @@ def run_training(data_dir: str, ckpt_dir: str, export_dir: str | None, *,
     watcher = GnormWatcher(log=log)
     mlog = MetricsLogger(os.path.join(ckpt_dir, "metrics.json"))
     t0 = time.time()
+    from katago_tpu.dataio import native as NV
     for i in range(steps):
         idx = rng.integers(0, n, size=batch_size)
-        batch = {k: jnp.asarray(v[idx]) for k, v in data.items()}
+        hb = {k: v[idx] for k, v in data.items()}
+        # random dihedral symmetry per batch (data_processing_pytorch.py's
+        # apply_symmetry; native C++ transform when built)
+        sym = int(rng.integers(0, 8))
+        if sym:
+            hb["binaryInputNCHW"] = NV.apply_symmetry_planes(
+                np.ascontiguousarray(hb["binaryInputNCHW"]), sym)
+            hb["valueTargetsNCHW"] = NV.apply_symmetry_planes(
+                np.ascontiguousarray(hb["valueTargetsNCHW"]), sym)
+            for k in ("policyTargetsNCMove", "qValueTargetsNCMove"):
+                arr = np.ascontiguousarray(hb[k])
+                b, c, a = arr.shape
+                hb[k] = NV.apply_symmetry_policy(
+                    arr.reshape(b * c, a), size, sym).reshape(b, c, a)
+        batch = {k: jnp.asarray(v) for k, v in hb.items()}
         state, metrics = train_step(state, batch)
         gn = float(metrics["gnorm"])
         watcher.observe(gn)

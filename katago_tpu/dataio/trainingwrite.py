@@ -219,11 +219,11 @@ def decode_rows(arrays: dict[str, np.ndarray], size: int
     binary planes unpacked to float NCHW, everything else float-cast raw
     (matching data_processing_pytorch.py:28-299 — per-channel scaling like
     scoreDistrN/100 or valueTargets C4/120 happens inside the loss)."""
+    from katago_tpu.dataio import native
     area = size * size
     packed = arrays["binaryInputNCHWPacked"]
     n = packed.shape[0]
-    planes = np.unpackbits(packed, axis=2)[:, :, :area]
-    binary = planes.reshape(n, 22, size, size).astype(np.float32)
+    binary = native.unpack_bits_nchw(packed, area).reshape(n, 22, size, size)
     return {
         "binaryInputNCHW": binary,
         "globalInputNC": arrays["globalInputNC"].astype(np.float32),

@@ -1,0 +1,7 @@
+#!/bin/sh
+# Build the native data-prep shared library next to this script.
+set -e
+cd "$(dirname "$0")"
+g++ -O3 -march=native -funroll-loops -fPIC -shared -std=c++17 \
+    -o libktdataprep.so dataprep.cpp
+echo "built $(pwd)/libktdataprep.so"
