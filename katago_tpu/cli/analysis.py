@@ -47,17 +47,24 @@ class AnalysisEngine:
         self._search_cache: dict = {}
         self._rng = jax.random.PRNGKey(0)
 
-    def _search_fn(self, size: int, visits: int):
-        key = (size, visits)
+    def _search_fn(self, size: int, visits: int, masked: bool = False):
+        key = (size, visits, masked)
         if key not in self._search_cache:
             sp = SearchParams(
                 root_noise_enabled=False, cpuct_exploration_log=0.45,
                 static_score_utility_factor=0.1,
                 dynamic_score_utility_factor=0.3).to_arr()
-            self._search_cache[key] = jax.jit(
-                lambda roots, k: mcts.run_search(
-                    self.model_apply, None, roots, sp, k, size=size,
-                    num_sims=visits, max_nodes=visits + 3))
+            if masked:
+                self._search_cache[key] = jax.jit(
+                    lambda roots, k, m: mcts.run_search(
+                        self.model_apply, None, roots, sp, k, size=size,
+                        num_sims=visits, max_nodes=visits + 3,
+                        root_allowed_mask=m))
+            else:
+                self._search_cache[key] = jax.jit(
+                    lambda roots, k: mcts.run_search(
+                        self.model_apply, None, roots, sp, k, size=size,
+                        num_sims=visits, max_nodes=visits + 3))
         return self._search_cache[key]
 
     def handle(self, req: dict) -> list[dict]:
@@ -105,6 +112,18 @@ class AnalysisEngine:
         want_ownership = bool(req.get("includeOwnership", False))
         want_policy = bool(req.get("includePolicy", False))
 
+        # avoidMoves / allowMoves (Analysis_Engine.md): lists of
+        # {player, moves, untilDepth}; applied at the root (depth >= 1)
+        allowed = None
+        def vertex_set(entries, pla_char):
+            locs = set()
+            for e in entries or []:
+                if str(e.get("player", "")).upper()[:1] not in ("", pla_char):
+                    continue
+                for v in e.get("moves", []):
+                    locs.add(gtp_to_loc(v, size))
+            return locs
+
         player_of = {"B": B.BLACK, "W": B.WHITE,
                      "b": B.BLACK, "w": B.WHITE}
         max_hist = 2 * nn + 64 + len(moves)
@@ -130,7 +149,21 @@ class AnalysisEngine:
             roots = jax.tree.map(
                 lambda x: jnp.broadcast_to(x, (1,) + x.shape).copy(), state)
             self._rng, sub = jax.random.split(self._rng)
-            res = self._search_fn(size, visits)(roots, sub)
+            pla_char = "B" if int(state.pos.to_move) == B.BLACK else "W"
+            avoid = vertex_set(req.get("avoidMoves"), pla_char)
+            allow = vertex_set(req.get("allowMoves"), pla_char)
+            if avoid or allow:
+                mask = np.ones((1, nn + 1), bool)
+                if allow:
+                    mask[:] = False
+                    for l in allow:
+                        mask[0, l] = True
+                for l in avoid:
+                    mask[0, l] = False
+                res = self._search_fn(size, visits, masked=True)(
+                    roots, sub, jnp.asarray(mask))
+            else:
+                res = self._search_fn(size, visits)(roots, sub)
             out.append(self._response(rid, turn, state, res, size,
                                       want_ownership, want_policy))
         return out

@@ -847,7 +847,8 @@ def run_search(model_apply: Callable, model_params: Any,
                max_nodes: int, max_depth: int = 64,
                with_ladders: bool = True,
                prev_tree: Tree | None = None,
-               prev_actions: jax.Array | None = None) -> SearchResult:
+               prev_actions: jax.Array | None = None,
+               root_allowed_mask: jax.Array | None = None) -> SearchResult:
     """Run num_sims playouts for a batch of games. roots: GameState[G].
 
     prev_tree/prev_actions: tree reuse (Search::makeMove) — the previous
@@ -919,6 +920,11 @@ def run_search(model_apply: Callable, model_params: Any,
 
     root_pol = jax.vmap(add_noise)(root_ev.policy,
                                    jax.random.split(sub, g))
+    if root_allowed_mask is not None:
+        # avoidMoves/allowMoves (gtp.cpp avoid-moves, Analysis_Engine.md):
+        # disallowed root moves get an illegal prior so the search never
+        # tries them
+        root_pol = jnp.where(root_allowed_mask, root_pol, -1.0)
     root_ev = root_ev._replace(policy=root_pol)
 
     # install root node (index 0) per game
@@ -991,6 +997,8 @@ def run_search(model_apply: Callable, model_params: Any,
         reroot_pol = jax.vmap(reroot_policy)(
             reused.policy[:, 0, :], jax.random.split(sub2, g),
             root_policy_temp)
+        if root_allowed_mask is not None:
+            reroot_pol = jnp.where(root_allowed_mask, reroot_pol, -1.0)
         reused = reused._replace(
             policy=reused.policy.at[:, 0, :].set(reroot_pol),
             # the live game state is authoritative for the root position

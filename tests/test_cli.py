@@ -143,3 +143,31 @@ def test_sgf_multi_game():
     games = S.parse_sgf(text)
     assert len(games) == 2
     assert games[0].size == (9, 9) and games[1].size == (13, 13)
+
+
+def test_analysis_avoid_allow_moves(tmp_path):
+    """avoidMoves / allowMoves restrict the searched root moves
+    (Analysis_Engine.md request fields)."""
+    import jax
+    import jax.numpy as jnp
+    from katago_tpu.models import config as MC, export as E
+    from katago_tpu.models.model import KataGoModel
+    cfg = MC.get_config("b1c6")
+    m = KataGoModel(cfg, pos_len=5, dtype=jnp.float32)
+    params = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 5, 5, 22)),
+                    jnp.zeros((1, 19)))
+    path = str(tmp_path / "t.bin.gz")
+    E.export_model(params, cfg, path)
+    eng = AnalysisEngine(path, default_visits=10)
+    out = eng.handle({"id": "a", "boardXSize": 5, "boardYSize": 5,
+                      "moves": [], "maxVisits": 12,
+                      "allowMoves": [{"player": "B",
+                                      "moves": ["A1", "B1"],
+                                      "untilDepth": 1}]})
+    moves = {mi["move"] for mi in out[0]["moveInfos"]}
+    assert moves <= {"A1", "B1"}
+    out2 = eng.handle({"id": "b", "boardXSize": 5, "boardYSize": 5,
+                       "moves": [], "maxVisits": 12,
+                       "avoidMoves": [{"player": "B", "moves": ["C3"],
+                                       "untilDepth": 1}]})
+    assert "C3" not in {mi["move"] for mi in out2[0]["moveInfos"]}
