@@ -60,14 +60,27 @@ def main():
     res = search_fn(roots, jax.device_put(jax.random.PRNGKey(1), accel))
     jax.block_until_ready(res.root_visits)
 
+    import numpy as np
     keys = [jax.device_put(jax.random.PRNGKey(2 + i), accel)
-            for i in range(5)]
-    iters = 5
-    t0 = time.time()
-    for i in range(iters):
-        res = search_fn(roots, keys[i])
-        jax.block_until_ready(res.root_visits)
-    dt = (time.time() - t0) / iters
+            for i in range(40)]
+
+    def measure(iters, key_off):
+        t0 = time.time()
+        for i in range(iters):
+            res = search_fn(roots, keys[key_off + i])
+            jax.block_until_ready(res.root_visits)
+        return (time.time() - t0) / iters, res
+
+    dt, res = measure(5, 0)
+    # result sanity: every game must have run all its playouts (guards
+    # against a flaky tunneled runtime returning without executing)
+    rv = np.asarray(res.root_visits)
+    assert (rv == visits + 1).all(), f"bad search result, visits={rv[:4]}"
+    if dt < 0.05:
+        # implausibly fast for this config: re-measure with a longer run
+        dt, res = measure(30, 5)
+        rv = np.asarray(res.root_visits)
+        assert (rv == visits + 1).all()
 
     playouts_per_s = num_games * visits / dt
     baseline = 15.0  # reference Eigen CPU backend midpoint (README.md:104)
