@@ -2,7 +2,10 @@
 
 Speaks standard GTP plus the reference's kata-* extensions
 (/root/reference/docs/GTP_Extensions.md): rules get/set, kata-raw-nn,
-kata-analyze / lz-analyze (incremental info lines), parameter get/set.
+streaming kata-analyze / lz-analyze (interval info lines with multi-move
+PVs and ownership, interrupted by the next command), the
+genmove_analyze family, time-managed search via the chunked
+SearchDriver, pondering (AsyncSearch between moves), and resignation.
 Drives the batched array-MCTS with batch size 1; board-size changes
 recompile (cached per size).
 
@@ -26,6 +29,7 @@ from katago_tpu.game import history as H
 from katago_tpu.game import rules as R
 from katago_tpu.search import mcts
 from katago_tpu.search import timecontrols as TC
+from katago_tpu.search.driver import AsyncSearch, SearchDriver
 from katago_tpu.search.params import SearchParams
 from katago_tpu.utils.config_parser import ConfigParser
 
@@ -38,8 +42,10 @@ KNOWN_COMMANDS = [
     "final_status_list", "fixed_handicap", "time_settings", "time_left",
     "kata-get-rules", "kata-set-rules", "kata-set-rule", "kata-get-param",
     "kata-set-param", "kata-raw-nn", "kata-analyze", "lz-analyze",
-    "clear_cache", "loadsgf", "printsgf", "showboard",
-    "kata-time_settings", "kata-list-time-settings",
+    "genmove_analyze", "lz-genmove_analyze", "kata-genmove_analyze",
+    "clear_cache", "loadsgf", "printsgf", "showboard", "kata-benchmark",
+    "kata-time_settings", "kata-list-time-settings", "kata-set-position",
+    "kata-search-cancellable", "stop",
 ]
 
 
@@ -65,7 +71,11 @@ def gtp_to_loc(s: str, size: int) -> int:
 class GTPEngine:
     def __init__(self, model_path: str | None = None, size: int = 19,
                  rules: R.Rules | None = None, visits: int = 100,
-                 search_params: SearchParams | None = None):
+                 search_params: SearchParams | None = None,
+                 allow_resignation: bool = False,
+                 resign_threshold: float = -0.90,
+                 resign_consec_turns: int = 3,
+                 ponder: bool = False):
         self.size = size
         self.rules = rules or R.Rules.tromp_taylorish()
         self.visits = visits
@@ -76,13 +86,22 @@ class GTPEngine:
             dynamic_score_utility_factor=0.3,
             use_lcb_for_selection=True)
         self.search_params = base
-        self._search_cache: dict[tuple, object] = {}
+        self._drivers: dict[tuple, SearchDriver] = {}
         self._rng = jax.random.PRNGKey(int(time.time() * 1000) % (2**31))
         # per-player clocks (None = visit-limited); GTP lag buffer seconds
         self.time_controls: dict[int, TC.TimeControls | None] = {
             B.BLACK: None, B.WHITE: None}
         self.lag_buffer = 1.0
-        self._playouts_per_s: float | None = None
+        # resignation (gtp.cpp:276-324: recent winloss below the threshold
+        # for resignConsecTurns consecutive own turns, and not too early)
+        self.allow_resignation = allow_resignation
+        self.resign_threshold = resign_threshold
+        self.resign_consec_turns = resign_consec_turns
+        self.resign_min_moves_per_board_area = 0.4
+        self._recent_winloss: list[tuple[int, float]] = []  # (player, wl)
+        # pondering (asyncbot.h ponder after each genmove)
+        self.ponder_enabled = ponder
+        self._ponder: AsyncSearch | None = None
 
         if model_path:
             from katago_tpu.models import desc as D
@@ -104,12 +123,14 @@ class GTPEngine:
     # -- game state -------------------------------------------------------
 
     def clear_board(self):
+        self.stop_ponder()
         max_hist = 2 * self.size * self.size + 64
         self.gs = H.new_game(self.size, H.RulesArr.from_rules(self.rules),
                              max_hist)
         self.history: list = [self.gs]
         self.moves: list[tuple[int, int]] = []
         self._reuse_tree = None   # Search::makeMove-style tree carry-over
+        self._recent_winloss = []
 
     def set_size(self, size: int):
         self.size = size
@@ -124,6 +145,7 @@ class GTPEngine:
         self.history = [g._replace(rules=rarr) for g in self.history]
 
     def play(self, player: int, loc: int):
+        self.stop_ponder()
         gs = H.replace_pos(self.gs, to_move=jnp.int32(player))
         legal = np.asarray(H.legal_moves(gs, self.size))
         if not legal[min(loc, self.size * self.size)]:
@@ -137,6 +159,7 @@ class GTPEngine:
                 self._reuse_tree, jnp.asarray([loc], jnp.int32))
 
     def undo(self):
+        self.stop_ponder()
         if len(self.history) <= 1:
             raise ValueError("cannot undo")
         self.history.pop()
@@ -146,104 +169,179 @@ class GTPEngine:
 
     # -- search ------------------------------------------------------------
 
-    def _get_search_fn(self, visits: int, reuse_n: int | None = None):
-        key = (self.size, visits, reuse_n)
-        if key not in self._search_cache:
-            sp = self.search_params.to_arr()
-            size = self.size
-            if reuse_n is None:
-                self._search_cache[key] = jax.jit(
-                    lambda roots, k: mcts.run_search(
-                        self.model_apply, None, roots, sp, k, size=size,
-                        num_sims=visits, max_nodes=visits + 3))
-            else:
-                # prev tree is already rooted at the current position
-                self._search_cache[key] = jax.jit(
-                    lambda roots, k, pt: mcts.run_search(
-                        self.model_apply, None, roots, sp, k, size=size,
-                        num_sims=visits, max_nodes=visits + 3,
-                        prev_tree=pt, prev_actions=None))
-        return self._search_cache[key]
+    def _get_driver(self) -> SearchDriver:
+        max_nodes = 2 * self.visits + 8   # roomy pool so reuse retains value
+        key = (self.size, max_nodes)
+        if key not in self._drivers:
+            self._drivers[key] = SearchDriver(
+                self.model_apply, None, self.search_params.to_arr(),
+                size=self.size, max_nodes=max_nodes,
+                chunk_size=max(4, min(32, self.visits // 4)))
+        return self._drivers[key]
 
-    def search_root(self, player: int, visits: int | None = None):
+    def search_root(self, player: int, visits: int | None = None,
+                    max_time: float | None = None,
+                    callback=None, callback_interval: float = 1.0,
+                    should_stop=None):
+        self.stop_ponder()
         visits = visits or self.visits
         gs = H.replace_pos(self.gs, to_move=jnp.int32(player))
         roots = jax.tree.map(lambda x: jnp.broadcast_to(x, (1,) + x.shape).copy(), gs)
         self._rng, sub = jax.random.split(self._rng)
+        driver = self._get_driver()
         prev = self._reuse_tree
-        if prev is not None and prev.visits.shape[1] <= visits + 3 and \
-                int(prev.num_nodes[0]) > 0:
-            fn = self._get_search_fn(visits, reuse_n=prev.visits.shape[1])
-            res = fn(roots, sub, prev)
-        else:
-            fn = self._get_search_fn(visits)
-            res = fn(roots, sub)
+        if prev is not None and not (prev.visits.shape[1] <=
+                                     driver.max_nodes and
+                                     int(prev.num_nodes[0]) > 0):
+            prev = None
+        res = driver.search(roots, sub, max_visits=visits,
+                            max_time=max_time, prev_tree=prev,
+                            callback=callback,
+                            callback_interval=callback_interval,
+                            should_stop=should_stop)
         self._reuse_tree = res.ss.tree
+        self.last_search_result = res
+        self.last_search_player = player
         return res
 
-    def genmove(self, player: int) -> int:
-        visits = self._visits_for_clock(player)
+    def genmove(self, player: int, callback=None,
+                callback_interval: float = 1.0) -> int | None:
+        """Search and play. Returns the move, or None for resign
+        (gtp.cpp:276-324 resignation conditions)."""
+        tc = self.time_controls[player]
+        max_time = None
+        if tc is not None and not tc.is_effectively_unlimited():
+            stones = int(np.asarray(
+                (self.gs.pos.board.stones != B.EMPTY).sum()))
+            _, rec, max_t = tc.get_time(self.size * self.size, stones,
+                                        lag_buffer=self.lag_buffer)
+            max_time = min(rec, max_t) if max_t > 0 else rec
         t0 = time.time()
-        res = self.search_root(player, visits=visits)
-        jax.block_until_ready(res.root_visits)
+        res = self.search_root(player, visits=self.visits,
+                               max_time=max_time, callback=callback,
+                               callback_interval=callback_interval)
         dt = max(time.time() - t0, 1e-3)
-        # running playouts/s estimate for time management (skip compiles)
-        pps = visits / dt
-        if self._playouts_per_s is None or pps > self._playouts_per_s:
-            self._playouts_per_s = pps
-        else:
-            self._playouts_per_s = 0.7 * self._playouts_per_s + 0.3 * pps
         cv = np.asarray(res.child_visits[0])
         loc = int(cv.argmax())
+
+        # resignation: expected winloss (mover persp) below threshold for
+        # the last resign_consec_turns of this player's turns, not too
+        # early in the game
+        wl_white = float(np.asarray(res.root_winloss[0]))
+        wl_mover = wl_white if player == B.WHITE else -wl_white
+        self._recent_winloss.append((player, wl_mover))
+        if self._should_resign(player):
+            return None
         self.play(player, loc)
         if self.time_controls[player] is not None:
             tc = self.time_controls[player]
             if not tc.in_overtime:
                 tc.main_time_left -= dt
                 tc.main_time_left += tc.increment
+        self.maybe_start_ponder()
         return loc
 
-    def _visits_for_clock(self, player: int) -> int:
-        """Map the player's clock onto a visit budget (timecontrols.py)."""
-        tc = self.time_controls[player]
-        if tc is None or tc.is_effectively_unlimited():
-            return self.visits
-        stones = int(np.asarray(
-            (self.gs.pos.board.stones != B.EMPTY).sum()))
-        _, rec, _ = tc.get_time(self.size * self.size, stones,
-                                lag_buffer=self.lag_buffer)
-        pps = self._playouts_per_s or 100.0
-        return TC.visits_for_time_budget(rec, pps, min_visits=8,
-                                         max_visits=self.visits)
+    def _should_resign(self, player: int) -> bool:
+        if not self.allow_resignation:
+            return False
+        min_turns = self.resign_min_moves_per_board_area * \
+            self.size * self.size
+        if len(self.moves) < min_turns:
+            return False
+        own = [wl for p, wl in self._recent_winloss if p == player]
+        if len(own) < self.resign_consec_turns:
+            return False
+        return all(wl < self.resign_threshold
+                   for wl in own[-self.resign_consec_turns:])
 
-    def analyze_info(self, res, top_k: int = 10) -> str:
-        """kata-analyze info lines from a SearchResult (batch idx 0)."""
+    # -- pondering ---------------------------------------------------------
+
+    def maybe_start_ponder(self):
+        """Background search on the current position (opponent to move) —
+        AsyncBot::ponder (asyncbot.h:84)."""
+        if not self.ponder_enabled or self._ponder is not None:
+            return
+        roots = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (1,) + x.shape).copy(), self.gs)
+        self._rng, sub = jax.random.split(self._rng)
+        driver = self._get_driver()
+        prev = self._reuse_tree
+        if prev is not None and int(prev.num_nodes[0]) == 0:
+            prev = None
+        self._ponder = AsyncSearch(driver, roots, sub,
+                                   max_visits=4 * self.visits,
+                                   prev_tree=prev)
+
+    def stop_ponder(self):
+        if self._ponder is not None:
+            ponder, self._ponder = self._ponder, None
+            res = ponder.stop()
+            if res is not None:
+                self._reuse_tree = res.ss.tree
+
+    last_search_result = None
+    last_search_player: int | None = None
+
+    def analyze_info(self, res, top_k: int = 10, pv_len: int = 12,
+                     include_ownership: bool = False,
+                     player: int | None = None) -> str:
+        """kata-analyze info lines from a SearchResult (batch idx 0), with
+        greedy-descent PVs per candidate (searchresults.cpp appendPV) and
+        optional tree-averaged ownership. Device arrays are pulled once per
+        call (not per child) to keep host syncs O(1)."""
         cv = np.asarray(res.child_visits[0])
         prior = np.asarray(res.root_policy_prior[0])
+        tree = res.ss.tree
+        children = np.asarray(tree.children[0])          # [N, A]
+        visits = np.asarray(tree.visits[0])              # [N]
+        weight = np.asarray(tree.weight_sum[0])
+        util_sum = np.asarray(tree.utility_sum[0])
+        wl_sum = np.asarray(tree.winloss_sum[0])
+        sc_sum = np.asarray(tree.score_mean_sum[0])
         order = np.argsort(cv)[::-1]
-        player = int(self.gs.pos.to_move)
+        if player is None:
+            player = int(self.gs.pos.to_move)
         infos = []
-        total = max(cv.sum(), 1)
+
+        def pv_from(node: int, first_move: int) -> list[int]:
+            moves = [first_move]
+            for _ in range(pv_len - 1):
+                ch = children[node]
+                valid = ch >= 0
+                w = np.where(valid, visits[np.maximum(ch, 0)], -1)
+                a = int(w.argmax())
+                if w[a] <= 0:
+                    break
+                moves.append(a)
+                node = int(ch[a])
+            return moves
+
         for rank, a in enumerate(order[:top_k]):
             if cv[a] <= 0:
                 break
-            # per-child averaged values, from the mover's perspective
-            tree = res.ss.tree
-            child = int(np.asarray(tree.children[0, 0, a]))
-            w = float(np.asarray(tree.weight_sum[0, child]))
-            util = float(np.asarray(tree.utility_sum[0, child])) / max(w, 1e-9)
-            winloss = float(np.asarray(tree.winloss_sum[0, child])) / max(w, 1e-9)
-            score = float(np.asarray(tree.score_mean_sum[0, child])) / max(w, 1e-9)
+            child = int(children[0, a])
+            w = max(float(weight[child]), 1e-9)
+            util = float(util_sum[child]) / w
+            winloss = float(wl_sum[child]) / w
+            score = float(sc_sum[child]) / w
             if player == B.BLACK:
                 util, winloss, score = -util, -winloss, -score
             winrate = 0.5 * (1.0 + winloss)
+            pv = " ".join(loc_to_gtp(m, self.size)
+                          for m in pv_from(child, int(a)))
             infos.append(
                 f"info move {loc_to_gtp(int(a), self.size)} visits {int(cv[a])} "
                 f"utility {util:.6f} winrate {winrate:.6f} "
                 f"scoreMean {score:.2f} scoreLead {score:.2f} "
                 f"prior {max(prior[a], 0):.6f} order {rank} "
-                f"pv {loc_to_gtp(int(a), self.size)}")
-        return " ".join(infos)
+                f"pv {pv}")
+        out = " ".join(infos)
+        if include_ownership:
+            own = np.asarray(res.root_ownership[0])       # white persp
+            if player == B.BLACK:
+                own = -own
+            out += " ownership " + " ".join(f"{v:.4f}" for v in own)
+        return out
 
     def raw_nn(self) -> str:
         from katago_tpu.models import features as F
@@ -339,7 +437,38 @@ def run_gtp(engine: GTPEngine, infile=sys.stdin, outfile=sys.stdout,
             elif cmd == "genmove":
                 player = player_of[args[0].lower()]
                 loc = engine.genmove(player)
-                respond(loc_to_gtp(loc, engine.size), cmd_id)
+                respond("resign" if loc is None
+                        else loc_to_gtp(loc, engine.size), cmd_id)
+            elif cmd in ("genmove_analyze", "lz-genmove_analyze",
+                         "kata-genmove_analyze"):
+                # stream info lines during the search, then the move
+                # (gtp.cpp:1748 genmove_analyze family)
+                player = int(engine.gs.pos.to_move)
+                interval = 1.0
+                for i, a in enumerate(args):
+                    al = a.lower()
+                    if al in player_of:
+                        player = player_of[al]
+                    elif al.replace(".", "").isdigit():
+                        interval = float(al) / 100.0  # centiseconds
+                outfile.write(f"={cmd_id}\n" if cmd_id else "=\n")
+                outfile.flush()
+
+                def emit(res, elapsed):
+                    outfile.write(engine.analyze_info(res) + "\n")
+                    outfile.flush()
+
+                loc = engine.genmove(player, callback=emit,
+                                     callback_interval=interval)
+                # final summary info line from the completed search's tree
+                final_res = engine.last_search_result
+                if final_res is not None:
+                    outfile.write(engine.analyze_info(
+                        final_res, player=engine.last_search_player) + "\n")
+                move_s = "resign" if loc is None \
+                    else loc_to_gtp(loc, engine.size)
+                outfile.write(f"play {move_s}\n\n")
+                outfile.flush()
             elif cmd == "showboard":
                 stones = np.asarray(engine.gs.pos.board.stones)
                 respond("\n" + B.board_to_string(stones, engine.size), cmd_id)
@@ -353,7 +482,52 @@ def run_gtp(engine: GTPEngine, infile=sys.stdin, outfile=sys.stdout,
                 else:
                     respond("0", cmd_id)
             elif cmd == "final_status_list":
-                # minimum: everything alive under area scoring cleanup
+                # alive/dead/seki from final area ownership (the reference's
+                # PlayUtils::computeAnticipatedStatuses, playutils.h): a
+                # stone is dead iff the final area assigns its point to the
+                # opponent; seki iff its point ends up unowned
+                kind = args[0].lower() if args else "alive"
+                own, _ = H.final_score_area(engine.gs, engine.size)
+                own = np.asarray(own)                  # +1 black / -1 white
+                stones = np.asarray(engine.gs.pos.board.stones)
+                out_locs = []
+                for loc in range(engine.size * engine.size):
+                    s = stones[loc]
+                    if s == B.EMPTY:
+                        continue
+                    mine = 1 if s == B.BLACK else -1
+                    status = ("alive" if own[loc] == mine else
+                              "dead" if own[loc] == -mine else "seki")
+                    if status == kind:
+                        out_locs.append(loc_to_gtp(loc, engine.size))
+                respond(" ".join(out_locs), cmd_id)
+            elif cmd == "kata-set-position":
+                # alternating color/vertex pairs on an empty board
+                # (gtp.cpp kata-set-position)
+                if len(args) % 2 != 0:
+                    respond("expected color vertex pairs", cmd_id, ok=False)
+                    continue
+                engine.clear_board()
+                st = engine.gs.pos.board.stones
+                for i in range(0, len(args), 2):
+                    color = player_of[args[i].lower()]
+                    loc = gtp_to_loc(args[i + 1], engine.size)
+                    st = st.at[loc].set(color)
+                engine.gs = H.replace_pos(
+                    engine.gs, board=engine.gs.pos.board._replace(stones=st))
+                engine.history = [engine.gs]
+                respond("", cmd_id)
+            elif cmd == "kata-benchmark":
+                n_visits = int(args[0]) if args else engine.visits
+                t0 = time.time()
+                res = engine.search_root(int(engine.gs.pos.to_move),
+                                         visits=n_visits)
+                v = int(np.asarray(res.root_visits[0]))
+                dt = max(time.time() - t0, 1e-6)
+                respond(f"visits {v} time {dt:.3f}s visits/s {v/dt:.1f}",
+                        cmd_id)
+            elif cmd == "stop":
+                engine.stop_ponder()
                 respond("", cmd_id)
             elif cmd == "fixed_handicap":
                 n = int(args[0])
@@ -433,14 +607,47 @@ def run_gtp(engine: GTPEngine, infile=sys.stdin, outfile=sys.stdout,
             elif cmd == "kata-raw-nn":
                 respond(engine.raw_nn(), cmd_id)
             elif cmd in ("kata-analyze", "lz-analyze"):
-                # strip player/interval args; run one search, emit info lines
+                # streaming analysis: info lines every `interval`
+                # centiseconds until the next GTP command arrives
+                # (docs/GTP_Extensions.md kata-analyze)
                 player = int(engine.gs.pos.to_move)
-                for a in args:
-                    if a.lower() in player_of:
-                        player = player_of[a.lower()]
-                res = engine.search_root(player)
+                interval = 1.0
+                include_own = False
+                i = 0
+                while i < len(args):
+                    al = args[i].lower()
+                    if al in player_of:
+                        player = player_of[al]
+                    elif al == "interval" and i + 1 < len(args):
+                        i += 1
+                        interval = float(args[i]) / 100.0
+                    elif al == "ownership" and i + 1 < len(args):
+                        i += 1
+                        include_own = args[i].lower() == "true"
+                    elif al.replace(".", "").isdigit():
+                        interval = float(al) / 100.0
+                    i += 1
+
+                def stdin_ready():
+                    try:
+                        r, _, _ = select.select([infile], [], [], 0)
+                        return bool(r)
+                    except (ValueError, OSError, TypeError):
+                        return True   # non-selectable input: one chunk only
+
                 outfile.write(f"={cmd_id}\n" if cmd_id else "=\n")
-                outfile.write(engine.analyze_info(res) + "\n\n")
+                outfile.flush()
+
+                def emit(res, elapsed):
+                    outfile.write(engine.analyze_info(
+                        res, include_ownership=include_own) + "\n")
+                    outfile.flush()
+
+                res = engine.search_root(
+                    player, visits=1 << 24, callback=emit,
+                    callback_interval=interval, should_stop=stdin_ready)
+                outfile.write(engine.analyze_info(
+                    res, include_ownership=include_own) + "\n\n")
                 outfile.flush()
             elif cmd == "clear_cache":
                 respond("", cmd_id)
@@ -506,6 +713,10 @@ def main(argv=None):
     rules = R.Rules.tromp_taylorish()
     search_params = None
     lag_buffer = None
+    allow_resignation = False
+    resign_threshold = -0.90
+    resign_consec_turns = 3
+    ponder = False
     if args.config:
         from katago_tpu.utils.setup import (load_search_params,
                                             search_limits, warn_unused)
@@ -522,13 +733,26 @@ def main(argv=None):
         search_params = load_search_params(cfg)
         limits = search_limits(cfg)
         lag_buffer = limits.get("lag_buffer")
+        # resignation + pondering (gtp.cpp:276-324, gtp_example.cfg keys)
+        if cfg.contains("allowResignation"):
+            allow_resignation = cfg.get_bool("allowResignation")
+        if cfg.contains("resignThreshold"):
+            resign_threshold = cfg.get_float("resignThreshold")
+        if cfg.contains("resignConsecTurns"):
+            resign_consec_turns = cfg.get_int("resignConsecTurns")
+        if cfg.contains("ponderingEnabled"):
+            ponder = cfg.get_bool("ponderingEnabled")
         warn_unused(cfg, log=lambda s: print(s, file=sys.stderr))
     if args.visits:
         visits = args.visits
 
     engine = GTPEngine(model_path=args.model, size=args.boardsize,
                        rules=rules, visits=visits,
-                       search_params=search_params)
+                       search_params=search_params,
+                       allow_resignation=allow_resignation,
+                       resign_threshold=resign_threshold,
+                       resign_consec_turns=resign_consec_turns,
+                       ponder=ponder)
     if lag_buffer is not None:
         engine.lag_buffer = lag_buffer
     run_gtp(engine)

@@ -41,6 +41,14 @@ def run_selfplay(output_dir: str, models_dir: str | None, *, size: int,
                  config_name: str = "b2c16", rules: R.Rules | None = None,
                  seed: int = 0, data_quality: str = "selfplay",
                  log=print) -> dict:
+    # shard the game axis over every visible device (the reference's
+    # multi-GPU selfplay via gpuIdxByServerThread, nneval.h:97)
+    from katago_tpu.parallel import mesh as M
+    n_dev = len(jax.devices())
+    mesh = None
+    if n_dev > 1 and games_per_batch % n_dev == 0:
+        mesh = M.make_mesh()
+        log(f"selfplay game axis sharded over {n_dev} devices")
     model, params = make_model(size, config_name)
     model_name = "random-init"
     if models_dir:
@@ -68,7 +76,7 @@ def run_selfplay(output_dir: str, models_dir: str | None, *, size: int,
         data, stats = play_games(
             model.apply, params, size=size, num_games=games_per_batch,
             visits=visits, rules=rules, search_params=sp, rng=sub,
-            play_settings=ps)
+            play_settings=ps, mesh=mesh)
         dt = time.time() - t0
         arrays = data.to_npz_arrays(size, stats["white_minus_black"],
                                     komi_white=stats.get("komi_white"))

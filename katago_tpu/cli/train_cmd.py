@@ -1,9 +1,12 @@
 """train command — the learner loop (reference python/train.py).
 
-Reads shuffled npz shards, runs the jitted train step (data-parallel over
-the device mesh), checkpoints with optimizer+EMA state, and periodically
-exports EMA params for selfplay — the reference's
-tfsavedmodels_toexport flow (train.py:1422-1637, 579-607).
+Reads shuffled npz shards, runs the train step data-parallel over the
+device mesh (batch axis sharded, params replicated; XLA inserts the
+gradient psum where the reference used DDP/NCCL, train.py:252-319),
+checkpoints with optimizer+EMA state, and periodically exports EMA params
+for selfplay — the reference's tfsavedmodels_toexport flow
+(train.py:1422-1637, 579-607). `-multi-host` calls
+jax.distributed.initialize so the same mesh spans pod slices.
 
 Usage: python -m katago_tpu.cli.train_cmd -data-dir D -ckpt-dir C
          -export-dir E [-size 9] [-config b2c16] [-batch-size 64]
@@ -34,6 +37,7 @@ def run_training(data_dir: str, ckpt_dir: str, export_dir: str | None, *,
                  optimizer_kind: str = "sgd", log=print) -> dict:
     from katago_tpu.models import config as MC
     from katago_tpu.models.model import KataGoModel
+    from katago_tpu.parallel import mesh as M
     cfg = MC.get_config(config_name)
     model = KataGoModel(cfg, pos_len=size, dtype=jnp.float32)
     params = model.init(jax.random.PRNGKey(seed),
@@ -48,6 +52,15 @@ def run_training(data_dir: str, ckpt_dir: str, export_dir: str | None, *,
         start_step = int(np.asarray(state.step))
         log(f"resumed from {latest} at step {start_step}")
 
+    # data-parallel mesh over every visible device (one device -> trivial
+    # mesh; multi-host after initialize_multihost -> global mesh). Params
+    # replicate, the batch axis shards, XLA inserts the gradient psum.
+    n_dev = len(jax.devices())
+    if batch_size % n_dev != 0:
+        raise ValueError(f"batch-size {batch_size} not divisible by "
+                         f"{n_dev} devices")
+    mesh = M.make_mesh()
+
     files = sorted(glob.glob(os.path.join(data_dir, "*.npz")))
     if not files:
         raise FileNotFoundError(f"no npz shards in {data_dir}")
@@ -55,8 +68,14 @@ def run_training(data_dir: str, ckpt_dir: str, export_dir: str | None, *,
     data = {k: np.concatenate([r[k] for r in rows]) for k in rows[0]}
     n = data["binaryInputNCHW"].shape[0]
     log(f"training on {n} rows from {len(files)} shards")
+    state = M.replicate(state, mesh)
+    if n_dev > 1:
+        log(f"data-parallel over {n_dev} devices "
+            f"({batch_size // n_dev} rows/device)")
 
-    train_step = jax.jit(make_train_step(model.apply, optimizer))
+    train_step = jax.jit(make_train_step(model.apply, optimizer),
+                         in_shardings=(M.replicated(mesh),
+                                       M.data_sharding(mesh)))
     rng = np.random.default_rng(seed)
     metrics_hist = []
     # anomaly detection + JSON-lines metrics (trainloop_helpers.py:300,
@@ -82,7 +101,8 @@ def run_training(data_dir: str, ckpt_dir: str, export_dir: str | None, *,
                 b, c, a = arr.shape
                 hb[k] = NV.apply_symmetry_policy(
                     arr.reshape(b * c, a), size, sym).reshape(b, c, a)
-        batch = {k: jnp.asarray(v) for k, v in hb.items()}
+        batch = M.shard_batch({k: jnp.asarray(v) for k, v in hb.items()},
+                              mesh)
         state, metrics = train_step(state, batch)
         gn = float(metrics["gnorm"])
         watcher.observe(gn)
@@ -125,7 +145,13 @@ def main(argv=None):
     ap.add_argument("-lr", type=float, default=6e-5)
     ap.add_argument("-optimizer", default="sgd",
                     choices=["sgd", "muon", "normuon", "polar"])
+    ap.add_argument("-multi-host", action="store_true",
+                    help="jax.distributed.initialize (auto-detected "
+                         "coordinator on TPU pods)")
     args = ap.parse_args(argv)
+    if args.multi_host:
+        from katago_tpu.parallel.mesh import initialize_multihost
+        initialize_multihost()
     out = run_training(args.data_dir, args.ckpt_dir, args.export_dir,
                        size=args.size, config_name=args.config,
                        batch_size=args.batch_size, steps=args.steps,

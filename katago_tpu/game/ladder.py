@@ -17,6 +17,16 @@ chain on the board becomes one lane of a batched *forced-line simulation*:
     extend + liberty-gaining captures; the attacker picks the liberty
     filling move minimizing the defender's liberties).
 
+Cost structure (this file is on the per-leaf featurize path of every
+search playout, so it is speed-of-light-critical): the only iterative
+fixpoint is `B.connected_labels`; everything else is O(1) rounds of [NN]
+masked vector ops. Candidate moves are evaluated *incrementally* — a move
+merges at most 4 known chains and captures at most 4 known chains, so the
+post-move chain mask and its exact liberty count come from label
+comparisons against <=4 scalars, with no relabeling (`_move_effects`).
+Each defender/attacker move pair therefore costs exactly 3 label
+fixpoints (committed board + 2 attacker trials), not one per trial move.
+
 This reads all standard ladders and ladder-breaker interactions exactly;
 it can differ from the reference's search on deep branchy captures where
 the greedy line is not optimal for one side (rare in real positions; the
@@ -46,18 +56,99 @@ class LadderResult(NamedTuple):
 
 class _Sim(NamedTuple):
     stones: jax.Array    # int32[NN]
+    labels: jax.Array    # int32[NN] connected labels of `stones`
+    libs: jax.Array      # int32[NN] per-chain liberty counts of `stones`
     ko_loc: jax.Array    # int32
     done: jax.Array      # bool
     laddered: jax.Array  # bool
     step: jax.Array      # int32
 
 
+class _MoveEffects(NamedTuple):
+    """Exact incremental effects of one stone placement (no relabeling)."""
+    new_stones: jax.Array   # int32[NN]
+    my_mask: jax.Array      # bool[NN]: chain containing the placed stone
+    my_libs: jax.Array      # int32: its exact liberty count
+    num_captured: jax.Array  # int32
+    ko_loc: jax.Array       # int32: simple-ko ban or -1
+    legal: jax.Array        # bool: empty target and not suicide (ko unchecked)
+
+
 _BIG = jnp.int32(1 << 20)
+
+
+def _analyze(stones, size):
+    labels = B.connected_labels(stones, size)
+    libs = B.chain_liberties(stones, labels, size)
+    return labels, libs
+
+
+def _move_effects(stones, labels, libs, m, player, size) -> _MoveEffects:
+    """Play `player` at point m using only the precomputed analysis.
+
+    The placed stone merges the <=4 adjacent own chains and captures the
+    <=4 adjacent opponent chains in atari; both sets are identified by
+    comparing the label array against the neighbors' label scalars, and
+    the merged chain's liberty count is the exact count of empty points
+    adjacent to its mask on the post-capture board (the incremental
+    equivalent of Board::playMoveAssumeLegal's linked-list surgery,
+    board.cpp).  m must be < NN; callers mask invalid candidates.
+    """
+    nn = size * size
+    neigh = jnp.asarray(B.neighbor_table(size))
+    opp = B.opponent(player)
+    lpad = B._pad(labels, jnp.int32(nn))
+    spad = B._pad(stones, B.WALL)
+    libpad = B._pad(libs, 0)
+    nbr = neigh[m]                                    # [4]
+    nbr_s = spad[nbr]
+    nbr_l = lpad[nbr]
+    nbr_libs = libpad[nbr]
+    own_sel = nbr_s == player
+    cap_sel = (nbr_s == opp) & (nbr_libs == 1)
+
+    own_mask = jnp.zeros((nn,), bool)
+    cap_mask = jnp.zeros((nn,), bool)
+    for i in range(4):
+        own_mask = own_mask | (own_sel[i] & (labels == nbr_l[i]))
+        cap_mask = cap_mask | (cap_sel[i] & (labels == nbr_l[i]))
+    own_mask = own_mask & (stones == player)
+    cap_mask = cap_mask & (stones == opp)
+
+    target_empty = stones[m] == B.EMPTY
+    new_stones = jnp.where(cap_mask, B.EMPTY, stones).at[m].set(player)
+    my_mask = own_mask.at[m].set(True)
+    mpad = jnp.concatenate([my_mask, jnp.zeros((1,), bool)])
+    adj = jnp.any(mpad[neigh], axis=1)
+    my_libs = jnp.sum(((new_stones == B.EMPTY) & adj).astype(jnp.int32))
+    num_captured = jnp.sum(cap_mask.astype(jnp.int32))
+
+    own_any = jnp.any(own_sel)
+    is_ko = (num_captured == 1) & ~own_any & (my_libs == 1)
+    ko_loc = jnp.where(is_ko, jnp.argmax(cap_mask).astype(jnp.int32),
+                       jnp.int32(-1))
+    legal = target_empty & (my_libs > 0)
+    return _MoveEffects(new_stones=new_stones, my_mask=my_mask,
+                        my_libs=my_libs, num_captured=num_captured,
+                        ko_loc=ko_loc, legal=legal)
+
+
+def _rep_libs_after(stones, labels, rep, eff: _MoveEffects, size):
+    """Exact liberties of the chain containing `rep` after eff's move: the
+    merged mask when the move touched rep's chain, else rep's original
+    chain mask on the post-capture board. 0 if the chain was captured."""
+    neigh = jnp.asarray(B.neighbor_table(size))
+    alive = eff.new_stones[rep] == stones[rep]
+    base_mask = (labels == labels[rep]) & (stones != B.EMPTY)
+    mask = jnp.where(eff.my_mask[rep], eff.my_mask, base_mask)
+    mpad = jnp.concatenate([mask, jnp.zeros((1,), bool)])
+    adj = jnp.any(mpad[neigh], axis=1)
+    cnt = jnp.sum(((eff.new_stones == B.EMPTY) & adj).astype(jnp.int32))
+    return jnp.where(alive, cnt, 0)
 
 
 def _chain_lib_points(stones, labels, rep, size):
     """bool[NN]: empty points adjacent to the chain containing rep."""
-    nn = size * size
     neigh = jnp.asarray(B.neighbor_table(size))
     chain = (labels == labels[rep]) & (stones != B.EMPTY)
     cpad = jnp.concatenate([chain, jnp.zeros((1,), bool)])
@@ -71,14 +162,6 @@ def _lowest_k(mask, k, nn):
     neg_top = jax.lax.top_k(-vals, k)[0]
     idx = -neg_top
     return jnp.where(idx >= _BIG, nn, idx).astype(jnp.int32)
-
-
-def _trial_play(board_stones, ko_loc, loc, player, size):
-    """play_move on a hash-less board; returns (stones, ko_loc)."""
-    st = B.BoardState(stones=board_stones, ko_loc=ko_loc,
-                      pos_hash=jnp.zeros((2,), jnp.uint32))
-    new, _ = B.play_move(st, loc, player, size)
-    return new.stones, new.ko_loc
 
 
 def _defender_candidates(stones, labels, libs, rep, defender, size):
@@ -109,114 +192,113 @@ def _defender_candidates(stones, labels, libs, rep, defender, size):
     return cand, valid
 
 
-def _defender_best_reply_libs(stones, ko_loc, rep, defender, size):
-    """Max liberties the defender chain can reach with one move (its greedy
-    reply): the base heuristic value both phases share. Also returns the
-    trial boards so the defender phase can commit the winner."""
-    labels = B.connected_labels(stones, size)
-    libs = B.chain_liberties(stones, labels, size)
+def _defender_best_reply(stones, labels, libs, rep, defender, size):
+    """The defender's greedy reply: the liberty-maximizing move among
+    extend + liberty-gaining captures, each evaluated incrementally.
+    Returns (best_libs, best_effects). The defender is assumed to win kos
+    so ko bans are not checked on its candidates (board.cpp:1643-1645)."""
+    nn = size * size
     cand, valid = _defender_candidates(stones, labels, libs, rep, defender,
                                        size)
-    nn = size * size
-    tr_stones, tr_ko = jax.vmap(
-        lambda c: _trial_play(stones, ko_loc, jnp.minimum(c, nn), defender,
-                              size))(cand)
-    tr_labels = jax.vmap(lambda s: B.connected_labels(s, size))(tr_stones)
-    tr_libs = jax.vmap(
-        lambda s, l: B.chain_liberties(s, l, size))(tr_stones, tr_labels)
-    res_libs = tr_libs[:, rep]
-    alive = tr_stones[:, rep] == defender
-    score = jnp.where(valid & alive, res_libs, -1)
+    effs = jax.vmap(
+        lambda c: _move_effects(stones, labels, libs,
+                                jnp.minimum(c, nn - 1), defender, size))(cand)
+    rep_libs = jax.vmap(
+        lambda i: _rep_libs_after(stones, labels, rep,
+                                  jax.tree.map(lambda a: a[i], effs), size)
+    )(jnp.arange(4))
+    ok = valid & effs.legal
+    score = jnp.where(ok, rep_libs, -1)
     best = jnp.argmax(score).astype(jnp.int32)
-    return score[best], tr_stones[best], tr_ko[best]
+    best_eff = jax.tree.map(lambda a: a[best], effs)
+    return score[best], best_eff
 
 
 def _defender_phase(sim: _Sim, rep, defender, size):
     """Defender to move with (nominally) 1 liberty: terminal checks, then
-    commit the liberty-maximizing move among extend + captures."""
+    commit the liberty-maximizing move among extend + captures. Uses the
+    carried analysis (sim.labels/sim.libs match sim.stones)."""
     stones = sim.stones
     captured = stones[rep] != defender
-    labels = B.connected_labels(stones, size)
-    libs = B.chain_liberties(stones, labels, size)
-    dlibs = libs[rep]
+    dlibs = sim.libs[rep]
 
     # terminal checks (board.cpp:1694-1704)
     esc_ko = sim.ko_loc >= 0          # attacker left a ko: defender wins
     esc_libs = dlibs >= 2
 
-    best_libs, best_stones, best_ko = _defender_best_reply_libs(
-        stones, sim.ko_loc, rep, defender, size)
+    best_libs, best_eff = _defender_best_reply(
+        stones, sim.labels, sim.libs, rep, defender, size)
     esc_escaped = best_libs >= 3
     now_captured = best_libs <= 1     # best defense still loses the chain
 
     new_done = captured | esc_ko | esc_libs | esc_escaped | now_captured
     new_laddered = captured | now_captured
-    commit = ~new_done
-    stones2 = jnp.where(commit, best_stones, stones)
-    ko2 = jnp.where(commit, best_ko, sim.ko_loc)
-    return _Sim(stones=stones2, ko_loc=ko2,
-                done=sim.done | new_done,
-                laddered=jnp.where(sim.done, sim.laddered, new_laddered),
-                step=sim.step)
+    commit = ~sim.done & ~new_done
+    stones2 = jnp.where(commit, best_eff.new_stones, stones)
+    ko2 = jnp.where(commit, best_eff.ko_loc, sim.ko_loc)
+    return sim._replace(
+        stones=stones2, ko_loc=ko2,
+        done=sim.done | new_done,
+        laddered=jnp.where(sim.done, sim.laddered, new_laddered))
 
 
-def _attacker_phase(sim: _Sim, rep, defender, size):
+def _attacker_phase(sim: _Sim, labels, libs, rep, defender, size):
     """Attacker fills one of the defender's two liberties, chosen by 2-ply
     lookahead: minimize the defender's best-reply liberty count (the
     collapsed version of the reference's try-both-and-search,
-    board.cpp:1608-1613)."""
+    board.cpp:1608-1613). labels/libs analyze sim.stones (the
+    post-defender board). Returns the updated sim carrying the chosen
+    trial board's analysis."""
     nn = size * size
     attacker = B.opponent(defender)
     stones = sim.stones
-    labels = B.connected_labels(stones, size)
     lib_pts = _chain_lib_points(stones, labels, rep, size)
     cand = _lowest_k(lib_pts, 2, nn)                          # [2]
-    legal = B.legal_moves_basic(
-        B.BoardState(stones=stones, ko_loc=sim.ko_loc,
-                     pos_hash=jnp.zeros((2,), jnp.uint32)),
-        attacker, jnp.bool_(False), size)
-    legal_pad = jnp.concatenate([legal, jnp.zeros((1,), bool)])
-    valid = (cand < nn) & legal_pad[jnp.minimum(cand, nn)]
+    effs = jax.vmap(
+        lambda c: _move_effects(stones, labels, libs,
+                                jnp.minimum(c, nn - 1), attacker, size))(cand)
+    not_ko = jnp.minimum(cand, nn - 1) != sim.ko_loc
+    valid = (cand < nn) & effs.legal & not_ko
 
-    tr_stones, tr_ko = jax.vmap(
-        lambda c: _trial_play(stones, sim.ko_loc, jnp.minimum(c, nn), attacker,
-                              size))(cand)
-    reply_libs, _, _ = jax.vmap(
-        lambda s, k: _defender_best_reply_libs(s, k, rep, defender, size)
-    )(tr_stones, tr_ko)                                       # [2]
+    # defender's best reply on each trial board (the 2 analyze fixpoints)
+    tr_labels, tr_libs = jax.vmap(
+        lambda s: _analyze(s, size))(effs.new_stones)
+    reply_libs = jax.vmap(
+        lambda i: _defender_best_reply(
+            effs.new_stones[i], tr_labels[i], tr_libs[i], rep, defender,
+            size)[0])(jnp.arange(2))
     # minimize defender's best achievable libs; tie-break toward the lower
     # index (the reference's deterministic move ordering)
     score = jnp.where(valid, reply_libs, _BIG)
     best = jnp.argmin(score).astype(jnp.int32)
     no_move = ~jnp.any(valid)
-    commit = ~no_move
-    stones2 = jnp.where(commit, tr_stones[best], stones)
-    ko2 = jnp.where(commit, tr_ko[best], sim.ko_loc)
-    return _Sim(stones=stones2, ko_loc=ko2,
-                done=sim.done | no_move,
-                laddered=sim.laddered,
-                step=sim.step)
+    commit = ~sim.done & ~no_move
+    stones2 = jnp.where(commit, effs.new_stones[best], stones)
+    labels2 = jnp.where(commit, tr_labels[best], labels)
+    libs2 = jnp.where(commit, tr_libs[best], libs)
+    ko2 = jnp.where(commit, effs.ko_loc[best], sim.ko_loc)
+    return sim._replace(stones=stones2, labels=labels2, libs=libs2,
+                        ko_loc=ko2, done=sim.done | no_move)
 
 
-def _run_sim(stones0, rep, defender, premove, active, size: int,
-             max_steps: int):
+def _run_sim(stones0, labels0, libs0, rep, defender, premove, active,
+             size: int, max_steps: int):
     """One ladder line: optional attacker premove, then defender/attacker
     pairs until resolution. Returns bool: chain is ladder-captured."""
     nn = size * size
     attacker = B.opponent(defender)
     # attacker premove (2-lib candidates); illegal premove -> not laddered
     has_pre = premove >= 0
-    legal0 = B.legal_moves_basic(
-        B.BoardState(stones=stones0, ko_loc=jnp.int32(-1),
-                     pos_hash=jnp.zeros((2,), jnp.uint32)),
-        attacker, jnp.bool_(False), size)
-    pre_ok = ~has_pre | legal0[jnp.clip(premove, 0, nn - 1)]
-    st1, ko1 = _trial_play(stones0, jnp.int32(-1),
-                           jnp.where(has_pre, premove, nn), attacker, size)
+    pre_eff = _move_effects(stones0, labels0, libs0,
+                            jnp.clip(premove, 0, nn - 1), attacker, size)
+    pre_ok = ~has_pre | pre_eff.legal
+    st1 = jnp.where(has_pre, pre_eff.new_stones, stones0)
     # the defender is assumed to win kos: clear ko at the root
     # (board.cpp:1643-1645); premove-created kos still end the search at the
-    # first defender phase via ko1.
-    sim = _Sim(stones=st1, ko_loc=jnp.where(has_pre, ko1, jnp.int32(-1)),
+    # first defender phase via the premove's ko.
+    ko1 = jnp.where(has_pre, pre_eff.ko_loc, jnp.int32(-1))
+    labels1, libs1 = _analyze(st1, size)
+    sim = _Sim(stones=st1, labels=labels1, libs=libs1, ko_loc=ko1,
                done=~active | ~pre_ok, laddered=jnp.bool_(False),
                step=jnp.int32(0))
 
@@ -225,8 +307,11 @@ def _run_sim(stones0, rep, defender, premove, active, size: int,
 
     def body(s):
         s = _defender_phase(s, rep, defender, size)
-        s = jax.lax.cond(s.done, lambda x: x,
-                         lambda x: _attacker_phase(x, rep, defender, size), s)
+        # the defender commit left s.labels/s.libs stale: re-analyze the
+        # committed board (fixpoint 1 of 3 this pair-step)
+        labels, libs = _analyze(s.stones, size)
+        s = _attacker_phase(s._replace(labels=labels, libs=libs),
+                            labels, libs, rep, defender, size)
         return s._replace(step=s.step + 1)
 
     sim = jax.lax.while_loop(cond, body, sim)
@@ -250,8 +335,7 @@ def ladder_map(stones: jax.Array, size: int, max_chains: int = 16,
     nn = size * size
     if max_steps is None:
         max_steps = (3 * nn) // 4 + 6
-    labels = B.connected_labels(stones, size)
-    libs = B.chain_liberties(stones, labels, size)
+    labels, libs = _analyze(stones, size)
     occupied = (stones == B.BLACK) | (stones == B.WHITE)
     idx = jnp.arange(nn, dtype=jnp.int32)
     is_head = occupied & (labels == idx) & (libs >= 1) & (libs <= 2)
@@ -283,7 +367,8 @@ def ladder_map(stones: jax.Array, size: int, max_chains: int = 16,
     ])
 
     results = jax.vmap(
-        lambda r, d, p, a: _run_sim(stones, r, d, p, a, size, max_steps)
+        lambda r, d, p, a: _run_sim(stones, labels, libs, r, d, p, a, size,
+                                    max_steps)
     )(reps, defenders, premoves, active)                       # [3K] bool
 
     lad1 = results[:k]

@@ -50,6 +50,41 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
 
 
+def initialize_multihost(coordinator_address: str | None = None,
+                         num_processes: int | None = None,
+                         process_id: int | None = None) -> None:
+    """Multi-host entry point: jax.distributed.initialize.
+
+    The reference's multi-machine story is (a) NCCL DDP within one host
+    (train.py:252-267) and (b) shared-filesystem selfplay across machines
+    (SelfplayTraining.md). The TPU-native equivalent for (a) across hosts
+    is jax.distributed: after initialize(), jax.devices() spans every
+    process's chips, and the same Mesh/psum code scales over ICI+DCN with
+    zero further changes. With no arguments, TPU pod environments
+    auto-detect coordinator/process topology.
+
+    Safe to call when already initialized (no-op).
+    """
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id)
+    except RuntimeError as e:  # already initialized
+        if "already" not in str(e).lower():
+            raise
+
+
+def process_batch_slice(global_batch: int) -> tuple[int, int]:
+    """(start_row, rows) of this process's slice of a global batch — the
+    analogue of the reference's per-rank data slicing
+    (data_processing_pytorch.py:28 rank slicing)."""
+    n = jax.process_count()
+    i = jax.process_index()
+    per = global_batch // n
+    return i * per, per
+
+
 def setup_accelerator_dispatch():
     """Route trace-time eager constants to the CPU and return the
     accelerator device for explicit input placement.

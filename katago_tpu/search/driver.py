@@ -1,0 +1,182 @@
+"""Chunked search driver: time management, streaming analysis, pondering.
+
+TPU-native replacement for cpp/search/asyncbot.{cpp,h} and the in-search
+clock checks of Search::runWholeSearch (search.cpp:473-607). The
+reference interrupts playout threads mid-search on a wall clock or an
+analyze callback; here the host executes the jitted playout kernel in
+fixed-size chunks and decides *between* chunks: stop on visit budget,
+wall clock, a stop event (the ponder/analyze interrupt), or emit a
+streaming analysis callback. One compiled (init, chunk, collect) triple
+is cached per configuration; the visit cap is a traced scalar so every
+budget shares one executable.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from katago_tpu.search import mcts
+from katago_tpu.search.params import SearchParamsArr
+
+BIG_VISITS = 1 << 30
+
+
+class SearchDriver:
+    """Compiled chunk-stepped search over a fixed (size, max_nodes, chunk)
+    configuration. Drives any [G]-batch of games."""
+
+    def __init__(self, model_apply: Callable, model_params: Any,
+                 sp: SearchParamsArr, *, size: int, max_nodes: int,
+                 chunk_size: int = 16, max_depth: int = 64,
+                 with_ladders: bool = True):
+        self.sp = sp
+        self.size = size
+        self.max_nodes = max_nodes
+        self.chunk_size = chunk_size
+        self._jits: dict = {}
+        self._model_apply = model_apply
+        self._model_params = model_params
+        self._max_depth = max_depth
+        self._with_ladders = with_ladders
+
+    # -- compiled pieces --------------------------------------------------
+
+    def _get(self, key, build):
+        if key not in self._jits:
+            self._jits[key] = build()
+        return self._jits[key]
+
+    def init_fn(self, reuse: bool, reuse_actions: bool = False):
+        def build():
+            def f(roots, rng, *prev):
+                pt = prev[0] if prev else None
+                pa = prev[1] if len(prev) > 1 else None
+                return mcts.init_search(
+                    self._model_apply, self._model_params, roots, self.sp,
+                    rng, size=self.size, max_nodes=self.max_nodes,
+                    with_ladders=self._with_ladders, prev_tree=pt,
+                    prev_actions=pa)
+            return jax.jit(f)
+        return self._get(("init", reuse, reuse_actions), build)
+
+    def chunk_fn(self):
+        def build():
+            def f(ss, rng, max_visits, active_mask):
+                return mcts.run_playouts(
+                    self._model_apply, self._model_params, ss, self.sp, rng,
+                    size=self.size, num_sims=self.chunk_size,
+                    max_depth=self._max_depth,
+                    with_ladders=self._with_ladders,
+                    max_visits=max_visits, active_mask=active_mask)
+            return jax.jit(f)
+        return self._get(("chunk",), build)
+
+    def collect_fn(self):
+        return self._get(("collect",), lambda: jax.jit(mcts.collect_results))
+
+    def pv_fn(self, max_len: int = 15):
+        return self._get(("pv", max_len), lambda: jax.jit(
+            jax.vmap(lambda t: mcts.extract_pv(t, max_len))))
+
+    # -- the drive loop ---------------------------------------------------
+
+    def search(self, roots, rng, *,
+               max_visits: int | None = None,
+               min_time: float = 0.0,
+               max_time: float | None = None,
+               active_mask=None,
+               prev_tree=None, prev_actions=None,
+               callback: Callable | None = None,
+               callback_interval: float = 1.0,
+               stop_event: threading.Event | None = None,
+               should_stop: Callable[[], bool] | None = None
+               ) -> mcts.SearchResult:
+        """Run a time/visit/interrupt-bounded search.
+
+        max_visits: per-game root visit cap (None = unbounded, needs
+        max_time or stop_event). max_time: wall-clock cap, checked between
+        chunks (the lag-buffered recommendation from TimeControls).
+        min_time: do not stop on visits before this much wall time.
+        callback(result, elapsed_s): streaming analysis hook, called at
+        most every callback_interval seconds (kata-analyze interval).
+        stop_event: external interrupt (pondering / analyze cancellation).
+        should_stop(): polled between chunks (e.g. stdin readability for
+        GTP analyze interruption).
+        """
+        g = roots.hist_len.shape[0]
+        rng, r_init = jax.random.split(rng)
+        if prev_tree is not None and prev_actions is not None:
+            ss = self.init_fn(True, True)(roots, r_init, prev_tree,
+                                          prev_actions)
+        elif prev_tree is not None:
+            ss = self.init_fn(True)(roots, r_init, prev_tree)
+        else:
+            ss = self.init_fn(False)(roots, r_init)
+
+        if max_visits is None and max_time is None and stop_event is None \
+                and should_stop is None:
+            raise ValueError("search needs a visit cap, time cap, or "
+                             "stop condition")
+        cap = jnp.int32(max_visits if max_visits is not None else BIG_VISITS)
+        amask = (jnp.ones((g,), bool) if active_mask is None
+                 else jnp.asarray(active_mask))
+        chunk = self.chunk_fn()
+        t0 = time.time()
+        last_cb = t0
+        chunks_done = 0
+        while True:
+            if stop_event is not None and stop_event.is_set():
+                break
+            # always run at least one chunk so an immediately-interrupted
+            # analyze still reports a real (if small) search
+            if should_stop is not None and chunks_done > 0 and should_stop():
+                break
+            elapsed = time.time() - t0
+            if max_time is not None and elapsed >= max_time:
+                break
+            rv = np.asarray(ss.tree.visits[:, 0])
+            visits_done = bool(((rv >= int(cap)) |
+                                ~np.asarray(amask)).all())
+            if visits_done and elapsed >= min_time:
+                break
+            rng, r = jax.random.split(rng)
+            ss = chunk(ss, r, cap, amask)
+            chunks_done += 1
+            if callback is not None:
+                now = time.time()
+                if now - last_cb >= callback_interval:
+                    last_cb = now
+                    callback(self.collect_fn()(ss), now - t0)
+        return self.collect_fn()(ss)
+
+
+class AsyncSearch:
+    """Background search thread — the reference's AsyncBot pondering
+    (asyncbot.h:72-135). Start a driver.search on a position; stop() joins
+    and returns the final result (whose tree the caller can reuse)."""
+
+    def __init__(self, driver: SearchDriver, roots, rng, **kwargs):
+        self._stop = threading.Event()
+        self._result = None
+
+        def run():
+            self._result = driver.search(roots, rng,
+                                         stop_event=self._stop, **kwargs)
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> mcts.SearchResult | None:
+        self._stop.set()
+        self._thread.join()
+        return self._result
+
+    @property
+    def running(self) -> bool:
+        return self._thread.is_alive()

@@ -91,6 +91,11 @@ class SearchState(NamedTuple):
     sqrt_board_area: jax.Array   # float32
     bias_sum: jax.Array          # f32[BIAS_TABLE_SIZE] delta-utility sums
     bias_weight: jax.Array       # f32[BIAS_TABLE_SIZE]
+    own_sum: jax.Array           # f32[NN] weighted NN-ownership sum over
+                                 # playout leaves (white persp; the
+                                 # tree-averaged ownership of
+                                 # searchresults.cpp getAverageTreeOwnership)
+    own_weight: jax.Array        # f32
 
 
 class LeafEval(NamedTuple):
@@ -103,6 +108,7 @@ class LeafEval(NamedTuple):
     lead: jax.Array
     policy: jax.Array            # f32[A] prior (-1 illegal)
     weight: jax.Array            # f32 backup weight (uncertainty-scaled)
+    ownership: jax.Array         # f32[NN] white-persp ownership in [-1, 1]
 
 
 def empty_tree(size: int, max_nodes: int) -> Tree:
@@ -391,7 +397,7 @@ def terminal_eval_of_pos(pos: H.PosState, rules: H.RulesArr,
                          sqrt_area, num_actions: int) -> LeafEval:
     """Exact final-score values of a finished position (the reference's
     terminal playout values)."""
-    _, white_minus_black = H.final_score_area_pos(pos, rules, size)
+    own, white_minus_black = H.final_score_area_pos(pos, rules, size)
     winloss = jnp.sign(white_minus_black)
     meansq = white_minus_black * white_minus_black
     util = utility_of(winloss, white_minus_black, meansq, sp,
@@ -400,7 +406,8 @@ def terminal_eval_of_pos(pos: H.PosState, rules: H.RulesArr,
                     score_mean=white_minus_black, score_meansq=meansq,
                     score_stdev=jnp.float32(0.0), lead=white_minus_black,
                     policy=jnp.full((num_actions,), -1.0, jnp.float32),
-                    weight=jnp.float32(1.0))
+                    weight=jnp.float32(1.0),
+                    ownership=-own.astype(jnp.float32))
 
 
 def terminal_eval(ss: SearchState, node: jax.Array, sp: SearchParamsArr,
@@ -413,7 +420,7 @@ def terminal_eval(ss: SearchState, node: jax.Array, sp: SearchParamsArr,
     """
     tree = ss.tree
     pos = jax.tree.map(lambda a: a[node], tree.pos)
-    _, white_minus_black = H.final_score_area_pos(pos, ss.rules, size)
+    own, white_minus_black = H.final_score_area_pos(pos, ss.rules, size)
     winloss = jnp.sign(white_minus_black)  # draws -> 0
     meansq = white_minus_black * white_minus_black
     util = utility_of(winloss, white_minus_black, meansq, sp,
@@ -426,18 +433,23 @@ def terminal_eval(ss: SearchState, node: jax.Array, sp: SearchParamsArr,
     score = jnp.where(is_over, white_minus_black, tree.score_mean_sum[node] / w)
     meansq = jnp.where(is_over, meansq, tree.score_meansq_sum[node] / w)
     lead = jnp.where(is_over, white_minus_black, tree.lead_sum[node] / w)
+    # depth-capped revisit of a live node: the running tree-average
+    # ownership is value-neutral; a finished node contributes exact area
+    own_avg = ss.own_sum / jnp.maximum(ss.own_weight, 1e-10)
+    ownership = jnp.where(is_over, -own.astype(jnp.float32), own_avg)
     a = tree.policy.shape[1]
     return LeafEval(utility=util, winloss=winloss,
                     score_mean=score, score_meansq=meansq,
                     score_stdev=jnp.float32(0.0),
                     lead=lead,
                     policy=jnp.full((a,), -1.0, jnp.float32),
-                    weight=jnp.float32(1.0))
+                    weight=jnp.float32(1.0),
+                    ownership=ownership)
 
 
 def insert_and_backup(ss: SearchState, sel: PathSel, leaf_pos: H.PosState,
                       leaf_ko_hash: jax.Array, ev: LeafEval,
-                      superko_illegal: jax.Array,
+                      superko_illegal: jax.Array, active: jax.Array,
                       sp: SearchParamsArr) -> SearchState:
     """Allocate the leaf node (unless terminal/full/illegal) and back up.
 
@@ -454,7 +466,8 @@ def insert_and_backup(ss: SearchState, sel: PathSel, leaf_pos: H.PosState,
     tree = ss.tree
     n = tree.visits.shape[0]
 
-    would_alloc = (~sel.is_terminal) & (tree.num_nodes < n) & ~superko_illegal
+    would_alloc = (~sel.is_terminal) & (tree.num_nodes < n) \
+        & ~superko_illegal & active
     # transposition probe at the target depth
     depth_new = tree.depth[sel.leaf_parent] + 1
     idx = jnp.arange(n, dtype=jnp.int32)
@@ -530,15 +543,16 @@ def insert_and_backup(ss: SearchState, sel: PathSel, leaf_pos: H.PosState,
     ])
     valid = jnp.concatenate([sel.path_nodes >= 0, (can_alloc | use_tp)[None]])
     # a superko-rejected expansion backs up nothing — the playout is void
-    # (its prior was just marked illegal; the next sim picks another move)
-    valid = valid & ~superko_illegal
+    # (its prior was just marked illegal; the next sim picks another move);
+    # inactive games (visit cap reached / caller masked) also back up nothing
+    valid = valid & ~superko_illegal & active
     tree = tree._replace(
         visits=tree.visits.at[upd_nodes].add(valid.astype(jnp.int32)))
 
     # a terminal revisit accumulates weight on the terminal node's own eval
     # (the reference's addLeafValue on terminal playouts); the path recompute
     # below rebuilds its sums from nn_weight * nn_* values.
-    bump = sel.is_terminal & ~superko_illegal
+    bump = sel.is_terminal & ~superko_illegal & active
     tnode = jnp.where(bump, sel.terminal_node, pad)
     wb = jnp.where(bump, ev.weight, 0.0)
     tree = tree._replace(nn_weight=tree.nn_weight.at[tnode].add(wb))
@@ -547,7 +561,7 @@ def insert_and_backup(ss: SearchState, sel: PathSel, leaf_pos: H.PosState,
     # each node's stats become the value-weighted average of its children
     # plus its own uncertainty-weighted NN evaluation.
     ss = ss._replace(tree=tree)
-    ss = backprop_path(ss, sel, sp, ~superko_illegal)
+    ss = backprop_path(ss, sel, sp, ~superko_illegal & active)
     return ss
 
 
@@ -823,9 +837,16 @@ def nn_leaf_eval(raw: dict, legal: jax.Array, gs_to_move: jax.Array,
     logits = jnp.where(legal, logits, -1e30)
     pol = jax.nn.softmax(logits)
     pol = jnp.where(legal, pol, -1.0)
+    nn_area = legal.shape[0] - 1
+    own_pre = raw.get("ownership_pretanh")
+    if own_pre is None:          # stub models without an ownership head
+        own_w = jnp.zeros((nn_area,), jnp.float32)
+    else:
+        own_mover = jnp.tanh(own_pre.reshape(-1)[:nn_area])
+        own_w = _white_persp(own_mover, gs_to_move)
     return LeafEval(utility=util, winloss=winloss_w, score_mean=score_w,
                     score_meansq=meansq_w, score_stdev=stdev, lead=lead_w,
-                    policy=pol, weight=weight)
+                    policy=pol, weight=weight, ownership=own_w)
 
 
 class SearchResult(NamedTuple):
@@ -839,28 +860,29 @@ class SearchResult(NamedTuple):
     root_utility: jax.Array      # f32[G]
     child_winloss: jax.Array     # f32[G, A] per-child avg winloss (white)
     child_score_mean: jax.Array  # f32[G, A] per-child avg score (white)
+    root_ownership: jax.Array    # f32[G, NN] tree-averaged ownership (white)
 
 
-def run_search(model_apply: Callable, model_params: Any,
-               roots: H.GameState, sp: SearchParamsArr,
-               rng: jax.Array, *, size: int, num_sims: int,
-               max_nodes: int, max_depth: int = 64,
-               with_ladders: bool = True,
-               prev_tree: Tree | None = None,
-               prev_actions: jax.Array | None = None,
-               root_allowed_mask: jax.Array | None = None) -> SearchResult:
-    """Run num_sims playouts for a batch of games. roots: GameState[G].
+def init_search(model_apply: Callable, model_params: Any,
+                roots: H.GameState, sp: SearchParamsArr,
+                rng: jax.Array, *, size: int, max_nodes: int,
+                with_ladders: bool = True,
+                prev_tree: Tree | None = None,
+                prev_actions: jax.Array | None = None,
+                root_allowed_mask: jax.Array | None = None) -> SearchState:
+    """Build the initial SearchState for a batch of games: root NN eval,
+    Dirichlet noise, dynamic score center, optional tree reuse
+    (Search::beginSearch + makeMove, search.cpp:650/search.h:253-257).
 
-    prev_tree/prev_actions: tree reuse (Search::makeMove) — the previous
-    search's trees [G,...] and the actions that were then played; each
-    game re-roots at the played child (falling back to a fresh root when
-    the child was never expanded). With prev_actions=None the prev_tree is
-    taken as already rooted at the current position (callers that re-root
+    prev_tree/prev_actions: tree reuse — the previous search's trees
+    [G,...] and the actions that were then played; each game re-roots at
+    the played child (falling back to a fresh root when the child was
+    never expanded). With prev_actions=None the prev_tree is taken as
+    already rooted at the current position (callers that re-root
     incrementally, like the GTP engine, use this). Root Dirichlet noise
     and root policy temperature are re-applied to the reused root's
     stored prior."""
     nn = size * size
-    a = nn + 1
     g = roots.hist_len.shape[0]
     evaluator = make_nn_evaluator(model_apply, model_params, size,
                                   with_ladders=with_ladders)
@@ -885,6 +907,8 @@ def run_search(model_apply: Callable, model_params: Any,
         sqrt_board_area=jnp.full((g,), float(np.sqrt(nn)), jnp.float32),
         bias_sum=jnp.zeros((g, BIAS_TABLE_SIZE), jnp.float32),
         bias_weight=jnp.zeros((g, BIAS_TABLE_SIZE), jnp.float32),
+        own_sum=jnp.zeros((g, nn), jnp.float32),
+        own_weight=jnp.zeros((g,), jnp.float32),
     )
 
     # root NN eval
@@ -1013,12 +1037,107 @@ def run_search(model_apply: Callable, model_params: Any,
     else:
         ss = ss._replace(tree=fresh)
 
-    # ---- playout loop ----
+    # the tree-averaged-ownership accumulator starts from the root eval
+    ss = ss._replace(
+        own_sum=root_ev.weight[:, None] * root_ev.ownership,
+        own_weight=root_ev.weight)
+    return ss
+
+
+def run_playouts(model_apply: Callable, model_params: Any,
+                 ss: SearchState, sp: SearchParamsArr, rng: jax.Array, *,
+                 size: int, num_sims: int, max_depth: int = 64,
+                 with_ladders: bool = True,
+                 max_visits: int | None = None,
+                 active_mask: jax.Array | None = None,
+                 max_superko_retries: int = 3) -> SearchState:
+    """Advance the search by num_sims playouts (the chunked analogue of the
+    reference's runWholeSearch playout threads, search.cpp:473-607).
+
+    Chunking is the TPU-native mechanism for time-managed and streaming
+    search: the host calls this repeatedly with small num_sims, checking
+    clocks and emitting analysis between calls (search/driver.py).
+
+    max_visits: per-game visit cap — games whose root already has that
+    many visits run masked no-op playouts (the reference's maxVisits
+    termination, searchparams.h:131). active_mask [G]: caller-side game
+    masking (finished games in selfplay).
+
+    A superko-rejected expansion marks the prior illegal and retries the
+    descent within the same playout up to max_superko_retries times
+    (playoutDescend's loop, search.cpp:1189); only a game that exhausts
+    the retries voids its playout."""
+    nn = size * size
+    a = nn + 1
+    g = ss.root_hist_len.shape[0]
+    evaluator = make_nn_evaluator(model_apply, model_params, size,
+                                  with_ladders=with_ladders)
+    feat_params = F.FeatureParams(
+        draw_equiv_wins_for_white=sp.draw_equivalent_wins_for_white,
+        playout_doubling_advantage=sp.playout_doubling_advantage,
+        conservative_pass=sp.conservative_pass,
+    )
+
+    def superko_check(gs_i, kh):
+        # leaf_gs history already includes the leaf hash at slot
+        # hist_len-1; check for an identical hash earlier in the history
+        max_hist = gs_i.ko_hash_hist.shape[0]
+        idx = jnp.arange(max_hist)
+        valid = idx < (gs_i.hist_len - 1)
+        eq = jnp.all(gs_i.ko_hash_hist == kh[None, :], axis=-1)
+        return jnp.any(eq & valid)
+
+    def select_leaf(ss):
+        sel = jax.vmap(select_path, in_axes=(0, None, None))(ss, sp,
+                                                             max_depth)
+        leaf_pos, leaf_kh, leaf_gs = jax.vmap(
+            make_leaf_gamestate, in_axes=(0, 0, None, None))(ss, sel, size,
+                                                             max_depth)
+        sk = jax.vmap(superko_check)(leaf_gs, leaf_kh) & ~sel.is_terminal
+        # pass never violates superko-based bans in our engine semantics
+        sk = sk & (sel.leaf_action < nn)
+        return sel, leaf_pos, leaf_kh, leaf_gs, sk
+
     def one_sim(carry, _):
         ss, rng = carry
-        sel = jax.vmap(select_path, in_axes=(0, None, None))(ss, sp, max_depth)
-        leaf_pos, leaf_kh, leaf_gs = jax.vmap(
-            make_leaf_gamestate, in_axes=(0, 0, None, None))(ss, sel, size, max_depth)
+        active = jnp.ones((g,), bool) if active_mask is None else active_mask
+        if max_visits is not None:
+            active = active & (ss.tree.visits[:, 0] < max_visits)
+
+        sel, leaf_pos, leaf_kh, leaf_gs, sk = select_leaf(ss)
+        sk = sk & active
+
+        # retry descent for superko-rejected expansions
+        def mark_illegal(tree, need, sel_c):
+            gidx = jnp.arange(g)
+            pa = jnp.maximum(sel_c.leaf_action, 0)
+            old = tree.policy[gidx, sel_c.leaf_parent, pa]
+            return tree._replace(
+                policy=tree.policy.at[gidx, sel_c.leaf_parent, pa].set(
+                    jnp.where(need, -1.0, old)))
+
+        def retry_cond(c):
+            need, tries = c[5], c[6]
+            return jnp.any(need) & (tries < max_superko_retries)
+
+        def retry_body(c):
+            ss_c, sel_c, lp_c, lk_c, lg_c, need, tries = c
+            ss2 = ss_c._replace(tree=mark_illegal(ss_c.tree, need, sel_c))
+            sel_n, lp_n, lk_n, lg_n, sk_n = select_leaf(ss2)
+
+            def merge(old, new):
+                sh = (-1,) + (1,) * (new.ndim - 1)
+                return jnp.where(need.reshape(sh), new, old)
+
+            sel_m = jax.tree.map(merge, sel_c, sel_n)
+            lp_m = jax.tree.map(merge, lp_c, lp_n)
+            lk_m = merge(lk_c, lk_n)
+            lg_m = jax.tree.map(merge, lg_c, lg_n)
+            return ss2, sel_m, lp_m, lk_m, lg_m, need & sk_n, tries + 1
+
+        ss, sel, leaf_pos, leaf_kh, leaf_gs, void, _ = jax.lax.while_loop(
+            retry_cond, retry_body,
+            (ss, sel, leaf_pos, leaf_kh, leaf_gs, sk, jnp.int32(0)))
 
         raw, legal = evaluator(leaf_gs, feat_params)
         ptemp = jnp.ones((g,), jnp.float32)
@@ -1036,37 +1155,32 @@ def run_search(model_apply: Callable, model_params: Any,
             lambda p, r, dc, sa: terminal_eval_of_pos(p, r, sp, size, dc, sa, a)
         )(leaf_pos, ss.rules, ss.dyn_score_center, ss.sqrt_board_area)
 
-        def merge(t, lt, n_):
+        def merge_ev(t, lt, n_):
             sh = (-1,) + (1,) * (n_.ndim - 1)
             out = jnp.where(leaf_pos.game_over.reshape(sh), lt, n_)
             return jnp.where(sel.is_terminal.reshape(sh), t, out)
 
         # keep the NN policy for the leaf even if terminal (harmless)
-        ev = jax.tree.map(merge, term_ev,
+        ev = jax.tree.map(merge_ev, term_ev,
                           leaf_term_ev._replace(policy=nn_ev.policy), nn_ev)
 
-        # superko along path: did the expansion recreate a position?
-        # leaf_gs history already includes the leaf hash at slot hist_len-1;
-        # check for an identical hash earlier in the history.
-        def superko_check(gs_i, kh):
-            max_hist = gs_i.ko_hash_hist.shape[0]
-            idx = jnp.arange(max_hist)
-            valid = idx < (gs_i.hist_len - 1)
-            eq = jnp.all(gs_i.ko_hash_hist == kh[None, :], axis=-1)
-            return jnp.any(eq & valid)
-
-        superko_illegal = jax.vmap(superko_check)(leaf_gs, leaf_kh) \
-            & ~sel.is_terminal
-        # pass never violates superko-based bans in our engine semantics
-        superko_illegal = superko_illegal & (sel.leaf_action < nn)
-
-        ss = jax.vmap(insert_and_backup, in_axes=(0, 0, 0, 0, 0, 0, None))(
-            ss, sel, leaf_pos, leaf_kh, ev, superko_illegal, sp)
+        ss = jax.vmap(insert_and_backup,
+                      in_axes=(0, 0, 0, 0, 0, 0, 0, None))(
+            ss, sel, leaf_pos, leaf_kh, ev, void, active, sp)
+        ok = active & ~void
+        ss = ss._replace(
+            own_sum=ss.own_sum + jnp.where(
+                ok[:, None], ev.weight[:, None] * ev.ownership, 0.0),
+            own_weight=ss.own_weight + jnp.where(ok, ev.weight, 0.0))
         return (ss, rng), None
 
     (ss, rng), _ = jax.lax.scan(one_sim, (ss, rng), None, length=num_sims)
+    return ss
 
-    # ---- results ----
+
+def collect_results(ss: SearchState) -> SearchResult:
+    """Root/child statistics of the current tree (searchresults.cpp
+    getRootValues / per-child analysis data)."""
     tree = ss.tree
     child_idx = jnp.maximum(tree.children[:, 0, :], 0)
     has_child = tree.children[:, 0, :] >= 0
@@ -1092,7 +1206,56 @@ def run_search(model_apply: Callable, model_params: Any,
         root_utility=tree.utility_sum[:, 0] / root_w,
         child_winloss=child_wl,
         child_score_mean=child_sc,
+        root_ownership=ss.own_sum / jnp.maximum(ss.own_weight, 1e-10)[:, None],
     )
+
+
+def extract_pv(tree: Tree, max_len: int = 15) -> tuple[jax.Array, jax.Array]:
+    """Principal variation by greedy max-edge-visits descent
+    (Search::appendPV / getPV, searchresults.cpp:773-867). Single game;
+    vmap for the batch. Returns (moves int32[max_len], -1 padded, and
+    pv_len int32)."""
+    def body(carry, _):
+        node, done = carry
+        children = tree.children[node]
+        c = jnp.maximum(children, 0)
+        w = jnp.where(children >= 0, tree.visits[c], -1)
+        best = jnp.argmax(w).astype(jnp.int32)
+        child = tree.children[node, best]
+        valid = (child >= 0) & (w[best] > 0) & ~done
+        move = jnp.where(valid, best, -1)
+        return (jnp.where(valid, jnp.maximum(child, 0), node),
+                done | ~valid), move
+
+    (_, _), moves = jax.lax.scan(
+        body, (jnp.int32(0), jnp.bool_(False)), None, length=max_len)
+    return moves, jnp.sum((moves >= 0).astype(jnp.int32))
+
+
+def run_search(model_apply: Callable, model_params: Any,
+               roots: H.GameState, sp: SearchParamsArr,
+               rng: jax.Array, *, size: int, num_sims: int,
+               max_nodes: int, max_depth: int = 64,
+               with_ladders: bool = True,
+               prev_tree: Tree | None = None,
+               prev_actions: jax.Array | None = None,
+               root_allowed_mask: jax.Array | None = None,
+               max_visits: int | None = None,
+               active_mask: jax.Array | None = None) -> SearchResult:
+    """One-shot search: init + num_sims playouts + results. roots:
+    GameState[G]. See init_search/run_playouts for the chunked API used by
+    time-managed and streaming searches."""
+    rng, r_init, r_play = jax.random.split(rng, 3)
+    ss = init_search(model_apply, model_params, roots, sp, r_init,
+                     size=size, max_nodes=max_nodes,
+                     with_ladders=with_ladders, prev_tree=prev_tree,
+                     prev_actions=prev_actions,
+                     root_allowed_mask=root_allowed_mask)
+    ss = run_playouts(model_apply, model_params, ss, sp, r_play, size=size,
+                      num_sims=num_sims, max_depth=max_depth,
+                      with_ladders=with_ladders, max_visits=max_visits,
+                      active_mask=active_mask)
+    return collect_results(ss)
 
 
 def _lcb_adjusted_selection_weights(result: SearchResult,

@@ -165,13 +165,20 @@ def play_games(model_apply: Callable, model_params: Any, *,
                rng: jax.Array | None = None,
                record: bool = True,
                tree_reuse: bool = True,
-               play_settings=None) -> tuple[GameBatchData | None, dict]:
+               play_settings=None,
+               mesh=None) -> tuple[GameBatchData | None, dict]:
     """Play a batch of selfplay games to completion. Returns recorded data
     and summary stats (moves, scores, winners).
 
     play_settings: PlaySettings data-quality knobs (policy-init openings,
     cheap/full search mixing — cheap-search moves advance the game but are
-    not recorded, matching cheapSearchTargetWeight=0)."""
+    not recorded, matching cheapSearchTargetWeight=0).
+
+    mesh: optional jax.sharding.Mesh — the game axis shards over the
+    mesh's data axis (the TPU equivalent of the reference running
+    numGameThreads across multiple GPUs, selfplay.cpp:94 + nneval.h:97);
+    every search/step below then executes SPMD with leaf NN batches
+    split across devices. num_games must divide evenly."""
     from katago_tpu.selfplay.playsettings import PlaySettings
     nn = size * size
     rules = rules or R.Rules.tromp_taylorish()
@@ -191,6 +198,12 @@ def play_games(model_apply: Callable, model_params: Any, *,
     komi_white = sample_komis(rules.komi, ps, num_games, host_rng)
     games = games._replace(rules=games.rules._replace(
         komi=jnp.asarray(komi_white)))
+    if mesh is not None:
+        from katago_tpu.parallel import mesh as M
+        if num_games % mesh.devices.size != 0:
+            raise ValueError(f"num_games {num_games} not divisible by "
+                             f"{mesh.devices.size} mesh devices")
+        games = M.shard_batch(games, mesh)
 
     # cheap and full searches share one node-pool shape so tree reuse works
     # across budget switches (playsettings cheap/full mixing)
