@@ -18,14 +18,18 @@ chain on the board becomes one lane of a batched *forced-line simulation*:
     filling move minimizing the defender's liberties).
 
 Cost structure (this file is on the per-leaf featurize path of every
-search playout, so it is speed-of-light-critical): the only iterative
-fixpoint is `B.connected_labels`; everything else is O(1) rounds of [NN]
-masked vector ops. Candidate moves are evaluated *incrementally* — a move
-merges at most 4 known chains and captures at most 4 known chains, so the
-post-move chain mask and its exact liberty count come from label
-comparisons against <=4 scalars, with no relabeling (`_move_effects`).
-Each defender/attacker move pair therefore costs exactly 3 label
-fixpoints (committed board + 2 attacker trials), not one per trial move.
+search playout, so it is speed-of-light-critical): the ONLY iterative
+fixpoint is one stone-chain labeling per simulation start
+(`_stone_labels`, which unlike B.connected_labels does not label empty
+regions — the empty-region fixpoint dominates convergence on open
+boards and nothing here needs it). Inside the forced-line loop there are
+NO fixpoints at all: a move merges at most 4 known chains and captures
+at most 4 known chains, so `_move_effects` maintains the label array
+*exactly* — merged points take the min of <=5 known labels, captured
+points revert to their own index, and no other chain's label can change.
+Liberty counts are one scatter pass (`B.chain_liberties`) per committed
+or trial board. Per defender/attacker move pair: ~3 liberty passes and a
+handful of masked [NN] vector ops.
 
 This reads all standard ladders and ladder-breaker interactions exactly;
 it can differ from the reference's search on deep branchy captures where
@@ -67,6 +71,7 @@ class _Sim(NamedTuple):
 class _MoveEffects(NamedTuple):
     """Exact incremental effects of one stone placement (no relabeling)."""
     new_stones: jax.Array   # int32[NN]
+    new_labels: jax.Array   # int32[NN] exact stone-chain labels after move
     my_mask: jax.Array      # bool[NN]: chain containing the placed stone
     my_libs: jax.Array      # int32: its exact liberty count
     num_captured: jax.Array  # int32
@@ -77,8 +82,32 @@ class _MoveEffects(NamedTuple):
 _BIG = jnp.int32(1 << 20)
 
 
+def _stone_labels(stones, size):
+    """Min-index labels of stone chains only; empty points keep their own
+    index. Converges in O(log chain-diameter) rounds — much faster than
+    B.connected_labels, whose whole-board empty-region components dominate
+    its fixpoint on open boards."""
+    nn = size * size
+    neigh = jnp.asarray(B.neighbor_table(size))
+    idx = jnp.arange(nn, dtype=jnp.int32)
+    occ = (stones == B.BLACK) | (stones == B.WHITE)
+    vpad = B._pad(stones, B.WALL)
+    same = (vpad[neigh] == stones[:, None]) & occ[:, None]
+
+    def body(carry):
+        lab, _ = carry
+        lpad = B._pad(lab, B.INT_MAX)
+        nbr_min = jnp.min(jnp.where(same, lpad[neigh], B.INT_MAX), axis=1)
+        lab2 = jnp.minimum(lab, nbr_min)
+        lab2 = jnp.minimum(lab2, lab2[lab2])  # pointer jump
+        return lab2, jnp.any(lab2 != lab)
+
+    lab, _ = jax.lax.while_loop(lambda c: c[1], body, (idx, jnp.bool_(True)))
+    return lab
+
+
 def _analyze(stones, size):
-    labels = B.connected_labels(stones, size)
+    labels = _stone_labels(stones, size)
     libs = B.chain_liberties(stones, labels, size)
     return labels, libs
 
@@ -92,10 +121,13 @@ def _move_effects(stones, labels, libs, m, player, size) -> _MoveEffects:
     the merged chain's liberty count is the exact count of empty points
     adjacent to its mask on the post-capture board (the incremental
     equivalent of Board::playMoveAssumeLegal's linked-list surgery,
-    board.cpp).  m must be < NN; callers mask invalid candidates.
+    board.cpp). The stone-label array is maintained exactly: merged
+    points take min(merged labels, m), captured points revert to their
+    own index. m must be < NN; callers mask invalid candidates.
     """
     nn = size * size
     neigh = jnp.asarray(B.neighbor_table(size))
+    idx = jnp.arange(nn, dtype=jnp.int32)
     opp = B.opponent(player)
     lpad = B._pad(labels, jnp.int32(nn))
     spad = B._pad(stones, B.WALL)
@@ -109,15 +141,20 @@ def _move_effects(stones, labels, libs, m, player, size) -> _MoveEffects:
 
     own_mask = jnp.zeros((nn,), bool)
     cap_mask = jnp.zeros((nn,), bool)
+    merged_label = m
     for i in range(4):
         own_mask = own_mask | (own_sel[i] & (labels == nbr_l[i]))
         cap_mask = cap_mask | (cap_sel[i] & (labels == nbr_l[i]))
+        merged_label = jnp.minimum(merged_label,
+                                   jnp.where(own_sel[i], nbr_l[i], m))
     own_mask = own_mask & (stones == player)
     cap_mask = cap_mask & (stones == opp)
 
     target_empty = stones[m] == B.EMPTY
     new_stones = jnp.where(cap_mask, B.EMPTY, stones).at[m].set(player)
     my_mask = own_mask.at[m].set(True)
+    new_labels = jnp.where(my_mask, merged_label,
+                           jnp.where(cap_mask, idx, labels))
     mpad = jnp.concatenate([my_mask, jnp.zeros((1,), bool)])
     adj = jnp.any(mpad[neigh], axis=1)
     my_libs = jnp.sum(((new_stones == B.EMPTY) & adj).astype(jnp.int32))
@@ -128,7 +165,8 @@ def _move_effects(stones, labels, libs, m, player, size) -> _MoveEffects:
     ko_loc = jnp.where(is_ko, jnp.argmax(cap_mask).astype(jnp.int32),
                        jnp.int32(-1))
     legal = target_empty & (my_libs > 0)
-    return _MoveEffects(new_stones=new_stones, my_mask=my_mask,
+    return _MoveEffects(new_stones=new_stones, new_labels=new_labels,
+                        my_mask=my_mask,
                         my_libs=my_libs, num_captured=num_captured,
                         ko_loc=ko_loc, legal=legal)
 
@@ -235,23 +273,25 @@ def _defender_phase(sim: _Sim, rep, defender, size):
     new_laddered = captured | now_captured
     commit = ~sim.done & ~new_done
     stones2 = jnp.where(commit, best_eff.new_stones, stones)
+    labels2 = jnp.where(commit, best_eff.new_labels, sim.labels)
+    libs2 = B.chain_liberties(stones2, labels2, size)
     ko2 = jnp.where(commit, best_eff.ko_loc, sim.ko_loc)
     return sim._replace(
-        stones=stones2, ko_loc=ko2,
+        stones=stones2, labels=labels2, libs=libs2, ko_loc=ko2,
         done=sim.done | new_done,
         laddered=jnp.where(sim.done, sim.laddered, new_laddered))
 
 
-def _attacker_phase(sim: _Sim, labels, libs, rep, defender, size):
+def _attacker_phase(sim: _Sim, rep, defender, size):
     """Attacker fills one of the defender's two liberties, chosen by 2-ply
     lookahead: minimize the defender's best-reply liberty count (the
     collapsed version of the reference's try-both-and-search,
-    board.cpp:1608-1613). labels/libs analyze sim.stones (the
-    post-defender board). Returns the updated sim carrying the chosen
-    trial board's analysis."""
+    board.cpp:1608-1613). Uses the carried analysis; trial boards carry
+    their exactly-maintained labels (no fixpoints)."""
     nn = size * size
     attacker = B.opponent(defender)
     stones = sim.stones
+    labels, libs = sim.labels, sim.libs
     lib_pts = _chain_lib_points(stones, labels, rep, size)
     cand = _lowest_k(lib_pts, 2, nn)                          # [2]
     effs = jax.vmap(
@@ -260,9 +300,12 @@ def _attacker_phase(sim: _Sim, labels, libs, rep, defender, size):
     not_ko = jnp.minimum(cand, nn - 1) != sim.ko_loc
     valid = (cand < nn) & effs.legal & not_ko
 
-    # defender's best reply on each trial board (the 2 analyze fixpoints)
-    tr_labels, tr_libs = jax.vmap(
-        lambda s: _analyze(s, size))(effs.new_stones)
+    # defender's best reply on each trial board (labels exact from
+    # _move_effects; liberties one scatter pass each)
+    tr_labels = effs.new_labels
+    tr_libs = jax.vmap(
+        lambda s, l: B.chain_liberties(s, l, size))(effs.new_stones,
+                                                    tr_labels)
     reply_libs = jax.vmap(
         lambda i: _defender_best_reply(
             effs.new_stones[i], tr_labels[i], tr_libs[i], rep, defender,
@@ -293,11 +336,12 @@ def _run_sim(stones0, labels0, libs0, rep, defender, premove, active,
                             jnp.clip(premove, 0, nn - 1), attacker, size)
     pre_ok = ~has_pre | pre_eff.legal
     st1 = jnp.where(has_pre, pre_eff.new_stones, stones0)
+    labels1 = jnp.where(has_pre, pre_eff.new_labels, labels0)
+    libs1 = B.chain_liberties(st1, labels1, size)
     # the defender is assumed to win kos: clear ko at the root
     # (board.cpp:1643-1645); premove-created kos still end the search at the
     # first defender phase via the premove's ko.
     ko1 = jnp.where(has_pre, pre_eff.ko_loc, jnp.int32(-1))
-    labels1, libs1 = _analyze(st1, size)
     sim = _Sim(stones=st1, labels=labels1, libs=libs1, ko_loc=ko1,
                done=~active | ~pre_ok, laddered=jnp.bool_(False),
                step=jnp.int32(0))
@@ -307,11 +351,7 @@ def _run_sim(stones0, labels0, libs0, rep, defender, premove, active,
 
     def body(s):
         s = _defender_phase(s, rep, defender, size)
-        # the defender commit left s.labels/s.libs stale: re-analyze the
-        # committed board (fixpoint 1 of 3 this pair-step)
-        labels, libs = _analyze(s.stones, size)
-        s = _attacker_phase(s._replace(labels=labels, libs=libs),
-                            labels, libs, rep, defender, size)
+        s = _attacker_phase(s, rep, defender, size)
         return s._replace(step=s.step + 1)
 
     sim = jax.lax.while_loop(cond, body, sim)
@@ -328,13 +368,15 @@ def ladder_map(stones: jax.Array, size: int, max_chains: int = 16,
     max_chains bounds how many distinct low-liberty chains are analyzed
     (lowest flat index first, the reference's row-major iteration order);
     boards with more candidates than that get the overflow chains marked
-    not-laddered. max_steps bounds each forced line's length in move pairs
-    (default scales with board area, cf. the reference's stack bound of
-    1.5x board area plies, board.cpp:1648).
+    not-laddered. max_steps bounds each forced line's length in move
+    pairs (default ~2 board-lengths + margin — enough for any cross-board
+    ladder with captures; lines longer than that are declared
+    not-laddered, the analogue of the reference's 25000-node budget
+    bailout, board.cpp:1680-1688).
     """
     nn = size * size
     if max_steps is None:
-        max_steps = (3 * nn) // 4 + 6
+        max_steps = 2 * size + 14
     labels, libs = _analyze(stones, size)
     occupied = (stones == B.BLACK) | (stones == B.WHITE)
     idx = jnp.arange(nn, dtype=jnp.int32)

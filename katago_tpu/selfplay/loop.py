@@ -206,24 +206,37 @@ def play_games(model_apply: Callable, model_params: Any, *,
         games = M.shard_batch(games, mesh)
 
     # cheap and full searches share one node-pool shape so tree reuse works
-    # across budget switches (playsettings cheap/full mixing)
-    max_nodes = visits + 3
+    # across budget switches (playsettings cheap/full mixing); the pool is
+    # sized ~2x the visit budget so reused subtrees keep their value
+    # instead of immediately hitting the cap (search.h:253-257 tree reuse)
+    max_nodes = 2 * visits + 16
     cheap_visits = min(max(ps.cheap_search_visits, 2), visits)
 
     def make_search(n_sims, reuse):
+        # max_visits is a traced per-call cap: with tree reuse only the
+        # top-up playouts run, and games whose reused tree already meets
+        # the budget run masked no-ops (the reference's maxVisits stop,
+        # searchparams.h:131 — where its savings from reuse come from)
         if reuse:
-            return jax.jit(lambda roots, key, pt, pa: mcts.run_search(
+            return jax.jit(lambda roots, key, pt, pa, mv: mcts.run_search(
                 model_apply, model_params, roots, sp, key, size=size,
                 num_sims=n_sims, max_nodes=max_nodes,
-                prev_tree=pt, prev_actions=pa))
-        return jax.jit(lambda roots, key: mcts.run_search(
+                prev_tree=pt, prev_actions=pa, max_visits=mv))
+        return jax.jit(lambda roots, key, mv: mcts.run_search(
             model_apply, model_params, roots, sp, key, size=size,
-            num_sims=n_sims, max_nodes=max_nodes))
+            num_sims=n_sims, max_nodes=max_nodes, max_visits=mv))
 
-    search_fns = {True: (make_search(visits, False),
-                         make_search(visits, True)),
-                  False: (make_search(cheap_visits, False),
-                          make_search(cheap_visits, True))}
+    # quantized top-up grid: one compiled program per (n_sims, reuse)
+    sims_grid = sorted({0, max(1, visits // 8), max(1, visits // 4),
+                        visits // 2, (3 * visits) // 4, visits,
+                        cheap_visits})
+    _search_cache: dict = {}
+
+    def get_search(n_sims: int, reuse: bool):
+        q = next(s for s in sims_grid if s >= min(n_sims, visits))
+        if (q, reuse) not in _search_cache:
+            _search_cache[(q, reuse)] = make_search(q, reuse)
+        return _search_cache[(q, reuse)]
     choose_fn = jax.jit(lambda res, mn, key: mcts.choose_moves(res, sp, mn, key))
     step_fn = jax.jit(jax.vmap(H.step, in_axes=(0, 0, None)), static_argnums=2)
     feat_fn = jax.jit(jax.vmap(F.fill_features_v7, in_axes=(0, None, None)),
@@ -247,6 +260,7 @@ def play_games(model_apply: Callable, model_params: Any, *,
     rows = []  # host-side per-move records
     total_playouts = 0
     prev = None   # (tree, actions) for Search::makeMove-style reuse
+    reused_visits = 0  # min over games of the re-rooted subtree's visits
     for move_i in range(max_moves):
         done = np.asarray(games.pos.game_over)
         if done.all():
@@ -254,12 +268,16 @@ def play_games(model_apply: Callable, model_params: Any, *,
         # cheap/full decision per move (cheapSearchProb)
         is_full = host_rng.random() >= ps.cheap_search_prob
         move_visits = visits if is_full else cheap_visits
-        search_fn, search_reuse_fn = search_fns[is_full]
         rng, k1, k2, k3 = jax.random.split(rng, 4)
+        mv_cap = jnp.int32(move_visits + 1)   # root visit = playouts + 1
         if prev is None or not tree_reuse:
-            res = search_fn(games, k1)
+            n_new = move_visits
+            res = get_search(n_new, False)(games, k1, mv_cap)
         else:
-            res = search_reuse_fn(games, k1, prev[0], prev[1])
+            # top-up: only the playouts the reused subtree is missing
+            n_new = move_visits + 1 - reused_visits
+            res = get_search(n_new, True)(games, k1, prev[0], prev[1],
+                                          mv_cap)
         moves = choose_fn(res, games.pos.move_num, k2)
         # policy-init: in-opening games sample from the raw prior instead
         in_init = (np.asarray(games.pos.move_num) <
@@ -274,7 +292,15 @@ def play_games(model_apply: Callable, model_params: Any, *,
             moves = jnp.where(jnp.asarray(in_init), pol_moves, moves)
         if tree_reuse:
             prev = (res.ss.tree, moves)
-        total_playouts += int((~done).sum()) * move_visits
+            # the next move's top-up budget is what the re-rooted subtree
+            # is still missing; conservatively use the min over live games
+            # (one compiled program serves the whole lockstep batch)
+            cv = np.asarray(res.child_visits)
+            mvs = np.asarray(moves)
+            rv = cv[np.arange(num_games), mvs]
+            live = ~done
+            reused_visits = int(rv[live].min()) if live.any() else 0
+        total_playouts += int((~done).sum()) * max(n_new, 0)
 
         # cheap-search and policy-init rows are not recorded
         # (cheapSearchTargetWeight = 0, playsettings.h:47)
