@@ -34,16 +34,15 @@ def _adjacent_chain_labels(labels: jax.Array, stones: jax.Array,
                            pla: jax.Array, size: int) -> jax.Array:
     """For every point: labels of adjacent pla chains, deduped. [NN,4], pad=NN."""
     nn = size * size
-    neigh = jnp.asarray(B.neighbor_table(size))
-    spad = B._pad(stones, B.WALL)
-    lpad = B._pad(labels, jnp.int32(nn))
-    cand = jnp.where(spad[neigh] == pla, lpad[neigh], nn)
+    nbr_s = B.shift4(stones, size, B.WALL)
+    nbr_l = B.shift4(labels, size, jnp.int32(nn))
+    cand = [jnp.where(nbr_s[d] == pla, nbr_l[d], nn) for d in range(4)]
     for k in range(1, 4):
-        dup = jnp.zeros_like(cand[:, k], dtype=bool)
+        dup = jnp.zeros_like(cand[k], dtype=bool)
         for j in range(k):
-            dup = dup | (cand[:, k] == cand[:, j])
-        cand = cand.at[:, k].set(jnp.where(dup, nn, cand[:, k]))
-    return cand
+            dup = dup | (cand[k] == cand[j])
+        cand[k] = jnp.where(dup, nn, cand[k])
+    return jnp.stack(cand, axis=1)
 
 
 def pass_alive_area_for(stones: jax.Array, pla: jax.Array,
@@ -142,9 +141,7 @@ def pass_alive_area_for(stones: jax.Array, pla: jax.Array,
 
     # region marking
     at_least_one_pla = jnp.any(is_pla)
-    neigh = jnp.asarray(B.neighbor_table(size))
-    spad = B._pad(stones, B.WALL)
-    adj_to_pla = jnp.any(spad[neigh] == pla, axis=1)
+    adj_to_pla = jnp.any(B.shift4(stones, size, B.WALL) == pla, axis=0)
     internal = region_mask & ~adj_to_pla
     n_internal = jnp.zeros((nn + 1,), jnp.int32).at[region_lab].add(
         internal.astype(jnp.int32))[:nn]
@@ -212,7 +209,6 @@ def calculate_independent_life_area(
     their stone color are kept regardless.
     """
     nn = size * size
-    neigh = jnp.asarray(B.neighbor_table(size))
     basic = calculate_area(stones, size,
                            jnp.bool_(True), jnp.bool_(True), jnp.bool_(True),
                            suicide_legal)
@@ -221,10 +217,9 @@ def calculate_independent_life_area(
     libs = B.chain_liberties(stones, chain_lab, size)
 
     owned = basic != B.EMPTY
-    bpad = B._pad(basic, jnp.int32(B.WALL))
-    spad = B._pad(stones, B.WALL)
-    touches_dame = jnp.any((spad[neigh] == B.EMPTY) & (bpad[neigh] == B.EMPTY),
-                           axis=1)
+    nbr_s = B.shift4(stones, size, B.WALL)
+    nbr_b = B.shift4(basic, size, jnp.int32(B.WALL))
+    touches_dame = jnp.any((nbr_s == B.EMPTY) & (nbr_b == B.EMPTY), axis=0)
     atari_own = (stones == basic) & owned & (libs == 1)
     seed = owned & (atari_own | touches_dame)
 

@@ -105,6 +105,22 @@ def _pad(arr: jax.Array, value) -> jax.Array:
     return jnp.concatenate([arr, jnp.full((1,), value, arr.dtype)])
 
 
+def shift4(x: jax.Array, size: int, pad_val) -> jax.Array:
+    """[4, NN]: x shifted so row d holds each point's d-direction neighbor
+    value (up/down/left/right), pad_val off-board. The vectorized
+    replacement for neighbor_table gathers: TPU serializes [NN,4]-index
+    gathers but pad+slice shifts stay pure vector ops."""
+    x2 = x.reshape(size, size)
+    pv = jnp.asarray(pad_val, x.dtype)
+    row = jnp.full((1, size), pv, x.dtype)
+    col = jnp.full((size, 1), pv, x.dtype)
+    up = jnp.concatenate([x2[1:, :], row])
+    down = jnp.concatenate([row, x2[:-1, :]])
+    left = jnp.concatenate([x2[:, 1:], col], axis=1)
+    right = jnp.concatenate([col, x2[:, :-1]], axis=1)
+    return jnp.stack([up, down, left, right]).reshape(4, size * size)
+
+
 def connected_labels(values: jax.Array, size: int) -> jax.Array:
     """Label connected components of equal values.
 
@@ -118,15 +134,13 @@ def connected_labels(values: jax.Array, size: int) -> jax.Array:
     convergence for chains of diameter d.
     """
     nn = size * size
-    neigh = jnp.asarray(neighbor_table(size))
     idx = jnp.arange(nn, dtype=jnp.int32)
-    vpad = _pad(values, WALL)
-    same = vpad[neigh] == values[:, None]  # [NN, 4]
+    same = shift4(values, size, WALL) == values[None, :]  # [4, NN]
 
     def body(carry):
         lab, _ = carry
-        lpad = _pad(lab, INT_MAX)
-        nbr_min = jnp.min(jnp.where(same, lpad[neigh], INT_MAX), axis=1)
+        nbr_min = jnp.min(jnp.where(same, shift4(lab, size, INT_MAX),
+                                    INT_MAX), axis=0)
         lab2 = jnp.minimum(lab, nbr_min)
         lab2 = jnp.minimum(lab2, lab2[lab2])  # pointer jump
         return lab2, jnp.any(lab2 != lab)
@@ -142,20 +156,20 @@ def chain_liberties(stones: jax.Array, labels: jax.Array, size: int) -> jax.Arra
     points adjacent to the point's chain; 0 for empty points.
     """
     nn = size * size
-    neigh = jnp.asarray(neighbor_table(size))
     is_empty = stones == EMPTY
-    spad = _pad(stones, WALL)
-    lpad = _pad(labels, jnp.int32(nn))
-    nbr_lab = lpad[neigh]                                   # [NN, 4]
-    nbr_occ = (spad[neigh] == BLACK) | (spad[neigh] == WHITE)
+    nbr_s = shift4(stones, size, WALL)                      # [4, NN]
+    nbr_lab = shift4(labels, size, jnp.int32(nn))
+    nbr_occ = (nbr_s == BLACK) | (nbr_s == WHITE)
     # candidate chain labels this empty point is a liberty of
-    cand = jnp.where(is_empty[:, None] & nbr_occ, nbr_lab, nn)
+    cand = [jnp.where(is_empty & nbr_occ[d], nbr_lab[d], nn)
+            for d in range(4)]
     # dedup within the 4 neighbors so each empty point counts once per chain
     for k in range(1, 4):
-        dup = jnp.zeros_like(cand[:, k], dtype=bool)
+        dup = jnp.zeros_like(cand[k], dtype=bool)
         for j in range(k):
-            dup = dup | (cand[:, k] == cand[:, j])
-        cand = cand.at[:, k].set(jnp.where(dup, nn, cand[:, k]))
+            dup = dup | (cand[k] == cand[j])
+        cand[k] = jnp.where(dup, nn, cand[k])
+    cand = jnp.stack(cand)                                  # [4, NN]
     ones = (cand != nn).astype(jnp.int32)
     counts = jnp.zeros((nn + 1,), jnp.int32).at[cand.reshape(-1)].add(ones.reshape(-1))
     libs = counts[labels]
@@ -182,22 +196,19 @@ def legal_moves_basic(state: BoardState, player: jax.Array,
       rules allow multi-stone suicide.
     """
     nn = size * size
-    neigh = jnp.asarray(neighbor_table(size))
     stones = state.stones
     labels = connected_labels(stones, size)
     libs = chain_liberties(stones, labels, size)
 
-    spad = _pad(stones, WALL)
-    libspad = _pad(libs, 0)
-    nbr_s = spad[neigh]          # [NN, 4]
-    nbr_libs = libspad[neigh]    # [NN, 4]
+    nbr_s = shift4(stones, size, WALL)          # [4, NN]
+    nbr_libs = shift4(libs, size, jnp.int32(0))
     opp = opponent(player)
 
     is_empty = stones == EMPTY
-    has_empty_nbr = jnp.any(nbr_s == EMPTY, axis=1)
-    own_safe = jnp.any((nbr_s == player) & (nbr_libs >= 2), axis=1)
-    captures = jnp.any((nbr_s == opp) & (nbr_libs == 1), axis=1)
-    own_any = jnp.any(nbr_s == player, axis=1)
+    has_empty_nbr = jnp.any(nbr_s == EMPTY, axis=0)
+    own_safe = jnp.any((nbr_s == player) & (nbr_libs >= 2), axis=0)
+    captures = jnp.any((nbr_s == opp) & (nbr_libs == 1), axis=0)
+    own_any = jnp.any(nbr_s == player, axis=0)
 
     suicide = ~has_empty_nbr & ~own_safe & ~captures
     legal_suicide = suicide & multi_suicide_legal & own_any
@@ -274,13 +285,11 @@ def area_score_tromp_taylor(stones: jax.Array, size: int) -> tuple[jax.Array, ja
     Empty regions bordering stones of exactly one color count for that color.
     """
     nn = size * size
-    neigh = jnp.asarray(neighbor_table(size))
     labels = connected_labels(stones, size)
     is_empty = stones == EMPTY
-    spad = _pad(stones, WALL)
-    nbr_s = spad[neigh]
-    touches_black = is_empty & jnp.any(nbr_s == BLACK, axis=1)
-    touches_white = is_empty & jnp.any(nbr_s == WHITE, axis=1)
+    nbr_s = shift4(stones, size, WALL)
+    touches_black = is_empty & jnp.any(nbr_s == BLACK, axis=0)
+    touches_white = is_empty & jnp.any(nbr_s == WHITE, axis=0)
     # scatter-or per empty-region label
     lab_e = jnp.where(is_empty, labels, nn)
     tb = jnp.zeros((nn + 1,), jnp.int32).at[lab_e].max(touches_black.astype(jnp.int32))

@@ -501,7 +501,6 @@ def legal_moves(gs: GameState, size: int) -> jax.Array:
     encore milestone).
     """
     nn = size * size
-    neigh = jnp.asarray(B.neighbor_table(size))
     zst = jnp.asarray(zobrist.stone_table(size))  # [2, NN+1, 2]
     stones = gs.board.stones
     player = gs.to_move
@@ -518,33 +517,30 @@ def legal_moves(gs: GameState, size: int) -> jax.Array:
     own_keys = jnp.where((stones != B.EMPTY)[:, None], own_keys, 0)
     chain_key = segment_xor(own_keys, labels, nn)  # uint32[NN, 2]
 
-    spad = B._pad(stones, B.WALL)
-    lpad = B._pad(labels, jnp.int32(nn))
-    libspad = B._pad(libs, 0)
-    nbr_s = spad[neigh]        # [NN,4]
-    nbr_lab = lpad[neigh]
-    nbr_libs = libspad[neigh]
+    nbr_s = B.shift4(stones, size, B.WALL)            # [4,NN]
+    nbr_lab = B.shift4(labels, size, jnp.int32(nn))
+    nbr_libs = B.shift4(libs, size, jnp.int32(0))
 
     def xor_adjacent_chains(match: jax.Array) -> jax.Array:
-        """XOR chain keys of distinct neighbor chains where match[NN,4]."""
-        cand = jnp.where(match, nbr_lab, nn)
+        """XOR chain keys of distinct neighbor chains where match[4,NN]."""
+        cand = [jnp.where(match[d], nbr_lab[d], nn) for d in range(4)]
         for k in range(1, 4):
-            dup = jnp.zeros_like(cand[:, k], dtype=bool)
+            dup = jnp.zeros_like(cand[k], dtype=bool)
             for j in range(k):
-                dup = dup | (cand[:, k] == cand[:, j])
-            cand = cand.at[:, k].set(jnp.where(dup, nn, cand[:, k]))
+                dup = dup | (cand[k] == cand[j])
+            cand[k] = jnp.where(dup, nn, cand[k])
         ckpad = jnp.concatenate([chain_key, jnp.zeros((1, 2), jnp.uint32)])
-        keys = ckpad[cand]                      # [NN,4,2]
-        return keys[:, 0] ^ keys[:, 1] ^ keys[:, 2] ^ keys[:, 3]
+        keys = ckpad[jnp.stack(cand)]           # [4,NN,2]
+        return keys[0] ^ keys[1] ^ keys[2] ^ keys[3]
 
     # captures: adjacent opp chains in atari
     delta_cap = xor_adjacent_chains((nbr_s == opp) & (nbr_libs == 1))
 
     # legal multi-stone suicide: all own adjacent chains die with the stone
-    has_empty_nbr = jnp.any(nbr_s == B.EMPTY, axis=1)
-    own_safe = jnp.any((nbr_s == player) & (nbr_libs >= 2), axis=1)
-    captures_any = jnp.any((nbr_s == opp) & (nbr_libs == 1), axis=1)
-    own_any = jnp.any(nbr_s == player, axis=1)
+    has_empty_nbr = jnp.any(nbr_s == B.EMPTY, axis=0)
+    own_safe = jnp.any((nbr_s == player) & (nbr_libs >= 2), axis=0)
+    captures_any = jnp.any((nbr_s == opp) & (nbr_libs == 1), axis=0)
+    own_any = jnp.any(nbr_s == player, axis=0)
     is_suicide_move = (stones == B.EMPTY) & ~has_empty_nbr & ~own_safe & ~captures_any & own_any
     delta_own = xor_adjacent_chains((nbr_s == player) & (nbr_libs == 1))
 
