@@ -11,8 +11,10 @@ Format (defined by the reference's exporter, python/export_model_pytorch.py
 tokens; weight blobs either as text floats (.txt.gz) or as "@BIN@" followed
 by little-endian f32s (.bin.gz). Conv weights are stored y,x,ic,oc (exactly
 JAX's HWIO layout for NHWC convs); matmuls are ic,oc. Supported here:
-model versions 8..15 conv families (ordinary / gpool / nested-bottleneck
-blocks). Transformer blocks (v17) are a later milestone.
+model versions 8..17 — conv families (ordinary / gpool / nested-bottleneck
+blocks), v17 transformer blocks (GQA attention with fixed or learnable 2-D
+RoPE, SwiGLU FFN, rmsnorm trunk tip; desc.cpp:1176-1414,1658-1770) and the
+v15+ SGF-metadata encoder (desc.cpp:1567-1614).
 
 All v8..v17 models consume V7 input features (modelversion.cpp:36-38),
 which katago_tpu.models.features provides.
@@ -170,6 +172,131 @@ def _parse_matbias(r: _Reader) -> MatBias:
     return MatBias(name, c, r.floats(c))
 
 
+@dataclasses.dataclass
+class TRMSNorm:
+    """Weight-only RMSNorm inside transformer blocks (desc.cpp:1124-1143)."""
+    name: str
+    channels: int
+    eps: float
+    weight: np.ndarray
+
+
+@dataclasses.dataclass
+class RMSNormLayer:
+    """Trunk-tip RMSNorm with gamma+beta (desc.cpp:1069-1095)."""
+    name: str
+    channels: int
+    eps: float
+    spatial: bool
+    gamma: np.ndarray
+    beta: np.ndarray
+
+
+def _parse_trmsnorm(r: _Reader) -> TRMSNorm:
+    name = r.token()
+    c = r.int()
+    eps = r.float()
+    return TRMSNorm(name, c, eps, r.floats(c))
+
+
+def _parse_rmsnorm_layer(r: _Reader) -> RMSNormLayer:
+    name = r.token()
+    c = r.int()
+    eps = r.float()
+    spatial = r.int() != 0
+    cgroup = r.int()
+    if cgroup != 0:
+        raise ModelParseError(f"{name}: grouped spatial rmsnorm unsupported")
+    gamma = r.floats(c)
+    beta = r.floats(c)
+    return RMSNormLayer(name, c, eps, spatial, gamma, beta)
+
+
+def _parse_attention(r: _Reader) -> dict:
+    """transformer_attention_block (desc.cpp:1176-1254)."""
+    name = r.token()
+    num_heads = r.int()
+    num_kv_heads = r.int()
+    q_head_dim = r.int()
+    v_head_dim = r.int()
+    use_rope = r.int() != 0
+    learnable_rope = r.int() != 0
+    if num_heads < 1 or num_kv_heads < 1 or num_heads % num_kv_heads != 0:
+        raise ModelParseError(f"{name}: bad head counts")
+    if use_rope and q_head_dim % 2 != 0:
+        raise ModelParseError(f"{name}: qHeadDim must be even with RoPE")
+    blk = {
+        "kind": "attention", "name": name,
+        "num_heads": num_heads, "num_kv_heads": num_kv_heads,
+        "q_head_dim": q_head_dim, "v_head_dim": v_head_dim,
+        "use_rope": use_rope, "learnable_rope": learnable_rope,
+        "pre_ln": _parse_trmsnorm(r),
+        "q_proj": _parse_matmul(r), "k_proj": _parse_matmul(r),
+        "v_proj": _parse_matmul(r), "out_proj": _parse_matmul(r),
+        "rope_theta": 0.0, "rope_freqs": None,
+    }
+    if blk["q_proj"].out_ch != num_heads * q_head_dim:
+        raise ModelParseError(f"{name}: qProj shape mismatch")
+    if blk["k_proj"].out_ch != num_kv_heads * q_head_dim:
+        raise ModelParseError(f"{name}: kProj shape mismatch")
+    if blk["v_proj"].out_ch != num_kv_heads * v_head_dim:
+        raise ModelParseError(f"{name}: vProj shape mismatch")
+    if use_rope:
+        r.token()  # rope_freqs / rope_theta tensor name
+        if learnable_rope:
+            kvh = r.int()
+            pairs = r.int()
+            dim2 = r.int()
+            if kvh != num_kv_heads or pairs != q_head_dim // 2 or dim2 != 2:
+                raise ModelParseError(f"{name}: bad learnable rope header")
+            blk["rope_freqs"] = r.floats(kvh * pairs * 2).reshape(
+                kvh, pairs, 2)
+        else:
+            blk["rope_theta"] = r.float()
+            if not blk["rope_theta"] > 0:
+                raise ModelParseError(f"{name}: rope theta must be positive")
+    return blk
+
+
+def _parse_ffn(r: _Reader) -> dict:
+    """transformer_ffn_block (desc.cpp:1374-1408)."""
+    name = r.token()
+    channels = r.int()
+    ffn_channels = r.int()
+    use_swiglu = r.int() != 0
+    blk = {
+        "kind": "ffn", "name": name, "channels": channels,
+        "ffn_channels": ffn_channels, "use_swiglu": use_swiglu,
+        "pre_ln": _parse_trmsnorm(r),
+        "linear1": _parse_matmul(r),
+        "linear_gate": _parse_matmul(r) if use_swiglu else None,
+        "linear2": _parse_matmul(r),
+    }
+    if blk["linear1"].in_ch != channels or blk["linear1"].out_ch != ffn_channels:
+        raise ModelParseError(f"{name}: linear1 shape mismatch")
+    if blk["linear2"].in_ch != ffn_channels or blk["linear2"].out_ch != channels:
+        raise ModelParseError(f"{name}: linear2 shape mismatch")
+    return blk
+
+
+def _parse_metadata_encoder(r: _Reader, version: int) -> dict:
+    """SGF metadata encoder (desc.cpp:1572-1614): 192-float -> MLP -> trunk
+    bias. The exporter folds the feature mask and output scale into
+    mul1/mul3 (export_model_pytorch.py write_metadata_encoder)."""
+    name = r.token()
+    in_ch = r.int()
+    if in_ch != 192:
+        raise ModelParseError(f"{name}: meta encoder wants 192 in-channels")
+    return {
+        "name": name, "in_ch": in_ch,
+        "mul1": _parse_matmul(r), "bias1": _parse_matbias(r),
+        "act1": _parse_act(r, version),
+        "mul2": _parse_matmul(r), "bias2": _parse_matbias(r),
+        "act2": _parse_act(r, version),
+        "mul3": _parse_matmul(r),
+    }
+
+
 def _parse_block(r: _Reader, version: int) -> dict:
     kind = r.token()
     if kind == "ordinary_block":
@@ -203,8 +330,11 @@ def _parse_block(r: _Reader, version: int) -> dict:
                 "post_conv": _parse_conv(r)}
         return {"kind": "nested", "name": name, "internal": internal,
                 **pre, "sub_blocks": sub, **post}
-    raise ModelParseError(f"unsupported block kind {kind!r} "
-                          "(transformer blocks are a later milestone)")
+    if kind == "transformer_attention_block":
+        return _parse_attention(r)
+    if kind == "transformer_ffn_block":
+        return _parse_ffn(r)
+    raise ModelParseError(f"unsupported block kind {kind!r}")
 
 
 @dataclasses.dataclass
@@ -218,6 +348,8 @@ class ModelDesc:
     trunk: dict
     policy_head: dict
     value_head: dict
+    meta_encoder_version: int = 0
+    prefer_pass_alive: bool = False
 
     @property
     def num_policy_channels(self) -> int:
@@ -234,8 +366,8 @@ def load_model(path: str) -> ModelDesc:
 
     name = r.token()
     version = r.int()
-    if not (8 <= version <= 16):
-        raise ModelParseError(f"model version {version} unsupported (want 8..16)")
+    if not (8 <= version <= 17):
+        raise ModelParseError(f"model version {version} unsupported (want 8..17)")
     num_spatial = r.int()
     num_global = r.int()
 
@@ -246,11 +378,15 @@ def load_model(path: str) -> ModelDesc:
     if version >= 13:
         for k in list(pp):
             pp[k] = r.float()
+    meta_version = 0
+    prefer_pass_alive = False
     if version >= 15:
         meta_version = r.int()
-        if meta_version != 0:
-            raise ModelParseError("metadata encoder not yet supported")
-        for _ in range(7):  # preferPassAlive + 6 reserved
+        if meta_version not in (0, 1):
+            raise ModelParseError(
+                f"metadata encoder version {meta_version} unsupported")
+        prefer_pass_alive = r.int() != 0
+        for _ in range(6):  # reserved
             if r.int() != 0:
                 raise ModelParseError("unsupported reserved model option")
 
@@ -264,28 +400,50 @@ def load_model(path: str) -> ModelDesc:
     regular_ch = r.int()
     _dilated_ch = r.int()
     gpool_ch = r.int()
+    trunk_norm_kind = 0
     if version >= 15:
         trunk_norm_kind = r.int()
-        if trunk_norm_kind != 0:
-            raise ModelParseError("rmsnorm trunk final unsupported yet")
+        if trunk_norm_kind not in (0, 1):
+            raise ModelParseError(
+                f"trunk norm kind {trunk_norm_kind} unsupported")
         for _ in range(5):
             if r.int() != 0:
                 raise ModelParseError("unsupported trunk option")
     initial_conv = _parse_conv(r)
     initial_matmul = _parse_matmul(r)
+    meta_encoder = None
+    if meta_version > 0:
+        meta_encoder = _parse_metadata_encoder(r, version)
+        if meta_encoder["mul3"].out_ch != trunk_ch:
+            raise ModelParseError("meta encoder output != trunk channels")
     blocks = [_parse_block(r, version) for _ in range(num_blocks)]
-    trunk_final_bn = _parse_bn(r)
+    if trunk_norm_kind == 0:
+        trunk_final_bn = _parse_bn(r)
+        trunk_final_rms = None
+    else:
+        trunk_final_bn = None
+        trunk_final_rms = _parse_rmsnorm_layer(r)
     trunk_final_act = _parse_act(r, version)
     trunk = {
         "num_blocks": num_blocks, "trunk_ch": trunk_ch, "mid_ch": mid_ch,
         "regular_ch": regular_ch, "gpool_ch": gpool_ch,
         "initial_conv": initial_conv, "initial_matmul": initial_matmul,
+        "meta_encoder": meta_encoder,
         "blocks": blocks, "final_bn": trunk_final_bn,
+        "final_rms": trunk_final_rms,
         "final_act": trunk_final_act,
     }
 
     # ---- policy head ----
     ph: dict = {"name": r.token()}
+    if version >= 17:
+        pol_out = r.int()
+        if pol_out not in (2, 4):
+            raise ModelParseError(f"bad policyOutChannels {pol_out}")
+        ph["policy_out_channels"] = pol_out
+        for _ in range(3):
+            if r.int() != 0:
+                raise ModelParseError("unsupported policy head option")
     ph["p1_conv"] = _parse_conv(r)
     ph["g1_conv"] = _parse_conv(r)
     ph["g1_bn"] = _parse_bn(r)
@@ -302,6 +460,10 @@ def load_model(path: str) -> ModelDesc:
 
     # ---- value head ----
     vh: dict = {"name": r.token()}
+    if version >= 17:
+        for _ in range(3):
+            if r.int() != 0:
+                raise ModelParseError("unsupported value head option")
     vh["v1_conv"] = _parse_conv(r)
     vh["v1_bn"] = _parse_bn(r)
     vh["v1_act"] = _parse_act(r, version)
@@ -318,7 +480,8 @@ def load_model(path: str) -> ModelDesc:
                      num_spatial_inputs=num_spatial,
                      num_global_inputs=num_global, sha256=sha256,
                      post_process=pp, trunk=trunk, policy_head=ph,
-                     value_head=vh)
+                     value_head=vh, meta_encoder_version=meta_version,
+                     prefer_pass_alive=prefer_pass_alive)
 
 
 # ---- JAX forward over a parsed desc --------------------------------------
@@ -355,8 +518,98 @@ def _vgpool(x, mask, mask_sum_hw):
     return out[:, 0, 0, :]
 
 
+def _trms(x, n: TRMSNorm):
+    """Weight-only RMSNorm over the channel dim (eigenbackend.cpp:866-918).
+    Masked positions are zeroed by the residual-add mask."""
+    ms = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
+    return x * jax.lax.rsqrt(ms + n.eps) * jnp.asarray(n.weight)
+
+
+def _rope_tables(blk, h, w):
+    """cos/sin [S, num_heads_or_1, D] matching computeRopeCosSin
+    (desc.cpp:1301-1363): interleaved pairs; fixed rope = first half height
+    angles, second half width; learnable rope = per-KV-head (x*fx + y*fy)."""
+    d = blk["q_head_dim"]
+    pairs = d // 2
+    ys, xs = np.meshgrid(np.arange(h, dtype=np.float32),
+                         np.arange(w, dtype=np.float32), indexing="ij")
+    pos = np.stack([ys.reshape(-1), xs.reshape(-1)], axis=-1)  # [S,2] (y,x)
+    if blk["learnable_rope"]:
+        fr = np.asarray(blk["rope_freqs"], np.float32)  # [kv, pairs, 2(x,y)]
+        # angle = x*freq_x + y*freq_y  (desc.cpp:1320)
+        ang = (pos[:, None, None, 1] * fr[None, :, :, 0]
+               + pos[:, None, None, 0] * fr[None, :, :, 1])  # [S,kv,pairs]
+    else:
+        half = pairs // 2
+        theta = blk["rope_theta"]
+        freq = 1.0 / theta ** (2.0 * np.arange(half, dtype=np.float32) / pairs)
+        ang_h = pos[:, 0:1] * freq[None, :]   # [S, half]
+        ang_w = pos[:, 1:2] * freq[None, :]
+        ang = np.concatenate([ang_h, ang_w], axis=-1)[:, None, :]  # [S,1,pairs]
+    ang = np.repeat(ang, 2, axis=-1)          # interleave: pair p -> 2p,2p+1
+    return jnp.asarray(np.cos(ang)), jnp.asarray(np.sin(ang))
+
+
+def _rot2(x):
+    x2 = x.reshape(x.shape[:-1] + (-1, 2))
+    return jnp.stack([-x2[..., 1], x2[..., 0]], axis=-1).reshape(x.shape)
+
+
+def _apply_attention(x, blk, mask):
+    """GQA attention over board positions (eigenbackend.cpp:1374-1612)."""
+    b, h, w, c = x.shape
+    s = h * w
+    nh, nkv = blk["num_heads"], blk["num_kv_heads"]
+    qd, vd = blk["q_head_dim"], blk["v_head_dim"]
+    xs = _trms(x.reshape(b, s, c), blk["pre_ln"])
+    q = (xs @ jnp.asarray(blk["q_proj"].weight)).reshape(b, s, nh, qd)
+    k = (xs @ jnp.asarray(blk["k_proj"].weight)).reshape(b, s, nkv, qd)
+    v = (xs @ jnp.asarray(blk["v_proj"].weight)).reshape(b, s, nkv, vd)
+    if blk["use_rope"]:
+        cos, sin = _rope_tables(blk, h, w)    # [S, kv|1, D]
+        if blk["learnable_rope"]:
+            # q heads map to their kv head's table (eigenbackend.cpp:1444)
+            rep = nh // nkv
+            qcos = jnp.repeat(cos, rep, axis=1)[None]
+            qsin = jnp.repeat(sin, rep, axis=1)[None]
+            kcos, ksin = cos[None], sin[None]
+        else:
+            qcos = kcos = cos[None]
+            qsin = ksin = sin[None]
+        q = q * qcos + _rot2(q) * qsin
+        k = k * kcos + _rot2(k) * ksin
+    if nh != nkv:
+        k = jnp.repeat(k, nh // nkv, axis=2)
+        v = jnp.repeat(v, nh // nkv, axis=2)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(qd)
+    key_mask = mask.reshape(b, 1, 1, s)
+    logits = jnp.where(key_mask > 0, logits, -1e30)
+    att = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", att, v).reshape(b, s, nh * vd)
+    out = out @ jnp.asarray(blk["out_proj"].weight)
+    return x + out.reshape(b, h, w, c) * mask
+
+
+def _apply_ffn(x, blk, mask):
+    """SwiGLU / plain FFN (eigenbackend.cpp:1643-1720): silu applies to
+    linear1's output, multiplied by the gate projection."""
+    b, h, w, c = x.shape
+    xs = _trms(x.reshape(b, h * w, c), blk["pre_ln"])
+    y = xs @ jnp.asarray(blk["linear1"].weight)
+    if blk["use_swiglu"]:
+        y = jax.nn.silu(y) * (xs @ jnp.asarray(blk["linear_gate"].weight))
+    else:
+        y = jax.nn.relu(y)
+    y = y @ jnp.asarray(blk["linear2"].weight)
+    return x + y.reshape(b, h, w, c) * mask
+
+
 def _apply_block(x, blk, mask, mask_sum_hw):
     act = _act
+    if blk["kind"] == "attention":
+        return _apply_attention(x, blk, mask)
+    if blk["kind"] == "ffn":
+        return _apply_ffn(x, blk, mask)
     if blk["kind"] == "ordinary":
         out = _bn(x, blk["pre_bn"], mask)
         out = act(blk["pre_act"])(out)
@@ -392,10 +645,13 @@ def _apply_block(x, blk, mask, mask_sum_hw):
     raise ValueError(blk["kind"])
 
 
-def apply_desc_model(desc: ModelDesc, spatial, global_in, mask=None) -> dict:
+def apply_desc_model(desc: ModelDesc, spatial, global_in, mask=None,
+                     metadata=None) -> dict:
     """Forward a parsed reference model. spatial [B,H,W,22] NHWC, global
-    [B,19]. Returns the same raw-output dict shape as KataGoModel (policy
-    channel 0 = play policy; channel 1 = optimistic policy when present)."""
+    [B,19], optional metadata [B,192] (humanSL nets, meta_encoder_version
+    1). Returns the same raw-output dict shape as KataGoModel (policy
+    channel 0 = play policy; channel 1 = optimistic policy when present;
+    channels 2,3 = q winloss / q score on 4-channel v17 heads)."""
     b, h, w, _ = spatial.shape
     if mask is None:
         mask = jnp.ones((b, h, w, 1), jnp.float32)
@@ -405,9 +661,31 @@ def apply_desc_model(desc: ModelDesc, spatial, global_in, mask=None) -> dict:
 
     x = _conv(spatial, t["initial_conv"])
     x = x + (global_in @ jnp.asarray(t["initial_matmul"].weight))[:, None, None, :]
+    if t.get("meta_encoder") is not None:
+        me = t["meta_encoder"]
+        if metadata is None:
+            metadata = jnp.zeros((b, 192), jnp.float32)
+        m = metadata @ jnp.asarray(me["mul1"].weight) + jnp.asarray(me["bias1"].bias)
+        m = act(me["act1"])(m)
+        m = m @ jnp.asarray(me["mul2"].weight) + jnp.asarray(me["bias2"].bias)
+        m = act(me["act2"])(m)
+        m = m @ jnp.asarray(me["mul3"].weight)
+        x = x + m[:, None, None, :]
     for blk in t["blocks"]:
         x = _apply_block(x, blk, mask, mask_sum_hw)
-    x = _bn(x, t["final_bn"], mask)
+    if t.get("final_rms") is not None:
+        fr = t["final_rms"]
+        if fr.spatial:
+            # RMS over all on-board positions and channels per batch element
+            ssum = jnp.sum(jnp.square(x) * mask, axis=(1, 2, 3), keepdims=True)
+            cnt = mask_sum_hw[..., 0:1] * x.shape[-1]
+            rms = jax.lax.rsqrt(ssum / cnt + fr.eps)
+        else:
+            rms = jax.lax.rsqrt(
+                jnp.mean(jnp.square(x), axis=-1, keepdims=True) + fr.eps)
+        x = (x * rms * jnp.asarray(fr.gamma) + jnp.asarray(fr.beta)) * mask
+    else:
+        x = _bn(x, t["final_bn"], mask)
     x = act(t["final_act"])(x)
 
     # policy head
@@ -446,14 +724,21 @@ def apply_desc_model(desc: ModelDesc, spatial, global_in, mask=None) -> dict:
     sv = v2 @ jnp.asarray(vh["sv3_mul"].weight) + jnp.asarray(vh["sv3_bias"].bias)
     own = _conv(v1, vh["ownership_conv"]) * mask
 
-    # pad miscvalue to the KataGoModel 10-channel layout
-    pad = jnp.zeros((b, 10 - sv.shape[-1]), sv.dtype)
-    miscvalue = jnp.concatenate([sv, pad], axis=-1)
+    # sv3 rows map to (scoremean, scorestdev, lead, vtime, shortterm value
+    # err, shortterm score err) — the first 4 are miscvalue channels 0-3,
+    # the last 2 are moremiscvalue channels 0-1 (export_model_pytorch.py
+    # write_value_head)
+    sv_misc = sv[:, :4]
+    sv_more = sv[:, 4:6]
+    miscvalue = jnp.concatenate(
+        [sv_misc, jnp.zeros((b, 10 - sv_misc.shape[-1]), sv.dtype)], axis=-1)
+    moremiscvalue = jnp.concatenate(
+        [sv_more, jnp.zeros((b, 8 - sv_more.shape[-1]), sv.dtype)], axis=-1)
     return {
         "policy_logits": policy,
         "value_logits": value,
         "miscvalue": miscvalue,
-        "moremiscvalue": jnp.zeros((b, 8), sv.dtype),
+        "moremiscvalue": moremiscvalue,
         "ownership_pretanh": own[..., 0],
         "scoring_presoftmax": jnp.zeros_like(own[..., 0]),
         "futurepos_pretanh": jnp.zeros((b, h, w, 2), sv.dtype),

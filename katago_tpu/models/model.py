@@ -350,8 +350,10 @@ class TransformerFFNBlock(nn.Module):
             kernel_init=nn.initializers.lecun_normal(), name=name)
         y = dense(ffn, "ffn_linear1")(xn)
         if self.use_swiglu:
+            # silu applies to linear1's output, multiplied by the gate
+            # projection (model_pytorch.py:2568-2572, eigenbackend.cpp SwiGLU)
             gate = dense(ffn, "ffn_linear_gate")(xn)
-            y = jax.nn.silu(gate) * y
+            y = jax.nn.silu(y) * gate
         else:
             y = act_fn(cfg.activation)(y)
         y = dense(c, "ffn_linear2")(y)

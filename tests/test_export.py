@@ -30,18 +30,65 @@ def _round_trip(name, tmp_path):
     return out_f, out_d
 
 
-@pytest.mark.parametrize("name", ["b2c16", "b5c192nbt"])
-def test_export_round_trip_bit_exact(name, tmp_path):
-    out_f, out_d = _round_trip(name, tmp_path)
-    for key in ["policy_logits", "value_logits", "ownership_pretanh"]:
+def _assert_head_outputs_match(out_f, out_d):
+    """The engine format carries policy columns (0, 5) of the 6-channel
+    training head — (0, 5, 6, 7) of the 8-channel v16+ head — miscvalue
+    cols 0-3 and moremiscvalue cols 0-1 (export_model_pytorch.py
+    write_policy_head / write_value_head)."""
+    n_pol = np.asarray(out_f["policy_logits"]).shape[1]
+    pol_cols = [0, 5] if n_pol == 6 else [0, 5, 6, 7]
+    # policy: the exported net computes a 2/4-channel conv where the flax
+    # model computes 6/8 channels and selects — XLA may block the output-
+    # channel reduction differently, so exact bitwise equality is not
+    # guaranteed for this one op; everything else is graph-identical.
+    np.testing.assert_allclose(
+        np.asarray(out_f["policy_logits"])[:, pol_cols],
+        np.asarray(out_d["policy_logits"]), rtol=3e-7, atol=1e-8)
+    for key in ["value_logits", "ownership_pretanh"]:
         np.testing.assert_array_equal(np.asarray(out_f[key]),
                                       np.asarray(out_d[key]))
-    np.testing.assert_array_equal(np.asarray(out_f["miscvalue"]),
-                                  np.asarray(out_d["miscvalue"]))
+    np.testing.assert_array_equal(np.asarray(out_f["miscvalue"])[:, :4],
+                                  np.asarray(out_d["miscvalue"])[:, :4])
+    np.testing.assert_array_equal(np.asarray(out_f["moremiscvalue"])[:, :2],
+                                  np.asarray(out_d["moremiscvalue"])[:, :2])
 
 
-def test_export_transformer_rejected(tmp_path):
-    cfg = MC.get_config("b5c48h3tfr")
+@pytest.mark.parametrize("name", ["b2c16", "b5c192nbt", "b5c48h3tfr"])
+def test_export_round_trip_bit_exact(name, tmp_path):
+    out_f, out_d = _round_trip(name, tmp_path)
+    _assert_head_outputs_match(out_f, out_d)
+
+
+def test_export_round_trip_gqa_swiglu_metadata(tmp_path):
+    """v17 GQA (heads != kv heads) + SwiGLU FFN + SGF-metadata encoder
+    round-trips bit-exactly (the mask/0.5 folds into mul1/mul3 are exact:
+    power-of-two scale and zeroed column)."""
+    import dataclasses
+    cfg = dataclasses.replace(
+        MC.get_config("b5c48h3tfr"), name="tinygqa",
+        transformer_heads=4, transformer_kv_heads=2,
+        metadata_encoder=True, metadata_encoder_channels=16,
+        block_kind=tuple(k for _ in range(2) for k in ("attnrope", "ffnsg")))
+    m = KataGoModel(cfg, pos_len=SIZE, dtype=jnp.float32)
+    sp = jax.random.bernoulli(jax.random.PRNGKey(3), 0.3,
+                              (2, SIZE, SIZE, 22)).astype(jnp.float32)
+    gl = jax.random.normal(jax.random.PRNGKey(4), (2, 19)) * 0.1
+    meta = jax.random.normal(jax.random.PRNGKey(5), (2, 192)) * 0.1
+    params = m.init(jax.random.PRNGKey(0), sp, gl)
+    path = str(tmp_path / "tinygqa.bin.gz")
+    E.export_model(params, cfg, path)
+    net = D.load_model(path)
+    assert net.version == 17
+    assert net.meta_encoder_version == 1
+    _assert_head_outputs_match(
+        m.apply(params, sp, gl, None, meta),
+        D.apply_desc_model(net, sp, gl, metadata=meta))
+
+
+def test_export_qk_norm_rejected(tmp_path):
+    """QK-norm attention is not exportable (the reference exporter asserts
+    the same, export_model_pytorch.py:395-396)."""
+    cfg = MC.get_config("b7c96h6kv3tfrs")
     m = KataGoModel(cfg, pos_len=SIZE, dtype=jnp.float32)
     params = m.init(jax.random.PRNGKey(0), jnp.zeros((1, SIZE, SIZE, 22)),
                     jnp.zeros((1, 19)))
