@@ -65,6 +65,9 @@ class RulesArr(NamedTuple):
     tax_rule: jax.Array           # int32: R.TAX_*
     multi_suicide: jax.Array      # bool
     has_button: jax.Array         # bool
+    friendly_pass_ok: jax.Array   # bool (rules.h friendlyPassOk: premature
+                                  # double-pass endings are suppressed from
+                                  # the net's view, boardhistory.cpp:889)
     komi: jax.Array               # float32 (includes white handicap bonus,
                                   # folded in at game init like the reference
                                   # does via whiteKomiAdjustment)
@@ -82,6 +85,7 @@ class RulesArr(NamedTuple):
             tax_rule=jnp.int32(rules.tax_rule),
             multi_suicide=jnp.bool_(rules.multi_stone_suicide_legal),
             has_button=jnp.bool_(rules.has_button),
+            friendly_pass_ok=jnp.bool_(rules.friendly_pass_ok),
             komi=jnp.float32(komi),
         )
 
@@ -96,6 +100,13 @@ class PosState(NamedTuple):
     button_for: jax.Array         # int32 0/1/2
     game_over: jax.Array          # bool
     recent_moves: jax.Array       # int32[5], most recent first, NN=pass, -1=none
+    turns_this_phase: jax.Array   # int32: moves since the last phase start
+    #   (numApproxValidTurnsThisPhase, boardhistory.cpp:1051 — the V7
+    #   featurizer wipes move history across phase changes)
+    simple_ko_loc: jax.Array      # int32: the raw Board::ko_loc the
+    #   reference board carries (set on any ko-shaped capture, even in
+    #   encore where our board absorbs it into ko_recap_blocked) — the
+    #   ladder featurizer consults it (iterLadders runs on the raw board)
     # --- territory-scoring encore state (boardhistory.h:66-90) ---
     encore_phase: jax.Array       # int32 0/1/2
     ko_recap_blocked: jax.Array   # bool[NN]
@@ -200,6 +211,8 @@ def new_pos(size: int) -> PosState:
         button_for=jnp.int32(0),
         game_over=jnp.bool_(False),
         recent_moves=jnp.full((5,), -1, jnp.int32),
+        turns_this_phase=jnp.int32(0),
+        simple_ko_loc=jnp.int32(-1),
         encore_phase=jnp.int32(0),
         ko_recap_blocked=jnp.zeros((nn,), bool),
         ko_recap_block_hash=jnp.zeros((2,), jnp.uint32),
@@ -329,6 +342,10 @@ def step_pos(pos: PosState, rules: RulesArr, loc: jax.Array,
     ko_cap_pla = pos.ko_cap_pla.at[slot].set(
         jnp.where(was_ko_cap, player, pos.ko_cap_pla[slot]))
     ko_cap_n = pos.ko_cap_n + was_ko_cap.astype(jnp.int32)
+    # the raw board's ko point, kept for ladder featurization even where
+    # our legality layer absorbs it (pass-for-ko leaves the board as-is ->
+    # raw ko cleared like a pass would clear it)
+    simple_ko_loc = jnp.where(pass_for_ko, jnp.int32(-1), new_board.ko_loc)
     # in encore, the simple-ko loc plays no further role (absorbed above)
     new_board = new_board._replace(
         ko_loc=jnp.where(in_encore, jnp.int32(-1), new_board.ko_loc))
@@ -363,6 +380,9 @@ def step_pos(pos: PosState, rules: RulesArr, loc: jax.Array,
              ~was_over)
     white_bonus = pos.white_bonus + jnp.where(
         chill, jnp.where(player == B.BLACK, 1.0, -1.0), 0.0)
+    # taking the button scores its 0.5 immediately (boardhistory.cpp:960-962)
+    white_bonus = white_bonus + jnp.where(
+        claims_button, jnp.where(player == B.WHITE, 0.5, -0.5), 0.0)
 
     # ---- phase transition / game end ----
     is_area = rules.scoring_rule == R.SCORING_AREA
@@ -393,6 +413,14 @@ def step_pos(pos: PosState, rules: RulesArr, loc: jax.Array,
         button_for=button_for,
         game_over=game_over,
         recent_moves=recent,
+        # moves since phase start; the ending pass itself is wiped by the
+        # phase reset (boardhistory.cpp:1040-1051). Game end is not a
+        # phase reset: the featurizer still shows the final pass
+        # (nninputs.cpp:2479-2481).
+        turns_this_phase=jnp.where(
+            was_over, pos.turns_this_phase,
+            jnp.where(advance, jnp.int32(0), pos.turns_this_phase + 1)),
+        simple_ko_loc=jnp.where(was_over, pos.simple_ko_loc, simple_ko_loc),
         encore_phase=jnp.where(was_over, pos.encore_phase, encore2),
         ko_recap_blocked=jnp.where(was_over, pos.ko_recap_blocked, recap),
         ko_recap_block_hash=jnp.where(was_over, pos.ko_recap_block_hash,
@@ -654,10 +682,12 @@ def final_score_pos(pos: PosState, rules: RulesArr,
         stones, pos.second_encore_start, pos.encore_phase, rules, size)
     area = jnp.where(is_territory, area_t, area_a)
     board_score = jnp.where(is_territory, score_t, score_a)
-    button = jnp.where(pos.button_taken,
-                       jnp.where(pos.button_for == B.WHITE, 0.5,
-                                 jnp.where(pos.button_for == B.BLACK, -0.5,
-                                           0.0)),
+    # a taken button is already inside white_bonus (step_pos); an untaken
+    # button at game end goes to the player who would move next
+    # (endAndScoreGameNow, boardhistory.cpp:710-712)
+    button = jnp.where(rules.has_button & ~pos.button_taken
+                       & (pos.encore_phase == 0),
+                       jnp.where(pos.to_move == B.WHITE, 0.5, -0.5),
                        0.0)
     own = jnp.where(area == B.BLACK, 1, jnp.where(area == B.WHITE, -1, 0))
     score = board_score + rules.komi + pos.white_bonus + button

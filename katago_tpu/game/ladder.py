@@ -1,43 +1,43 @@
 """Vectorized ladder solver for NN input planes 14-17.
 
-The reference solves ladders with a budgeted alpha-beta search over board
-undo/redo (Board::searchIsLadderCaptured, board.cpp:1628, budget 25000
-nodes) invoked per chain by iterLadders (nninputs.cpp:815). That shape —
-recursive, branchy, per-chain — is wrong for a TPU. Here every candidate
-chain on the board becomes one lane of a batched *forced-line simulation*:
+The reference solves ladders with a budgeted backtracking search over
+board undo/redo (Board::searchIsLadderCaptured, board.cpp:1628, budget
+25000 nodes) invoked per chain by iterLadders (nninputs.cpp:815). This is
+the same *search semantics* — the defender branches over liberty-gaining
+captures + the lone-liberty extension, the attacker over the chain's two
+liberties, with the reference's exact base cases (defender wins on >=2
+libs / any attacker-left simple ko / provable escape; attacker wins on
+<=1 lib / the double-ko-death pattern) — but re-shaped for a TPU:
 
   - all chains with 1 or 2 liberties are gathered (up to ``max_chains``);
-  - each gets up to 3 simulation slots: defender-to-move (libs == 1), and
+  - each gets up to 3 query lanes: defender-to-move (libs == 1), and
     attacker-first at either liberty (libs == 2, mirroring
     searchIsLadderCapturedAttackerFirst2Libs, board.cpp:1581);
-  - each simulation advances defender-move/attacker-move pairs in lockstep
-    under one `lax.while_loop`, with candidate moves evaluated by batched
-    trial `play_move` calls (a 1-ply greedy in place of the reference's
-    backtracking: the defender picks the liberty-maximizing move among
-    extend + liberty-gaining captures; the attacker picks the liberty
-    filling move minimizing the defender's liberties).
+  - every lane runs the backtracking search as one `lax.while_loop` over
+    an EXPLICIT STACK (`_Stk`): per-level pre-move boards (int8), exact
+    chain labels (int16), ko point, and candidate-move lists live in
+    fixed [depth, NN] arrays, so a whole batch of lanes advances in
+    lockstep vector ops with no recursion or data-dependent shapes.
 
 Cost structure (this file is on the per-leaf featurize path of every
 search playout, so it is speed-of-light-critical): the ONLY iterative
-fixpoint is one stone-chain labeling per simulation start
-(`_stone_labels`, which unlike B.connected_labels does not label empty
-regions — the empty-region fixpoint dominates convergence on open
-boards and nothing here needs it). Inside the forced-line loop there are
-NO fixpoints at all: a move merges at most 4 known chains and captures
-at most 4 known chains, so `_move_effects` maintains the label array
-*exactly* — merged points take the min of <=5 known labels, captured
-points revert to their own index, and no other chain's label can change.
-Liberty counts are one scatter pass (`B.chain_liberties`) per committed
-or trial board. Per defender/attacker move pair: ~3 liberty passes and a
-handful of masked [NN] vector ops.
+fixpoint is one stone-chain labeling per query (`_stone_labels`, which
+unlike B.connected_labels does not label empty regions — the empty-region
+fixpoint dominates convergence on open boards and nothing here needs it).
+Inside the search loop there are NO fixpoints: a move merges at most 4
+known chains and captures at most 4 known chains, so `_move_effects`
+maintains the label array *exactly* — merged points take the min of <=5
+known labels, captured points revert to their own index — and undo is a
+row restore from the stack. Per node: one candidate generation, one
+`_move_effects`, one liberty scatter pass.
 
-This reads all standard ladders and ladder-breaker interactions exactly;
-it can differ from the reference's search on deep branchy captures where
-the greedy line is not optimal for one side (rare in real positions; the
-reference itself truncates at a node budget there). Ko is handled as in
-the reference: the defender is assumed to win any ko (search ends "not
-laddered" when it is the defender's turn and a simple-ko point exists,
-board.cpp:1700-1704).
+Deviations from the reference (all conservative, none observed on the
+parity fixtures): the defender's capture list caps at ``num_caps`` moves
+per level, the stack caps at ``max_depth`` plies (counted as captured,
+the reference's own stack-limit bias), and the reference's sound move-
+ordering/pruning heuristics (non-adjacent-liberty quitouts, connection-
+liberty ordering) are dropped — they only affect node counts, not
+results, for a complete search.
 """
 
 from __future__ import annotations
@@ -56,16 +56,6 @@ class LadderResult(NamedTuple):
     laddered: jax.Array          # bool[NN]: stones of ladder-captured chains
     working_vs_black: jax.Array  # bool[NN]: working attacker 1st moves vs 2-lib black chains
     working_vs_white: jax.Array  # bool[NN]: same vs white chains
-
-
-class _Sim(NamedTuple):
-    stones: jax.Array    # int32[NN]
-    labels: jax.Array    # int32[NN] connected labels of `stones`
-    libs: jax.Array      # int32[NN] per-chain liberty counts of `stones`
-    ko_loc: jax.Array    # int32
-    done: jax.Array      # bool
-    laddered: jax.Array  # bool
-    step: jax.Array      # int32
 
 
 class _MoveEffects(NamedTuple):
@@ -225,10 +215,14 @@ def _lowest_k(mask, k, nn):
     return jnp.stack(outs).astype(jnp.int32)
 
 
-def _defender_candidates(stones, labels, libs, rep, defender, size):
-    """Defender move candidates: extend at the lone liberty + up to 3
-    liberty-gaining captures (findLibertyGainingCaptures, board.cpp).
-    Returns (cand int32[4], valid bool[4])."""
+def _defender_candidates(stones, labels, libs, rep, defender, size,
+                         num_caps: int):
+    """Defender move candidates: up to num_caps liberty-gaining captures
+    (findLibertyGainingCaptures, board.cpp:1522 — the lone liberties of
+    attacker chains in atari adjacent to the defender chain) followed by
+    the extension at the defender's lone liberty (the reference's move
+    order, board.cpp:1717-1719). Returns (cand int32[num_caps+1],
+    valid bool[num_caps+1], any_caps bool)."""
     nn = size * size
     attacker = B.opponent(defender)
     lib_pts = _chain_lib_points(stones, labels, rep, size)
@@ -244,112 +238,289 @@ def _defender_candidates(stones, labels, libs, rep, defender, size):
         jnp.where(opp_atari_adj, labels, nn)].max(1)
     marked_pts = (stones == attacker) & (lab_mark[labels] == 1)
     cap_moves = (stones == B.EMPTY) & _dilate(marked_pts, size)
-    caps = _lowest_k(cap_moves, 3, nn)
+    caps = _lowest_k(cap_moves, num_caps, nn)
 
-    cand = jnp.concatenate([extend_loc[None], caps])           # [4]
-    valid = jnp.concatenate([jnp.any(lib_pts)[None], caps < nn])
-    return cand, valid
+    cand = jnp.concatenate([caps, extend_loc[None]])
+    valid = jnp.concatenate([caps < nn, jnp.any(lib_pts)[None]])
+    return cand, valid, jnp.any(cap_moves)
 
 
-def _defender_best_reply(stones, labels, libs, rep, defender, size):
-    """The defender's greedy reply: the liberty-maximizing move among
-    extend + liberty-gaining captures, each evaluated incrementally.
-    Returns (best_libs, best_effects). The defender is assumed to win kos
-    so ko bans are not checked on its candidates (board.cpp:1643-1645)."""
+def _empty_neighbor_count(stones, size):
+    """int32[NN]: getNumImmediateLiberties for every point."""
+    return jnp.sum((_shift4(stones, size, B.WALL) == B.EMPTY)
+                   .astype(jnp.int32), axis=0)
+
+
+def _would_be_ko_capture(stones, labels, libs, size, defender):
+    """bool[NN]: wouldBeKoCapture(loc, attacker) for every empty point
+    (board.cpp:518-545): all 4 neighbors defender-or-wall, exactly one
+    adjacent point belonging to a 1-lib defender chain, and that chain is
+    a single stone."""
     nn = size * size
-    cand, valid = _defender_candidates(stones, labels, libs, rep, defender,
-                                       size)
-    effs = jax.vmap(
-        lambda c: _move_effects(stones, labels, libs,
-                                jnp.minimum(c, nn - 1), defender, size))(cand)
-    rep_libs = jax.vmap(
-        lambda e: _rep_libs_after(stones, labels, rep, e, size))(effs)
-    ok = valid & effs.legal
-    score = jnp.where(ok, rep_libs, -1)
-    best = jnp.argmax(score).astype(jnp.int32)
-    best_eff = jax.tree.map(lambda a: a[best], effs)
-    return score[best], best_eff
+    nbr_s = _shift4(stones, size, B.WALL)
+    nbr_libs = _shift4(libs, size, jnp.int32(0))
+    all_def_or_wall = jnp.all((nbr_s == defender) | (nbr_s == B.WALL),
+                              axis=0)
+    cap_nbr = (nbr_s == defender) & (nbr_libs == 1)
+    cap_count = jnp.sum(cap_nbr.astype(jnp.int32), axis=0)
+    sizes = jnp.zeros((nn + 1,), jnp.int32).at[
+        jnp.where(stones != B.EMPTY, labels, nn)].add(1)
+    nbr_size1 = _shift4(sizes[labels] * (stones != B.EMPTY), size,
+                        jnp.int32(0)) == 1
+    one_single = jnp.sum((cap_nbr & nbr_size1).astype(jnp.int32),
+                         axis=0) == 1
+    return ((stones == B.EMPTY) & all_def_or_wall & (cap_count == 1)
+            & one_single)
 
 
-def _defender_phase(sim: _Sim, rep, defender, size):
-    """Defender to move with (nominally) 1 liberty: terminal checks, then
-    commit the liberty-maximizing move among extend + captures. Uses the
-    carried analysis (sim.labels/sim.libs match sim.stones)."""
-    stones = sim.stones
-    captured = _extract(stones, rep) != defender
-    dlibs = _extract(sim.libs, rep)
-
-    # terminal checks (board.cpp:1694-1704)
-    esc_ko = sim.ko_loc >= 0          # attacker left a ko: defender wins
-    esc_libs = dlibs >= 2
-
-    best_libs, best_eff = _defender_best_reply(
-        stones, sim.labels, sim.libs, rep, defender, size)
-    esc_escaped = best_libs >= 3
-    now_captured = best_libs <= 1     # best defense still loses the chain
-
-    new_done = captured | esc_ko | esc_libs | esc_escaped | now_captured
-    new_laddered = captured | now_captured
-    commit = ~sim.done & ~new_done
-    stones2 = jnp.where(commit, best_eff.new_stones, stones)
-    labels2 = jnp.where(commit, best_eff.new_labels, sim.labels)
-    libs2 = B.chain_liberties(stones2, labels2, size)
-    ko2 = jnp.where(commit, best_eff.ko_loc, sim.ko_loc)
-    return sim._replace(
-        stones=stones2, labels=labels2, libs=libs2, ko_loc=ko2,
-        done=sim.done | new_done,
-        laddered=jnp.where(sim.done, sim.laddered, new_laddered))
+class _Stk(NamedTuple):
+    """Explicit-stack state of one ladder search lane
+    (Board::searchIsLadderCaptured's stack machine, board.cpp:1628-1851,
+    as a branchless lax.while_loop)."""
+    stones: jax.Array      # int32[NN] current board
+    labels: jax.Array      # int32[NN] exact stone-chain labels
+    libs: jax.Array        # int32[NN] per-chain liberty counts
+    ko: jax.Array          # int32 simple-ko point or -1
+    stk_stones: jax.Array  # int8[D, NN] pre-move board per level
+    stk_labels: jax.Array  # int16[D, NN]
+    stk_ko: jax.Array      # int32[D]
+    stk_moves: jax.Array   # int32[D, M] candidate moves per level
+    stk_len: jax.Array     # int32[D]
+    stk_cur: jax.Array     # int32[D]; -1 = level not yet expanded
+    idx: jax.Array         # int32 stack level; -1 = returned from root
+    ret: jax.Array         # bool value being returned
+    from_deeper: jax.Array  # bool: board must be restored on re-entry
+    nodes: jax.Array       # int32 moves played (node budget)
 
 
-def _attacker_phase(sim: _Sim, rep, defender, size):
-    """Attacker fills one of the defender's two liberties, chosen by 2-ply
-    lookahead: minimize the defender's best-reply liberty count (the
-    collapsed version of the reference's try-both-and-search,
-    board.cpp:1608-1613). Uses the carried analysis; trial boards carry
-    their exactly-maintained labels (no fixpoints)."""
+def _search_captured(stones0, labels0, libs0, ko0, rep, defender, active,
+                     size: int, depth: int, num_caps: int, budget: int):
+    """Is the defender chain at `rep` ladder-captured, defender to move?
+
+    The reference's exact backtracking search (searchIsLadderCaptured with
+    defenderFirst=true, board.cpp:1628-1851): the defender branches over
+    liberty-gaining captures + the lone-liberty extension, the attacker
+    over the chain's two liberties; the defender wins on >=2 liberties at
+    its turn, any simple ko left by the attacker, or a provable escape;
+    the attacker wins on <=1 liberty, the double-ko-death pattern, or
+    depth exhaustion (the reference's stack-limit bias); node-budget
+    exhaustion means not-captured. Implemented as one lax.while_loop over
+    an explicit stack of (board, labels, ko, move-list) levels so a whole
+    batch of lanes runs in lockstep vector ops; the only fixpoint anywhere
+    is the caller's initial labeling ( _move_effects maintains labels
+    exactly through each push).
+    """
     nn = size * size
     attacker = B.opponent(defender)
-    stones = sim.stones
-    labels, libs = sim.labels, sim.libs
-    lib_pts = _chain_lib_points(stones, labels, rep, size)
-    cand = _lowest_k(lib_pts, 2, nn)                          # [2]
-    effs = jax.vmap(
-        lambda c: _move_effects(stones, labels, libs,
-                                jnp.minimum(c, nn - 1), attacker, size))(cand)
-    not_ko = jnp.minimum(cand, nn - 1) != sim.ko_loc
-    valid = (cand < nn) & effs.legal & not_ko
+    m_moves = num_caps + 1
 
-    # defender's best reply on each trial board (labels exact from
-    # _move_effects; liberties one scatter pass each)
-    tr_labels = effs.new_labels
-    tr_libs = jax.vmap(
-        lambda s, l: B.chain_liberties(s, l, size))(effs.new_stones,
-                                                    tr_labels)
-    reply_libs = jax.vmap(
-        lambda s, l, b: _defender_best_reply(s, l, b, rep, defender,
-                                             size)[0])(effs.new_stones,
-                                                       tr_labels, tr_libs)
-    # minimize defender's best achievable libs; tie-break toward the lower
-    # index (the reference's deterministic move ordering)
-    score = jnp.where(valid, reply_libs, _BIG)
-    best = jnp.argmin(score).astype(jnp.int32)
-    no_move = ~jnp.any(valid)
-    commit = ~sim.done & ~no_move
-    stones2 = jnp.where(commit, effs.new_stones[best], stones)
-    labels2 = jnp.where(commit, tr_labels[best], labels)
-    libs2 = jnp.where(commit, tr_libs[best], libs)
-    ko2 = jnp.where(commit, effs.ko_loc[best], sim.ko_loc)
-    return sim._replace(stones=stones2, labels=labels2, libs=libs2,
-                        ko_loc=ko2, done=sim.done | no_move)
+    init = _Stk(
+        stones=stones0, labels=labels0, libs=libs0, ko=ko0,
+        stk_stones=jnp.zeros((depth, nn), jnp.int8),
+        stk_labels=jnp.zeros((depth, nn), jnp.int16),
+        stk_ko=jnp.zeros((depth,), jnp.int32),
+        stk_moves=jnp.zeros((depth, m_moves), jnp.int32),
+        stk_len=jnp.zeros((depth,), jnp.int32),
+        stk_cur=jnp.full((depth,), -1, jnp.int32),
+        idx=jnp.int32(0), ret=jnp.bool_(False),
+        from_deeper=jnp.bool_(False), nodes=jnp.int32(0))
+
+    def cond(s: _Stk):
+        return (s.idx >= 0) & (s.nodes < budget)
+
+    def body(s: _Stk) -> _Stk:
+        lvl = jnp.clip(s.idx, 0, depth - 1)
+        is_def = (s.idx % 2) == 0
+        mover = jnp.where(is_def, defender, attacker)
+        cur = jax.lax.dynamic_index_in_dim(s.stk_cur, lvl, keepdims=False)
+        entering = cur == -1
+
+        # ---- re-entry: restore the pre-move board of this level --------
+        restore = ~entering & s.from_deeper
+        stones = jnp.where(restore,
+                           jax.lax.dynamic_index_in_dim(
+                               s.stk_stones, lvl,
+                               keepdims=False).astype(jnp.int32),
+                           s.stones)
+        labels = jnp.where(restore,
+                           jax.lax.dynamic_index_in_dim(
+                               s.stk_labels, lvl,
+                               keepdims=False).astype(jnp.int32),
+                           s.labels)
+        ko = jnp.where(restore,
+                       jax.lax.dynamic_index_in_dim(s.stk_ko, lvl,
+                                                    keepdims=False),
+                       s.ko)
+        libs = jnp.where(restore, B.chain_liberties(stones, labels, size),
+                         s.libs)
+
+        # ---- current defender-chain status ------------------------------
+        chain_gone = _extract(stones, rep) != defender
+        dlibs = jnp.where(chain_gone, 0, _extract(libs, rep))
+
+        # ---- node entry: base cases + move generation -------------------
+        cand, valid, any_caps = _defender_candidates(
+            stones, labels, libs, rep, defender, size, num_caps)
+        ext_loc = cand[num_caps]
+        ext_eff = _move_effects(stones, labels, libs,
+                                jnp.clip(ext_loc, 0, nn - 1), defender, size)
+        ext_libs = _rep_libs_after(stones, labels, rep, ext_eff, size)
+        ext_valid = valid[num_caps] & ext_eff.legal
+
+        lib2 = _lowest_k(_chain_lib_points(stones, labels, rep, size), 2, nn)
+        att_cand = jnp.concatenate(
+            [lib2, jnp.full((m_moves - 2,), nn, jnp.int32)])
+
+        # double-ko death (board.cpp:1746-1756): both liberties are
+        # 0-immediate-liberty ko mouths, connecting either gains the
+        # defender at most 2 libs, and the defender has no captures
+        imm = _empty_neighbor_count(stones, size)
+        kocap = _would_be_ko_capture(stones, labels, libs, size, defender)
+        l0 = jnp.clip(lib2[0], 0, nn - 1)
+        l1 = jnp.clip(lib2[1], 0, nn - 1)
+        both = (lib2[0] < nn) & (lib2[1] < nn)
+
+        def rep_libs_if_def_plays(loc):
+            eff = _move_effects(stones, labels, libs, loc, defender, size)
+            return _rep_libs_after(stones, labels, rep, eff, size)
+
+        double_ko = (both
+                     & (_extract(imm, l0) == 0) & (_extract(imm, l1) == 0)
+                     & (_extract(kocap, l0) > 0) & (_extract(kocap, l1) > 0)
+                     & (rep_libs_if_def_plays(l0) <= 2)
+                     & (rep_libs_if_def_plays(l1) <= 2)
+                     & ~any_caps)
+
+        # base-case returns at entry (board.cpp:1694-1704 + defender
+        # pruning 1717-1729)
+        def_win = is_def & ((ko >= 0) | (dlibs >= 2)
+                            | (ext_valid & (ext_libs >= 3)))
+        def_lose = is_def & ~def_win & ~any_caps & (ext_valid
+                                                    & (ext_libs <= 1)
+                                                    | ~ext_valid)
+        att_win = ~is_def & ((dlibs <= 1) | double_ko)
+        att_lose = ~is_def & (dlibs >= 3)
+        base = entering & (def_win | def_lose | att_win | att_lose)
+        base_ret = def_lose | att_win
+
+        # move list on true entry
+        moves = jnp.where(is_def, cand, att_cand)
+        moves_valid = jnp.where(
+            is_def, valid,
+            jnp.concatenate([lib2 < nn,
+                             jnp.zeros((m_moves - 2,), bool)]))
+        moves = jnp.where(moves_valid, moves, nn)
+        # compact valid moves to the front (stable), so stk_len counts them
+        order = jnp.argsort(jnp.where(moves_valid, 0, 1),
+                            stable=True).astype(jnp.int32)
+        moves = moves[order]
+        n_moves = jnp.sum(moves_valid.astype(jnp.int32))
+
+        gen = entering & ~base
+        stk_moves = jnp.where(
+            gen,
+            jax.lax.dynamic_update_index_in_dim(
+                s.stk_moves, moves[None, :], lvl, 0),
+            s.stk_moves)
+        stk_len = jnp.where(gen,
+                            jax.lax.dynamic_update_index_in_dim(
+                                s.stk_len, n_moves, lvl, 0),
+                            s.stk_len)
+        cur2 = jnp.where(gen, 0, cur)
+
+        # ---- re-entry: child returned (or same-level illegal move) ------
+        child_cut = ~entering & ((is_def & ~s.ret) | (~is_def & s.ret))
+        cur2 = jnp.where(~entering & ~child_cut, cur2 + 1, cur2)
+
+        # ---- list exhausted -> lose for the side to move ----------------
+        llen = jnp.where(gen, n_moves,
+                         jax.lax.dynamic_index_in_dim(s.stk_len, lvl,
+                                                      keepdims=False))
+        exhausted = ~base & ~child_cut & (cur2 >= llen)
+
+        popping = base | child_cut | exhausted
+        ret_out = jnp.where(base, base_ret,
+                            jnp.where(child_cut, s.ret, is_def))
+
+        # ---- try the next move ------------------------------------------
+        trying = ~popping
+        move_row = jnp.where(gen, moves,
+                             jax.lax.dynamic_index_in_dim(s.stk_moves, lvl,
+                                                          keepdims=False))
+        move = jax.lax.dynamic_index_in_dim(
+            move_row, jnp.clip(cur2, 0, m_moves - 1), keepdims=False)
+        move_c = jnp.clip(move, 0, nn - 1)
+        eff = _move_effects(stones, labels, libs, move_c, mover, size)
+        legal = trying & (move < nn) & eff.legal & (move_c != ko)
+        depth_hit = legal & (s.idx + 1 >= depth)
+        push = legal & ~depth_hit
+        illegal = trying & ~legal & ~depth_hit
+
+        # illegal (or depth-capped) move: stay at this level; the next
+        # iteration's child_cut/cur++ logic consumes ret (board.cpp:1831)
+        ret_stay = jnp.where(depth_hit, jnp.bool_(True),  # stack-limit bias
+                             is_def)
+
+        # push: save this level's pre-move board, apply the move
+        stk_stones = jnp.where(
+            push,
+            jax.lax.dynamic_update_index_in_dim(
+                s.stk_stones, stones.astype(jnp.int8)[None, :], lvl, 0),
+            s.stk_stones)
+        stk_labels = jnp.where(
+            push,
+            jax.lax.dynamic_update_index_in_dim(
+                s.stk_labels, labels.astype(jnp.int16)[None, :], lvl, 0),
+            s.stk_labels)
+        stk_ko = jnp.where(push,
+                           jax.lax.dynamic_update_index_in_dim(
+                               s.stk_ko, ko, lvl, 0),
+                           s.stk_ko)
+
+        new_stones = jnp.where(push, eff.new_stones, stones)
+        new_labels = jnp.where(push, eff.new_labels, labels)
+        new_libs = jnp.where(push,
+                             B.chain_liberties(eff.new_stones,
+                                               eff.new_labels, size),
+                             libs)
+        new_ko = jnp.where(push, eff.ko_loc, ko)
+
+        # write back cur for this level; reset the child level's cur
+        stk_cur = jax.lax.dynamic_update_index_in_dim(s.stk_cur, cur2, lvl, 0)
+        child = jnp.clip(lvl + 1, 0, depth - 1)
+        stk_cur = jnp.where(
+            push,
+            jax.lax.dynamic_update_index_in_dim(stk_cur, jnp.int32(-1),
+                                                child, 0),
+            stk_cur)
+
+        new_idx = jnp.where(popping, s.idx - 1,
+                            jnp.where(push, s.idx + 1, s.idx))
+        new_ret = jnp.where(popping, ret_out,
+                            jnp.where(push, s.ret, ret_stay))
+        new_from_deeper = popping  # pushes/illegal stays don't need restore
+
+        return _Stk(stones=new_stones, labels=new_labels, libs=new_libs,
+                    ko=new_ko, stk_stones=stk_stones, stk_labels=stk_labels,
+                    stk_ko=stk_ko, stk_moves=stk_moves, stk_len=stk_len,
+                    stk_cur=stk_cur, idx=new_idx, ret=new_ret,
+                    from_deeper=new_from_deeper,
+                    nodes=s.nodes + push.astype(jnp.int32))
+
+    init = init._replace(idx=jnp.where(active, 0, -1))
+    out = jax.lax.while_loop(cond, body, init)
+    # node-budget exhaustion: assume not captured (board.cpp:1680-1688)
+    return out.ret & (out.nodes < budget) & active
 
 
 def _run_sim(stones0, labels0, libs0, rep, defender, premove, active,
-             size: int, max_steps: int):
-    """One ladder line: optional attacker premove, then defender/attacker
-    pairs until resolution. Returns bool: chain is ladder-captured."""
+             size: int, depth: int, num_caps: int = 4,
+             budget: int = 25000):
+    """One ladder query: optional attacker premove (the 2-liberty
+    attacker-first form, board.cpp:1581-1625), then the defender-first
+    backtracking search. Returns bool: chain is ladder-captured."""
     nn = size * size
     attacker = B.opponent(defender)
-    # attacker premove (2-lib candidates); illegal premove -> not laddered
     has_pre = premove >= 0
     pre_eff = _move_effects(stones0, labels0, libs0,
                             jnp.clip(premove, 0, nn - 1), attacker, size)
@@ -357,45 +528,44 @@ def _run_sim(stones0, labels0, libs0, rep, defender, premove, active,
     st1 = jnp.where(has_pre, pre_eff.new_stones, stones0)
     labels1 = jnp.where(has_pre, pre_eff.new_labels, labels0)
     libs1 = B.chain_liberties(st1, labels1, size)
-    # the defender is assumed to win kos: clear ko at the root
-    # (board.cpp:1643-1645); premove-created kos still end the search at the
-    # first defender phase via the premove's ko.
-    ko1 = jnp.where(has_pre, pre_eff.ko_loc, jnp.int32(-1))
-    sim = _Sim(stones=st1, labels=labels1, libs=libs1, ko_loc=ko1,
-               done=~active | ~pre_ok, laddered=jnp.bool_(False),
-               step=jnp.int32(0))
-
-    def cond(s):
-        return ~s.done & (s.step < max_steps)
-
-    def body(s):
-        s = _defender_phase(s, rep, defender, size)
-        s = _attacker_phase(s, rep, defender, size)
-        return s._replace(step=s.step + 1)
-
-    sim = jax.lax.while_loop(cond, body, sim)
-    # step cap without resolution: assume not laddered (the reference's
-    # node-budget bailout, board.cpp:1680-1688)
-    return sim.laddered & active & pre_ok
+    # the inner defender-first search clears any ko at its root — the
+    # defender is assumed to win kos (board.cpp:1643-1645), including a ko
+    # left by the premove
+    ko1 = jnp.int32(-1)
+    return _search_captured(st1, labels1, libs1, ko1, rep, defender,
+                            active & pre_ok, size, depth, num_caps, budget)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3))
-def ladder_map(stones: jax.Array, size: int, max_chains: int = 16,
-               max_steps: int | None = None) -> LadderResult:
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+def ladder_map(stones: jax.Array, size: int, max_chains: int | None = None,
+               max_depth: int | None = None, num_caps: int = 4,
+               budget: int = 25000,
+               ko_loc: jax.Array | int = -1) -> LadderResult:
     """Solve all 1-2 liberty chains on one board.
 
     max_chains bounds how many distinct low-liberty chains are analyzed
     (lowest flat index first, the reference's row-major iteration order);
     boards with more candidates than that get the overflow chains marked
-    not-laddered. max_steps bounds each forced line's length in move
-    pairs (default ~2 board-lengths + margin — enough for any cross-board
-    ladder with captures; lines longer than that are declared
-    not-laddered, the analogue of the reference's 25000-node budget
-    bailout, board.cpp:1680-1688).
+    not-laddered. The default nn//3 + 8 covers every position seen in
+    random-game parity fixtures with margin (a tighter cap is a perf knob
+    for search-internal featurization). max_depth bounds the search stack
+    (default ~4 board lengths; deeper unresolved lines count as captured,
+    the reference's stack-limit bias, board.cpp:1675-1677). budget bounds
+    played nodes per query (exhaustion counts as not-captured,
+    board.cpp:1680-1688; reference value 25000). num_caps caps the
+    defender's candidate capture moves per level (the reference list is
+    unbounded; >4 liberty-gaining captures around one ladder is
+    out-of-distribution). ko_loc is the board's live simple-ko point (or
+    -1): the attacker's first move in the 2-liberty form must respect it
+    (isLegal inside searchIsLadderCapturedAttackerFirst2Libs,
+    board.cpp:1606-1611; the inner defender-first search then clears ko
+    at its root as always).
     """
     nn = size * size
-    if max_steps is None:
-        max_steps = 2 * size + 14
+    if max_chains is None:
+        max_chains = nn // 3 + 8
+    if max_depth is None:
+        max_depth = 4 * size + 12
     labels, libs = _analyze(stones, size)
     occupied = (stones == B.BLACK) | (stones == B.WHITE)
     idx = jnp.arange(nn, dtype=jnp.int32)
@@ -421,15 +591,16 @@ def ladder_map(stones: jax.Array, size: int, max_chains: int = 16,
         jnp.where(libpts[:, 0] < nn, libpts[:, 0], -1),
         jnp.where(libpts[:, 1] < nn, libpts[:, 1], -1),
     ])
+    ko = jnp.asarray(ko_loc, jnp.int32)
     active = jnp.concatenate([
         head_ok & (hlibs == 1),
-        head_ok & (hlibs == 2) & (libpts[:, 0] < nn),
-        head_ok & (hlibs == 2) & (libpts[:, 1] < nn),
+        head_ok & (hlibs == 2) & (libpts[:, 0] < nn) & (libpts[:, 0] != ko),
+        head_ok & (hlibs == 2) & (libpts[:, 1] < nn) & (libpts[:, 1] != ko),
     ])
 
     results = jax.vmap(
         lambda r, d, p, a: _run_sim(stones, labels, libs, r, d, p, a, size,
-                                    max_steps)
+                                    max_depth, num_caps, budget)
     )(reps, defenders, premoves, active)                       # [3K] bool
 
     lad1 = results[:k]

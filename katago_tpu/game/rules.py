@@ -128,11 +128,17 @@ class Rules:
     def parse(s: str) -> "Rules":
         """Parse named rulesets and json, per reference Rules::parseRules."""
         low = s.strip().lower()
+        # field order: ko, scoring, tax, suicide, button, whb, fpok, komi
+        # (rules.cpp:280-381 named rulesets)
         named = {
             "tromp-taylor": Rules.tromp_taylorish(),
             "tromptaylor": Rules.tromp_taylorish(),
             "chinese": Rules(KO_SIMPLE, SCORING_AREA, TAX_NONE, False, False,
-                             WHB_N, False, 7.5),
+                             WHB_N, True, 7.5),
+            "chinese-ogs": Rules(KO_POSITIONAL, SCORING_AREA, TAX_NONE,
+                                 False, False, WHB_N, True, 7.5),
+            "chinese-kgs": Rules(KO_POSITIONAL, SCORING_AREA, TAX_NONE,
+                                 False, False, WHB_N, True, 7.5),
             "japanese": Rules(KO_SIMPLE, SCORING_TERRITORY, TAX_SEKI, False,
                               False, WHB_ZERO, False, 6.5),
             "korean": Rules(KO_SIMPLE, SCORING_TERRITORY, TAX_SEKI, False,
@@ -143,14 +149,87 @@ class Rules:
                          WHB_N_MINUS_ONE, True, 7.5),
             "french": Rules(KO_SITUATIONAL, SCORING_AREA, TAX_NONE, False,
                             False, WHB_N_MINUS_ONE, True, 7.5),
+            "aga-button": Rules(KO_SITUATIONAL, SCORING_AREA, TAX_NONE,
+                                False, True, WHB_N_MINUS_ONE, True, 7.0),
             "new-zealand": Rules(KO_SITUATIONAL, SCORING_AREA, TAX_NONE, True,
                                  False, WHB_ZERO, True, 7.0),
+            "goe": Rules(KO_POSITIONAL, SCORING_AREA, TAX_NONE, True, False,
+                         WHB_ZERO, True, 7.5),
+            "ing": Rules(KO_POSITIONAL, SCORING_AREA, TAX_NONE, True, False,
+                         WHB_ZERO, True, 7.5),
             "stone-scoring": Rules(KO_SIMPLE, SCORING_AREA, TAX_ALL, False,
-                                   False, WHB_ZERO, False, 7.5),
+                                   False, WHB_ZERO, True, 7.5),
+            "ancient-area": Rules(KO_SIMPLE, SCORING_AREA, TAX_ALL, False,
+                                  False, WHB_ZERO, True, 7.5),
+            "ancient-territory": Rules(KO_SIMPLE, SCORING_TERRITORY, TAX_ALL,
+                                       False, False, WHB_ZERO, False, 6.5),
         }
         if low in named:
             return named[low]
-        return Rules.from_json(json.loads(s))
+        if s.strip().startswith("{"):
+            return Rules.from_json(json.loads(s))
+        return Rules._parse_legacy(s)
+
+    @staticmethod
+    def _parse_legacy(s: str) -> "Rules":
+        """The reference's concatenated-token format (rules.cpp:436-530):
+        e.g. "koSPIGHTscoreTERRITORYtaxSEKIsui0button0komi6.5". Defaults
+        to tromp-taylor; territory scoring defaults tax to SEKI when tax
+        is unspecified (rules.cpp:540-543)."""
+        r = Rules.tromp_taylorish()
+        kw: dict = {}
+        tax_specified = False
+        rest = s.strip()
+        if not rest:
+            raise ValueError(f"could not parse rules: {s!r}")
+
+        def strip_prefix(prefix: str) -> bool:
+            nonlocal rest
+            if rest.startswith(prefix):
+                rest = rest[len(prefix):].lstrip()
+                return True
+            return False
+
+        def take_enum(table: dict) -> int:
+            nonlocal rest
+            for name, val in table.items():
+                if strip_prefix(name):
+                    return val
+            raise ValueError(f"could not parse rules: {s!r}")
+
+        while rest:
+            if strip_prefix("komi"):
+                i = 0
+                while i < len(rest) and not (rest[i].isalpha()
+                                             or rest[i].isspace()):
+                    i += 1
+                kw["komi"] = float(rest[:i])
+                rest = rest[i:].lstrip()
+            elif strip_prefix("ko"):
+                kw["ko_rule"] = take_enum(_KO_STRS)
+            elif strip_prefix("scoring"):
+                kw["scoring_rule"] = take_enum(_SCORING_STRS)
+            elif strip_prefix("score"):
+                kw["scoring_rule"] = take_enum(_SCORING_STRS)
+            elif strip_prefix("tax"):
+                kw["tax_rule"] = take_enum(_TAX_STRS)
+                tax_specified = True
+            elif strip_prefix("sui"):
+                kw["multi_stone_suicide_legal"] = take_enum({"1": True,
+                                                             "0": False})
+            elif strip_prefix("button"):
+                kw["has_button"] = take_enum({"1": True, "0": False})
+            elif strip_prefix("whb"):
+                kw["white_handicap_bonus_rule"] = take_enum(
+                    {"N-1": WHB_N_MINUS_ONE, "N": WHB_N, "0": WHB_ZERO})
+            elif strip_prefix("fpok"):
+                kw["friendly_pass_ok"] = take_enum({"1": True, "0": False})
+            else:
+                raise ValueError(f"could not parse rules: {s!r}")
+        if (not tax_specified
+                and kw.get("scoring_rule") == SCORING_TERRITORY):
+            kw["tax_rule"] = TAX_SEKI
+        return dataclasses.replace(r, **kw)
 
     def __str__(self) -> str:
         return self.to_json_string()

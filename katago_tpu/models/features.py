@@ -76,7 +76,10 @@ def self_komi(gs: H.GameState, params: FeatureParams) -> jax.Array:
     (territory chill / button) from the mover's perspective, with the
     draw-utility fold."""
     komi = gs.rules.komi + gs.pos.white_bonus
-    komi_is_int = komi == jnp.round(komi)
+    # draw parity is a STATIC rules property (rules.gameResultWillBeInteger,
+    # rules.cpp): the button's eventual 0.5 flips it whether or not the
+    # button has been taken yet
+    komi_is_int = gs.rules.komi == jnp.round(gs.rules.komi)
     result_int = komi_is_int != gs.rules.has_button
     draw_adj = jnp.where(result_int,
                          params.draw_equiv_wins_for_white - 0.5, 0.0)
@@ -132,12 +135,47 @@ def fill_features_v7(gs: H.GameState, size: int,
     # plane 7: encore ko-recapture-blocked locations (nninputs.cpp:2367)
     sp = sp.at[:, 7].set(gs.pos.ko_recap_blocked.astype(jnp.float32))
 
+    # ---- pass-ending analysis (used by history masking AND global 14) ----
+    # passWouldEndPhase: a pass now reaches 2 consecutive ending passes, or
+    # repeats a position this player already passed from (spight-like)
+    in_encore = gs.pos.encore_phase > 0
+    ko = gs.rules.ko_rule
+    pass_counts = in_encore | (ko != R.KO_SPIGHT)
+    kh_now = H._pos_ko_hash(gs.pos, gs.rules)
+    spight_phase = in_encore | (ko == R.KO_SIMPLE) | (ko == R.KO_SPIGHT)
+    is_black_mover = pla == B.BLACK
+    ring = jnp.where(is_black_mover, gs.pass_hash_black, gs.pass_hash_white)
+    ring_n = jnp.where(is_black_mover, gs.pass_hash_black_n,
+                       gs.pass_hash_white_n)
+    ring_valid = jnp.arange(H.MAX_PASS_HASHES) < ring_n
+    spightlike = spight_phase & jnp.any(
+        jnp.all(ring == kh_now[None, :], axis=1) & ring_valid)
+    pass_would_end_phase = (((pass_counts & (gs.consec_passes >= 1))
+                             | spightlike) & ~gs.game_over)
+    is_area_rules = gs.rules.scoring_rule == R.SCORING_AREA
+    pass_would_end_game = pass_would_end_phase & (
+        is_area_rules | (gs.pos.encore_phase >= 2))
+
+    # friendly-pass end suppression (shouldSuppressEndGameFromFriendlyPass,
+    # boardhistory.cpp:889-894): in area-scoring friendly-pass rulesets a
+    # non-spightlike double-pass ending is treated as not ending the game
+    friendly_suppress = (gs.rules.friendly_pass_ok & is_area_rules
+                         & pass_counts & (gs.consec_passes == 1)
+                         & ~spightlike & ~gs.game_over)
+
+    # history masking (nninputs.cpp:2464-2486): hide ALL history when a
+    # pass would end the game but the eval pretends it won't; include ONE
+    # move when the game just finished; wipe across phase changes
+    suppress_pass_end = pass_would_end_game & (params.conservative_pass
+                                               | friendly_suppress)
+    max_turns = jnp.where(suppress_pass_end, 0,
+                          jnp.where(gs.game_over, 1, 5))
+    amount = jnp.minimum(max_turns, gs.pos.turns_this_phase)
+
     # history: planes 9-13 + globals 0-4
-    hide_history = gs.game_over | (params.conservative_pass &
-                                   (gs.consec_passes >= 1))
     for k in range(5):
         mv = gs.recent_moves[k]
-        have = (~hide_history) & (gs.move_num > k)
+        have = (amount > k) & (gs.move_num > k)
         is_pass = have & (mv >= nn)
         on_board = have & (mv >= 0) & (mv < nn)
         plane = jnp.zeros((nn + 1,), jnp.float32).at[
@@ -149,7 +187,7 @@ def fill_features_v7(gs: H.GameState, size: int,
     # nninputs.cpp:2548-2580). Planes 15/16 reuse the current board's result
     # until prev-board storage lands (hideHistory fallback).
     if with_ladders:
-        lad = ladder.ladder_map(stones, size)
+        lad = ladder.ladder_map(stones, size, ko_loc=gs.pos.simple_ko_loc)
         lad_f = lad.laddered.astype(jnp.float32)
         sp = sp.at[:, 14].set(lad_f)
         sp = sp.at[:, 15].set(lad_f)
@@ -210,22 +248,10 @@ def fill_features_v7(gs: H.GameState, size: int,
     gl = gl.at[12].set((gs.pos.encore_phase > 0).astype(jnp.float32))
     gl = gl.at[13].set((gs.pos.encore_phase > 1).astype(jnp.float32))
 
-    # passWouldEndPhase: a pass now reaches 2 consecutive ending passes, or
-    # repeats a position this player already passed from (spight-like)
-    in_encore = gs.pos.encore_phase > 0
-    pass_counts = in_encore | (ko != R.KO_SPIGHT)
-    kh_now = H._pos_ko_hash(gs.pos, gs.rules)
-    spight_phase = in_encore | (ko == R.KO_SIMPLE) | (ko == R.KO_SPIGHT)
-    is_black_mover = pla == B.BLACK
-    ring = jnp.where(is_black_mover, gs.pass_hash_black, gs.pass_hash_white)
-    ring_n = jnp.where(is_black_mover, gs.pass_hash_black_n,
-                       gs.pass_hash_white_n)
-    ring_valid = jnp.arange(H.MAX_PASS_HASHES) < ring_n
-    spightlike = spight_phase & jnp.any(
-        jnp.all(ring == kh_now[None, :], axis=1) & ring_valid)
-    pass_would_end = ((pass_counts & (gs.consec_passes >= 1)) | spightlike) \
-        & ~gs.game_over & ~hide_history
-    gl = gl.at[14].set(pass_would_end.astype(jnp.float32))
+    # passWouldEndPhase, hidden under the same suppression as history
+    # (nninputs.cpp:2476-2478,2653)
+    gl = gl.at[14].set((pass_would_end_phase
+                        & ~suppress_pass_end).astype(jnp.float32))
 
     pda = params.playout_doubling_advantage
     gl = gl.at[15].set((pda != 0.0).astype(jnp.float32))
