@@ -75,7 +75,8 @@ class GTPEngine:
                  allow_resignation: bool = False,
                  resign_threshold: float = -0.90,
                  resign_consec_turns: int = 3,
-                 ponder: bool = False):
+                 ponder: bool = False,
+                 anti_mirror: bool = True):
         self.size = size
         self.rules = rules or R.Rules.tromp_taylorish()
         self.visits = visits
@@ -102,6 +103,9 @@ class GTPEngine:
         # pondering (asyncbot.h ponder after each genmove)
         self.ponder_enabled = ponder
         self._ponder: AsyncSearch | None = None
+        # anti-mirror countering (searchParams.antiMirror, on by default
+        # like gtp_example.cfg; detection reruns before every search)
+        self.anti_mirror = anti_mirror
 
         if model_path:
             from katago_tpu.models import desc as D
@@ -179,6 +183,29 @@ class GTPEngine:
                 chunk_size=max(4, min(32, self.visits // 4)))
         return self._drivers[key]
 
+    def _mirror_arrs(self, root_pla: int):
+        """Host-side anti-mirror detection over this game's move history
+        (Search::updateMirroring); None when off or not mirroring, so the
+        mirror-free search executable is reused."""
+        if not self.anti_mirror or len(self.moves) < 14:
+            return None
+        from katago_tpu.search import mirror as MIR
+        moves = [loc for _, loc in self.moves]
+        plas = [p for p, _ in self.moves]
+        stones = np.asarray(self.gs.pos.board.stones)
+        mirroring, adv, err = MIR.detect_game(
+            moves, plas, root_pla=root_pla, stones=stones,
+            komi=self.rules.komi,
+            scoring_area=self.rules.scoring_rule == R.SCORING_AREA,
+            size=self.size)
+        if not mirroring:
+            return None
+        return MIR.MirrorArrs(
+            mirroring=jnp.asarray([True]),
+            mirror_pla=jnp.asarray([3 - root_pla], jnp.int32),
+            advantage=jnp.asarray([adv], jnp.float32),
+            center_err=jnp.asarray([err], jnp.float32))
+
     def search_root(self, player: int, visits: int | None = None,
                     max_time: float | None = None,
                     callback=None, callback_interval: float = 1.0,
@@ -198,7 +225,8 @@ class GTPEngine:
                             max_time=max_time, prev_tree=prev,
                             callback=callback,
                             callback_interval=callback_interval,
-                            should_stop=should_stop)
+                            should_stop=should_stop,
+                            mirror=self._mirror_arrs(player))
         self._reuse_tree = res.ss.tree
         self.last_search_result = res
         self.last_search_player = player
@@ -687,17 +715,8 @@ def run_gtp(engine: GTPEngine, infile=sys.stdin, outfile=sys.stdout,
             respond(f"{type(e).__name__}: {e}", cmd_id, ok=False)
 
 
-def _fixed_handicap_locs(size: int, n: int) -> list[int]:
-    if size < 7 or n < 2 or n > 9:
-        raise ValueError(f"cannot place {n} handicap on size {size}")
-    edge = 3 if size >= 13 else 2
-    lo, hi, mid = edge, size - 1 - edge, size // 2
-    pts = [(lo, hi), (hi, lo), (hi, hi), (lo, lo), (lo, mid), (hi, mid),
-           (mid, lo), (mid, hi), (mid, mid)]
-    chosen = pts[:n]
-    if n in (5, 7) and size % 2 == 1:
-        chosen = pts[:n - 1] + [pts[8]]
-    return [y * size + x for x, y in chosen]
+from katago_tpu.selfplay.gameinit import fixed_handicap_locs as \
+    _fixed_handicap_locs
 
 
 def main(argv=None):
@@ -717,6 +736,7 @@ def main(argv=None):
     resign_threshold = -0.90
     resign_consec_turns = 3
     ponder = False
+    anti_mirror = True
     if args.config:
         from katago_tpu.utils.setup import (load_search_params,
                                             search_limits, warn_unused)
@@ -742,6 +762,8 @@ def main(argv=None):
             resign_consec_turns = cfg.get_int("resignConsecTurns")
         if cfg.contains("ponderingEnabled"):
             ponder = cfg.get_bool("ponderingEnabled")
+        if cfg.contains("antiMirror"):
+            anti_mirror = cfg.get_bool("antiMirror")
         warn_unused(cfg, log=lambda s: print(s, file=sys.stderr))
     if args.visits:
         visits = args.visits
@@ -752,7 +774,7 @@ def main(argv=None):
                        allow_resignation=allow_resignation,
                        resign_threshold=resign_threshold,
                        resign_consec_turns=resign_consec_turns,
-                       ponder=ponder)
+                       ponder=ponder, anti_mirror=anti_mirror)
     if lag_buffer is not None:
         engine.lag_buffer = lag_buffer
     run_gtp(engine)

@@ -157,6 +157,58 @@ class GameBatchData:
             row_weight=row_weight)
 
 
+def _place_handicap(games, num_handicap: np.ndarray, size: int):
+    """Pre-place fixed-pattern black handicap stones, give white the move,
+    and rebuild the position hashes (the reference places handicap with
+    the net's policy, PlayUtils::playExtraBlack; the fixed star-point
+    pattern is its GTP-flavored equivalent)."""
+    from katago_tpu.game import zobrist
+    from katago_tpu.selfplay.gameinit import fixed_handicap_locs
+    g_n = num_handicap.shape[0]
+    stones = np.asarray(games.board.stones).copy()
+    to_move = np.asarray(games.pos.to_move).copy()
+    hashes = np.asarray(games.board.pos_hash).copy()
+    zst = zobrist.stone_table(size)
+    for g in range(g_n):
+        k = int(num_handicap[g])
+        if k < 2:
+            continue
+        for l in fixed_handicap_locs(size, k):
+            stones[g, l] = B.BLACK
+            hashes[g] = hashes[g] ^ zst[B.BLACK - 1, l]
+        to_move[g] = B.WHITE
+    games = games._replace(pos=games.pos._replace(
+        board=games.board._replace(stones=jnp.asarray(stones),
+                                   pos_hash=jnp.asarray(hashes)),
+        to_move=jnp.asarray(to_move)))
+    # re-record the starting ko-hash (new_game recorded the empty board)
+    h0 = jax.vmap(lambda p, r: H._pos_ko_hash(p, r))(games.pos, games.rules)
+    hist = games.ko_hash_hist.at[:, 0].set(h0)
+    return games._replace(ko_hash_hist=hist)
+
+
+def _adjust_komi_to_even(games, flags: np.ndarray, model_apply, params,
+                         feat_fn, feat_params, size: int):
+    """Set komi so the net predicts an even game where flagged
+    (PlayUtils::adjustKomiToEven via the lead head): one batched eval,
+    komi -= white lead, rounded to the half-integer grid."""
+    from katago_tpu.models.model import postprocess_outputs
+    sp_feat, gl_feat = feat_fn(games, size, feat_params)
+    g_n = sp_feat.shape[0]
+    raw = model_apply(params,
+                      sp_feat.reshape(g_n, size, size, -1).astype(jnp.float32),
+                      gl_feat)
+    outs = postprocess_outputs(raw)
+    lead_mover = np.asarray(outs["lead"], np.float32)
+    to_move = np.asarray(games.pos.to_move)
+    white_lead = np.where(to_move == B.WHITE, lead_mover, -lead_mover)
+    komi = np.asarray(games.rules.komi, np.float32).copy()
+    new_komi = np.round((komi - white_lead) * 2.0) / 2.0
+    komi = np.where(flags, new_komi.astype(np.float32), komi)
+    return games._replace(rules=games.rules._replace(
+        komi=jnp.asarray(komi)))
+
+
 def play_games(model_apply: Callable, model_params: Any, *,
                size: int, num_games: int, visits: int,
                rules: R.Rules | None = None,
@@ -166,6 +218,13 @@ def play_games(model_apply: Callable, model_params: Any, *,
                record: bool = True,
                tree_reuse: bool = True,
                play_settings=None,
+               game_rules: H.RulesArr | None = None,
+               num_handicap: np.ndarray | None = None,
+               compensate_komi: np.ndarray | None = None,
+               early_fork: np.ndarray | None = None,
+               params_provider: Callable | None = None,
+               resign_threshold: float = 0.0,
+               resign_consec_turns: int = 3,
                mesh=None) -> tuple[GameBatchData | None, dict]:
     """Play a batch of selfplay games to completion. Returns recorded data
     and summary stats (moves, scores, winners).
@@ -173,6 +232,22 @@ def play_games(model_apply: Callable, model_params: Any, *,
     play_settings: PlaySettings data-quality knobs (policy-init openings,
     cheap/full search mixing — cheap-search moves advance the game but are
     not recorded, matching cheapSearchTargetWeight=0).
+
+    GameInitializer diversity (selfplay.gameinit): game_rules is a
+    per-game RulesArr [G] (mixed ko/scoring/tax/suicide/button/komi in one
+    compiled batch); num_handicap[g] places that many fixed-pattern black
+    stones and gives white the move; compensate_komi[g] adjusts komi to an
+    even game via one net lead estimate (PlayUtils::adjustKomiToEven);
+    early_fork[g] replaces the game's last policy-init move with a
+    uniform-random legal move (forkGame divergence).
+
+    params_provider: optional callable () -> params polled every 16 moves
+    so a freshly exported net takes over mid-game (the reference's
+    mid-game net switching, selfplay.cpp:336-343).
+
+    resign_threshold: e.g. -0.95 — a game ends as a resignation loss when
+    the mover's root winloss stays below it for resign_consec_turns full
+    searches (gtp.cpp:276-324 / match resign semantics). 0 disables.
 
     mesh: optional jax.sharding.Mesh — the game axis shards over the
     mesh's data axis (the TPU equivalent of the reference running
@@ -192,12 +267,18 @@ def play_games(model_apply: Callable, model_params: Any, *,
     gs = H.new_game(size, H.RulesArr.from_rules(rules), max_hist=max_moves + 8)
     games = jax.tree.map(
         lambda x: jnp.broadcast_to(x, (num_games,) + x.shape).copy(), gs)
-    # per-game komi randomization (GameInitializer; RulesArr is per-game
-    # dynamic, so one compiled program plays all komis)
-    from katago_tpu.selfplay.playsettings import sample_komis
-    komi_white = sample_komis(rules.komi, ps, num_games, host_rng)
-    games = games._replace(rules=games.rules._replace(
-        komi=jnp.asarray(komi_white)))
+    if game_rules is not None:
+        games = games._replace(rules=game_rules)
+        komi_white = np.asarray(game_rules.komi, np.float32)
+    else:
+        # per-game komi randomization (GameInitializer; RulesArr is
+        # per-game dynamic, so one compiled program plays all komis)
+        from katago_tpu.selfplay.playsettings import sample_komis
+        komi_white = sample_komis(rules.komi, ps, num_games, host_rng)
+        games = games._replace(rules=games.rules._replace(
+            komi=jnp.asarray(komi_white)))
+    if num_handicap is not None and (num_handicap > 0).any():
+        games = _place_handicap(games, num_handicap, size)
     if mesh is not None:
         from katago_tpu.parallel import mesh as M
         if num_games % mesh.devices.size != 0:
@@ -216,14 +297,16 @@ def play_games(model_apply: Callable, model_params: Any, *,
         # max_visits is a traced per-call cap: with tree reuse only the
         # top-up playouts run, and games whose reused tree already meets
         # the budget run masked no-ops (the reference's maxVisits stop,
-        # searchparams.h:131 — where its savings from reuse come from)
+        # searchparams.h:131 — where its savings from reuse come from).
+        # params are an argument (not a closure) so mid-game net switching
+        # swaps weights without recompiling.
         if reuse:
-            return jax.jit(lambda roots, key, pt, pa, mv: mcts.run_search(
-                model_apply, model_params, roots, sp, key, size=size,
+            return jax.jit(lambda mp, roots, key, pt, pa, mv: mcts.run_search(
+                model_apply, mp, roots, sp, key, size=size,
                 num_sims=n_sims, max_nodes=max_nodes,
                 prev_tree=pt, prev_actions=pa, max_visits=mv))
-        return jax.jit(lambda roots, key, mv: mcts.run_search(
-            model_apply, model_params, roots, sp, key, size=size,
+        return jax.jit(lambda mp, roots, key, mv: mcts.run_search(
+            model_apply, mp, roots, sp, key, size=size,
             num_sims=n_sims, max_nodes=max_nodes, max_visits=mv))
 
     # quantized top-up grid: one compiled program per (n_sims, reuse)
@@ -250,21 +333,40 @@ def play_games(model_apply: Callable, model_params: Any, *,
         conservative_pass=sp.conservative_pass,
     )
 
+    if compensate_komi is not None and compensate_komi.any():
+        games = _adjust_komi_to_even(games, compensate_komi, model_apply,
+                                     model_params, feat_fn, feat_params,
+                                     size)
+        komi_white = np.asarray(games.rules.komi, np.float32)
+
     # per-game policy-init opening lengths (PlaySettings policyInitAvgMoveNum)
     if ps.init_games_with_policy and ps.policy_init_avg_move_num > 0:
         init_len = host_rng.exponential(
             ps.policy_init_avg_move_num, size=num_games).astype(np.int32)
     else:
         init_len = np.zeros(num_games, np.int32)
+    if early_fork is not None and early_fork.any():
+        # fork games diverge with one uniform-random legal move at the end
+        # of their (forced nonzero) opening
+        init_len = np.where(early_fork, np.maximum(init_len, 2), init_len)
 
     rows = []  # host-side per-move records
     total_playouts = 0
     prev = None   # (tree, actions) for Search::makeMove-style reuse
     reused_visits = 0  # min over games of the re-rooted subtree's visits
+    resign_below = np.zeros(num_games, np.int32)
+    resigned_by = np.zeros(num_games, np.int32)  # player who resigned, 0=none
+    resign_score = np.zeros(num_games, np.float32)  # root score at resign
     for move_i in range(max_moves):
-        done = np.asarray(games.pos.game_over)
+        done = np.asarray(games.pos.game_over) | (resigned_by != 0)
         if done.all():
             break
+        if params_provider is not None and move_i % 16 == 0:
+            # mid-game net switching (selfplay.cpp:336-343): a freshly
+            # exported model takes over the rest of every live game
+            new_params = params_provider()
+            if new_params is not None:
+                model_params = new_params
         # cheap/full decision per move (cheapSearchProb)
         is_full = host_rng.random() >= ps.cheap_search_prob
         move_visits = visits if is_full else cheap_visits
@@ -272,12 +374,12 @@ def play_games(model_apply: Callable, model_params: Any, *,
         mv_cap = jnp.int32(move_visits + 1)   # root visit = playouts + 1
         if prev is None or not tree_reuse:
             n_new = move_visits
-            res = get_search(n_new, False)(games, k1, mv_cap)
+            res = get_search(n_new, False)(model_params, games, k1, mv_cap)
         else:
             # top-up: only the playouts the reused subtree is missing
             n_new = move_visits + 1 - reused_visits
-            res = get_search(n_new, True)(games, k1, prev[0], prev[1],
-                                          mv_cap)
+            res = get_search(n_new, True)(model_params, games, k1, prev[0],
+                                          prev[1], mv_cap)
         moves = choose_fn(res, games.pos.move_num, k2)
         # policy-init: in-opening games sample from the raw prior instead
         in_init = (np.asarray(games.pos.move_num) <
@@ -290,6 +392,38 @@ def play_games(model_apply: Callable, model_params: Any, *,
                 lambda k, l: jax.random.categorical(k, l))(
                 jax.random.split(k3, num_games), logits)
             moves = jnp.where(jnp.asarray(in_init), pol_moves, moves)
+            # fork divergence: the LAST opening move of a fork game is
+            # uniform over legal moves (forkGame, play.cpp — a move the
+            # policy would usually not choose)
+            if early_fork is not None:
+                fork_now = (early_fork
+                            & (np.asarray(games.pos.move_num)
+                               == init_len - 1) & ~done)
+                if fork_now.any():
+                    uni = jnp.where(prior > 0, 0.0, -jnp.inf)
+                    fk = jax.random.fold_in(k3, 7)
+                    fork_moves = jax.vmap(
+                        lambda k, l: jax.random.categorical(k, l))(
+                        jax.random.split(fk, num_games), uni)
+                    moves = jnp.where(jnp.asarray(fork_now), fork_moves,
+                                      moves)
+        # resignation (gtp.cpp:276-324 semantics): the mover resigns when
+        # their root winloss stays below the threshold for N full searches
+        if resign_threshold < 0.0 and is_full:
+            wl_white = np.asarray(res.root_winloss, np.float32)
+            tm = np.asarray(games.pos.to_move)
+            wl_mover = np.where(tm == B.WHITE, wl_white, -wl_white)
+            bad = (wl_mover < resign_threshold) & ~done
+            resign_below = np.where(bad, resign_below + 1, 0)
+            newly = (resign_below >= resign_consec_turns) & (resigned_by == 0)
+            if newly.any():
+                resigned_by = np.where(newly, tm, resigned_by)
+                resign_score = np.where(
+                    newly, np.asarray(res.root_score_mean, np.float32),
+                    resign_score)
+                # end those games on-device too (step becomes a no-op)
+                games = games._replace(pos=games.pos._replace(
+                    game_over=games.pos.game_over | jnp.asarray(newly)))
         if tree_reuse:
             prev = (res.ss.tree, moves)
             # the next move's top-up budget is what the re-rooted subtree
@@ -332,6 +466,13 @@ def play_games(model_apply: Callable, model_params: Any, *,
     own, score_w = score_fn(games, size)
     own = np.asarray(own, np.float32)        # +1 black / -1 white
     score_w = np.asarray(score_w, np.float32)  # white minus black
+    if (resigned_by != 0).any():
+        # resignation result: winner = opponent; score target from the
+        # search's own estimate, sign-clamped to the resignation outcome
+        score_w = np.where(
+            resigned_by == B.BLACK, np.maximum(resign_score, 0.5),
+            np.where(resigned_by == B.WHITE,
+                     np.minimum(resign_score, -0.5), score_w))
     # full "naive" area for the seki-diff target (valueTargetsNCHW C1)
     from katago_tpu.game import benson
     full_area_fn = jax.jit(jax.vmap(
@@ -348,6 +489,7 @@ def play_games(model_apply: Callable, model_params: Any, *,
         "black_wins": (score_w < 0).sum(),
         "all_finished": bool(np.asarray(games.pos.game_over).all()),
         "total_playouts": total_playouts,
+        "resignations": int((resigned_by != 0).sum()),
     }
     if not record:
         return None, stats

@@ -37,6 +37,16 @@ def save_checkpoint(ckpt_dir: str, state: TrainState, step: int,
     return path
 
 
+def load_metadata(path: str) -> dict:
+    """Read the sidecar train_metadata.json of a checkpoint (global step,
+    samples, SWA accumulator, data-serving state); {} if absent."""
+    meta_path = os.path.join(path, "train_metadata.json")
+    if not os.path.exists(meta_path):
+        return {}
+    with open(meta_path) as f:
+        return json.load(f)
+
+
 def latest_checkpoint(ckpt_dir: str) -> str | None:
     if not os.path.isdir(ckpt_dir):
         return None

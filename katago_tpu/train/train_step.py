@@ -21,26 +21,17 @@ from katago_tpu.train.losses import LossScales, SekiEma, compute_losses
 class TrainState(NamedTuple):
     params: Any
     opt_state: Any
-    ema_params: Any            # SWA/EMA of weights for export
+    ema_params: Any            # per-step EMA of weights for export
+    swa_params: Any            # SWA average, sampled every swa period
     step: jax.Array
     seki_ema: SekiEma          # seki loss moving unowned-proportion state
 
 
-def lr_scale_auto(samples: int) -> float:
-    """The reference's hardcoded LR auto-scale by samples seen
-    (train.py:504-522)."""
-    for bound, scale in [(550e6, 8.0), (1400e6, 6.0), (2500e6, 4.0),
-                         (3400e6, 3.0), (4200e6, 2.0), (4900e6, 1.5),
-                         (5500e6, 1.0), (6400e6, 0.7)]:
-        if samples < bound:
-            return scale
-    return 0.5
-
-
-def make_optimizer(lr: float = 6e-5, momentum: float = 0.9,
+def make_optimizer(lr=6e-5, momentum: float = 0.9,
                    weight_decay: float = 3e-5, grad_clip: float = 1e6,
                    kind: str = "sgd"):
-    """Optimizer factory.
+    """Optimizer factory. lr may be a float or an optax schedule callable
+    (see train.schedules for the reference's LR scale tables).
 
     kind="sgd": SGD+momentum with decoupled weight decay, the reference's
     default family (train.py lr scaling at train.py:504-526).
@@ -68,6 +59,7 @@ def init_train_state(params: Any, optimizer) -> TrainState:
         params=params,
         opt_state=optimizer.init(params),
         ema_params=params,
+        swa_params=params,
         step=jnp.int32(0),
         seki_ema=SekiEma.init(),
     )
@@ -99,7 +91,22 @@ def make_train_step(model_apply, optimizer, ema_decay: float = 0.999,
             state.ema_params, params)
         gnorm = optax.global_norm(grads)
         metrics = dict(metrics, gnorm=gnorm)
-        return TrainState(params, opt_state, ema, state.step + 1,
-                          seki_ema), metrics
+        return TrainState(params, opt_state, ema, state.swa_params,
+                          state.step + 1, seki_ema), metrics
 
     return train_step
+
+
+def make_eval_step(model_apply, scales: LossScales = LossScales()):
+    """Validation step: eval_step(params, batch, seki_ema) -> metrics
+    (no gradient, is_training=False — the reference's val pass,
+    train.py:1578-1621)."""
+
+    def eval_step(params, batch, seki_ema):
+        spatial = batch["binaryInputNCHW"].transpose(0, 2, 3, 1)
+        raw = model_apply(params, spatial, batch["globalInputNC"])
+        _, metrics, _ = compute_losses(
+            raw, batch, scales=scales, seki_ema=seki_ema, is_training=False)
+        return metrics
+
+    return eval_step
