@@ -88,14 +88,59 @@ def play_match(apply_a, params_a, apply_b, params_b, *, size: int,
     return result
 
 
+def play_round_robin(bots: list, *, size: int, games_per_pair: int,
+                     visits: int, rules: R.Rules | None = None,
+                     seed: int = 0, log=print) -> dict:
+    """All-pairs tournament (reference MatchPairer, play.h:214-264: cycles
+    through every bot pairing) with multi-player MLE Elos + stdevs
+    (ComputeElos, cpp/core/elo.{h,cpp}).
+
+    bots: list of (name, apply_fn, params). win_matrix[a][b] counts
+    (a-playing-black wins, a-playing-white wins) vs b, the layout
+    compute_elos consumes."""
+    n = len(bots)
+    win_matrix = np.zeros((n, n, 2), np.float64)
+    records = []
+    for ai in range(n):
+        for bi in range(ai + 1, n):
+            name_a, apply_a, pa = bots[ai]
+            name_b, apply_b, pb = bots[bi]
+            r = play_match(apply_a, pa, apply_b, pb, size=size,
+                           num_games=games_per_pair, visits=visits,
+                           rules=rules, seed=seed + ai * 1000 + bi,
+                           log=lambda s: None)
+            # play_match alternates colors evenly, so split each side's
+            # wins across the two seatings; wm[x][y] = (x's wins, y's
+            # wins) in the games x played first. Draws = half win each.
+            aw, al, dr = r["a_wins"], r["a_losses"], r["draws"]
+            win_matrix[ai, bi, 0] += aw / 2.0 + dr / 4.0  # A first: A wins
+            win_matrix[ai, bi, 1] += al / 2.0 + dr / 4.0  # A first: B wins
+            win_matrix[bi, ai, 0] += al / 2.0 + dr / 4.0  # B first: B wins
+            win_matrix[bi, ai, 1] += aw / 2.0 + dr / 4.0  # B first: A wins
+            records.append({"a": name_a, "b": name_b, "a_wins": aw,
+                            "a_losses": al, "draws": dr})
+            log(f"  {name_a} vs {name_b}: {aw}-{al}-{dr}")
+    elos = E.compute_elos(win_matrix)
+    sds = E.compute_approx_elo_stdevs(elos, win_matrix)
+    table = sorted(zip([b[0] for b in bots], elos, sds),
+                   key=lambda t: -t[1])
+    for name, elo, sd in table:
+        log(f"  {name:24s} {elo:+7.1f} +- {sd:.1f}")
+    return {"elos": {name: round(e, 1) for name, e, _ in table},
+            "elo_stdevs": {name: round(s, 1) for name, _, s in table},
+            "pair_records": records}
+
+
 def _load_bot(spec: str, size: int):
-    """spec: path to .bin.gz (desc) or 'random:<config>'."""
+    """spec: path to .bin.gz (desc) or 'random:<config>[:<seed>]'."""
     if spec.startswith("random:"):
         from katago_tpu.models import config as MC
         from katago_tpu.models.model import KataGoModel
-        cfg = MC.get_config(spec.split(":", 1)[1])
+        parts = spec.split(":")
+        cfg = MC.get_config(parts[1])
+        init_seed = int(parts[2]) if len(parts) > 2 else 0
         model = KataGoModel(cfg, pos_len=size, dtype=jnp.float32)
-        params = model.init(jax.random.PRNGKey(0),
+        params = model.init(jax.random.PRNGKey(init_seed),
                             jnp.zeros((1, size, size, 22)),
                             jnp.zeros((1, 19)))
         return (lambda p, s, g: model.apply(params, s, g)), None
@@ -105,17 +150,35 @@ def _load_bot(spec: str, size: int):
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("-bot-a", required=True)
-    ap.add_argument("-bot-b", required=True)
+    ap.add_argument("-bot-a", default=None)
+    ap.add_argument("-bot-b", default=None)
+    ap.add_argument("-bots", default=None,
+                    help="comma-separated bot specs: round-robin "
+                         "tournament over all pairs with multi-player "
+                         "Elos (MatchPairer + ComputeElos)")
     ap.add_argument("-size", type=int, default=9)
-    ap.add_argument("-games", type=int, default=16)
+    ap.add_argument("-games", type=int, default=16,
+                    help="games per pairing")
     ap.add_argument("-visits", type=int, default=32)
     ap.add_argument("-seed", type=int, default=0)
     args = ap.parse_args(argv)
-    apply_a, pa = _load_bot(args.bot_a, args.size)
-    apply_b, pb = _load_bot(args.bot_b, args.size)
-    out = play_match(apply_a, pa, apply_b, pb, size=args.size,
-                     num_games=args.games, visits=args.visits, seed=args.seed)
+    if args.bots:
+        specs = [s.strip() for s in args.bots.split(",") if s.strip()]
+        bots = []
+        for s in specs:
+            a, p = _load_bot(s, args.size)
+            bots.append((s, a, p))
+        out = play_round_robin(bots, size=args.size,
+                               games_per_pair=args.games,
+                               visits=args.visits, seed=args.seed)
+    else:
+        if not (args.bot_a and args.bot_b):
+            ap.error("need -bot-a and -bot-b, or -bots for a tournament")
+        apply_a, pa = _load_bot(args.bot_a, args.size)
+        apply_b, pb = _load_bot(args.bot_b, args.size)
+        out = play_match(apply_a, pa, apply_b, pb, size=args.size,
+                         num_games=args.games, visits=args.visits,
+                         seed=args.seed)
     print(json.dumps(out))
 
 
