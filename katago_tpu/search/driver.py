@@ -54,26 +54,27 @@ class SearchDriver:
 
     def init_fn(self, reuse: bool, reuse_actions: bool = False):
         def build():
-            def f(roots, rng, *prev):
+            def f(roots, rng, mirror, *prev):
                 pt = prev[0] if prev else None
                 pa = prev[1] if len(prev) > 1 else None
                 return mcts.init_search(
                     self._model_apply, self._model_params, roots, self.sp,
                     rng, size=self.size, max_nodes=self.max_nodes,
                     with_ladders=self._with_ladders, prev_tree=pt,
-                    prev_actions=pa)
+                    prev_actions=pa, mirror=mirror)
             return jax.jit(f)
         return self._get(("init", reuse, reuse_actions), build)
 
     def chunk_fn(self):
         def build():
-            def f(ss, rng, max_visits, active_mask):
+            def f(ss, rng, max_visits, active_mask, mirror):
                 return mcts.run_playouts(
                     self._model_apply, self._model_params, ss, self.sp, rng,
                     size=self.size, num_sims=self.chunk_size,
                     max_depth=self._max_depth,
                     with_ladders=self._with_ladders,
-                    max_visits=max_visits, active_mask=active_mask)
+                    max_visits=max_visits, active_mask=active_mask,
+                    mirror=mirror)
             return jax.jit(f)
         return self._get(("chunk",), build)
 
@@ -95,8 +96,8 @@ class SearchDriver:
                callback: Callable | None = None,
                callback_interval: float = 1.0,
                stop_event: threading.Event | None = None,
-               should_stop: Callable[[], bool] | None = None
-               ) -> mcts.SearchResult:
+               should_stop: Callable[[], bool] | None = None,
+               mirror=None) -> mcts.SearchResult:
         """Run a time/visit/interrupt-bounded search.
 
         max_visits: per-game root visit cap (None = unbounded, needs
@@ -112,12 +113,12 @@ class SearchDriver:
         g = roots.hist_len.shape[0]
         rng, r_init = jax.random.split(rng)
         if prev_tree is not None and prev_actions is not None:
-            ss = self.init_fn(True, True)(roots, r_init, prev_tree,
+            ss = self.init_fn(True, True)(roots, r_init, mirror, prev_tree,
                                           prev_actions)
         elif prev_tree is not None:
-            ss = self.init_fn(True)(roots, r_init, prev_tree)
+            ss = self.init_fn(True)(roots, r_init, mirror, prev_tree)
         else:
-            ss = self.init_fn(False)(roots, r_init)
+            ss = self.init_fn(False)(roots, r_init, mirror)
 
         if max_visits is None and max_time is None and stop_event is None \
                 and should_stop is None:
@@ -146,7 +147,7 @@ class SearchDriver:
             if visits_done and elapsed >= min_time:
                 break
             rng, r = jax.random.split(rng)
-            ss = chunk(ss, r, cap, amask)
+            ss = chunk(ss, r, cap, amask, mirror)
             chunks_done += 1
             if callback is not None:
                 now = time.time()

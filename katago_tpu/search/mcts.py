@@ -31,6 +31,7 @@ selection time (searchexplorehelpers.cpp:38-54).
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable, NamedTuple
 
 import jax
@@ -40,6 +41,7 @@ import numpy as np
 from katago_tpu.game import board as B
 from katago_tpu.game import history as H
 from katago_tpu.models import features as F
+from katago_tpu.ops import symmetry as SYM
 from katago_tpu.search.params import SearchParamsArr
 
 TOTALCHILDWEIGHT_PUCT_OFFSET = 0.01
@@ -228,8 +230,13 @@ class PathSel(NamedTuple):
     terminal_node: jax.Array  # int32
 
 
-def select_path(ss: SearchState, sp: SearchParamsArr, max_depth: int) -> PathSel:
-    """PUCT descent from the root; single game (vmap over batch)."""
+def select_path(ss: SearchState, sp: SearchParamsArr, max_depth: int,
+                mirror=None) -> PathSel:
+    """PUCT descent from the root; single game (vmap over batch).
+
+    mirror: optional per-game anti-mirror verdict (search/mirror.py
+    MirrorArrs row) — when set, mirror replies and center refutations get
+    forced-explore utility bumps (searchmirror.cpp:156-278)."""
     tree = ss.tree
 
     def puct_action(node):
@@ -282,6 +289,15 @@ def select_path(ss: SearchState, sp: SearchParamsArr, max_depth: int) -> PathSel
 
         child_util = jnp.where(has_child, cu, fpu)
         value_comp = jnp.where(is_white, child_util, -child_util)
+        if mirror is not None:
+            from katago_tpu.search import mirror as MIR
+            size_ = int(np.sqrt(tree.policy.shape[1] - 1))
+            pu_self = jnp.where(is_white, parent_utility, -parent_utility)
+            value_comp = MIR.puct_adjust(
+                value_comp, pol, tree.pos.recent_moves[node, 0], pla, cw,
+                total_cw, pu_self, tree.pos.board.stones[node], is_root,
+                mirror.mirroring, mirror.mirror_pla, mirror.advantage,
+                mirror.center_err, tree.pos.to_move[0], size_)
         explore_comp = explore_scaling * pol / (1.0 + cw)
         score = jnp.where(pol >= 0, explore_comp + value_comp, ILLEGAL)
         return jnp.argmax(score).astype(jnp.int32)
@@ -370,26 +386,47 @@ def make_leaf_gamestate(ss: SearchState, sel: PathSel, size: int,
     return leaf_pos, leaf_ko_hash, leaf_gs
 
 
-def _bias_key(parent_stones, prev_move, move_loc, pla, size: int):
+def _bias_key(parent_stones, prev_move, move_loc, pla, ko_loc, size: int):
     """Subtree-value-bias table slot for a node reached by playing move_loc
-    as pla on the parent board (LocalPatternHasher::getHash around the move
-    + parent prev move, subtreevaluebiastable.cpp Book-keeping collapsed to
-    a mixed-integer hash over the 3x3 neighborhood)."""
+    as pla on the parent board: 5x5 local-pattern zobrist around the move
+    XOR move-loc keys for this and the previous move XOR the parent's
+    simple-ko-ban key (SubtreeValueBiasTable::get,
+    subtreevaluebiastable.cpp:62-68 with the 5x5 hasher of line 19; the
+    atari keys are skipped in-search — liberties would cost a fixpoint per
+    eval). The 64-bit hash is folded onto BIAS_TABLE_SIZE slots (the
+    reference buckets into numShards maps keyed by the full hash)."""
     nn = size * size
-    neigh = jnp.asarray(B.neighbor_table(size))
-    lc = jnp.clip(move_loc, 0, nn - 1)
-    spad = B._pad(parent_stones, B.WALL)
-    nbrs = spad[neigh[lc]]                                  # [4]
-    # include diagonals via the neighbor-of-neighbor trick (cheap 3x3-ish)
-    h = jnp.uint32(2166136261)
-    for i in range(4):
-        h = (h ^ nbrs[i].astype(jnp.uint32)) * jnp.uint32(16777619)
-    h = (h ^ lc.astype(jnp.uint32)) * jnp.uint32(16777619)
-    h = (h ^ jnp.clip(prev_move, 0, nn).astype(jnp.uint32)) * \
-        jnp.uint32(16777619)
-    h = (h ^ pla.astype(jnp.uint32)) * jnp.uint32(16777619)
+    from katago_tpu.search import localpattern as LPAT
+    h = LPAT.local_pattern_hash(parent_stones, move_loc, pla, size, 5)
+    mt = jnp.asarray(_bias_move_tables(size))          # [2, NN+2, 2]
+    h = jnp.bitwise_xor(h, mt[0, jnp.clip(prev_move, -1, nn) + 1])
+    h = jnp.bitwise_xor(h, mt[1, jnp.clip(move_loc, -1, nn) + 1])
+    kt = jnp.asarray(_bias_ko_table(size))             # [NN+1, 2]
+    h = jnp.bitwise_xor(h, kt[jnp.clip(ko_loc, -1, nn - 1) + 1])
     valid = (move_loc >= 0) & (move_loc < nn)
-    return jnp.where(valid, (h % BIAS_TABLE_SIZE).astype(jnp.int32), -1)
+    slot = ((h[0] ^ h[1]) % jnp.uint32(BIAS_TABLE_SIZE)).astype(jnp.int32)
+    return jnp.where(valid, slot, -1)
+
+
+@functools.lru_cache(maxsize=None)
+def _bias_move_tables(size: int) -> np.ndarray:
+    """ZOBRIST_MOVE_LOCS[loc][0/1] analogue: uint32[2, NN+2, 2], row 0 for
+    the parent's previous move, row 1 for this node's move; slot 0 is the
+    no-move (-1) key."""
+    rng = np.random.Generator(np.random.PCG64(0x62696173 + size))
+    return rng.integers(0, 2**32, size=(2, size * size + 2, 2),
+                        dtype=np.uint32)
+
+
+@functools.lru_cache(maxsize=None)
+def _bias_ko_table(size: int) -> np.ndarray:
+    """ZOBRIST_KO_BAN analogue: uint32[NN+1, 2]; slot 0 = no ko (its key is
+    zero so no-ko contributes nothing, like the reference's NULL_LOC
+    guard)."""
+    rng = np.random.Generator(np.random.PCG64(0x6B6F62 + size))
+    t = rng.integers(0, 2**32, size=(size * size + 1, 2), dtype=np.uint32)
+    t[0] = 0
+    return t
 
 
 def terminal_eval_of_pos(pos: H.PosState, rules: H.RulesArr,
@@ -516,6 +553,7 @@ def insert_and_backup(ss: SearchState, sel: PathSel, leaf_pos: H.PosState,
             _bias_key(tree.pos.board.stones[sel.leaf_parent],
                       tree.pos.recent_moves[sel.leaf_parent, 0],
                       sel.leaf_action, tree.pos.to_move[sel.leaf_parent],
+                      tree.pos.simple_ko_loc[sel.leaf_parent],
                       int(np.sqrt(tree.policy.shape[1] - 1)))),
         last_bias_delta=set_at(tree.last_bias_delta, new_idx,
                                jnp.float32(0.0)),
@@ -794,15 +832,38 @@ def make_nn_evaluator(model_apply: Callable, model_params: Any, size: int,
     cost), so throughput-critical searches may disable it (the reference
     always pays it, nninputs.cpp:2548)."""
 
-    def batched_eval(leaf_gs, feat_params):
+    def batched_eval(leaf_gs, feat_params, sym=None):
+        """sym: optional int32[G] dihedral symmetry per game (nnRandomize,
+        nneval.h:169-179): the input planes are transformed before the
+        forward pass and policy/ownership transformed back, so callers see
+        canonical-orientation outputs either way. Features are equivariant,
+        so permuting the featurized planes equals featurizing the permuted
+        board."""
         legal = jax.vmap(H.legal_moves, in_axes=(0, None))(leaf_gs, size)
         sp_feat, gl_feat = jax.vmap(
             lambda g_, l_: F.fill_features_v7(g_, size, feat_params, l_,
                                               with_ladders=with_ladders)
         )(leaf_gs, legal)
         g = sp_feat.shape[0]
+        if sym is not None:
+            sp_feat = jax.vmap(
+                lambda f_, s_: SYM.transform_spatial(f_, s_, size)
+            )(sp_feat, sym)
         sp_feat = sp_feat.reshape(g, size, size, F.NUM_SPATIAL_V7)
         raw = model_apply(model_params, sp_feat, gl_feat)
+        if sym is not None:
+            raw = dict(raw)
+            raw["policy_logits"] = jax.vmap(
+                lambda p_, s_: SYM.untransform_policy(p_, s_, size)
+            )(raw["policy_logits"], sym)
+            own = raw.get("ownership_pretanh")
+            if own is not None:
+                nn = size * size
+                own_flat = own.reshape(g, nn, -1)
+                own_flat = jax.vmap(
+                    lambda o_, s_: SYM.untransform_spatial(o_, s_, size)
+                )(own_flat, sym)
+                raw["ownership_pretanh"] = own_flat.reshape(own.shape)
         return raw, legal
 
     return batched_eval
@@ -869,7 +930,9 @@ def init_search(model_apply: Callable, model_params: Any,
                 with_ladders: bool = True,
                 prev_tree: Tree | None = None,
                 prev_actions: jax.Array | None = None,
-                root_allowed_mask: jax.Array | None = None) -> SearchState:
+                root_allowed_mask: jax.Array | None = None,
+                root_num_symmetries: int = 1,
+                mirror=None) -> SearchState:
     """Build the initial SearchState for a batch of games: root NN eval,
     Dirichlet noise, dynamic score center, optional tree reuse
     (Search::beginSearch + makeMove, search.cpp:650/search.h:253-257).
@@ -911,16 +974,31 @@ def init_search(model_apply: Callable, model_params: Any,
         own_weight=jnp.zeros((g,), jnp.float32),
     )
 
-    # root NN eval
-    raw, legal = evaluator(roots, feat_params)
+    # root NN eval, averaged over root_num_symmetries sampled dihedral
+    # symmetries (rootNumSymmetriesToSample, searchparams.h:76; sampling
+    # with replacement, averaging the derived values and policy probs)
     root_policy_temp = jnp.broadcast_to(sp.root_policy_temperature, (g,))
 
     def eval_root(raw_i, legal_i, to_move, dyn_c, sqrt_a, ptemp):
         return nn_leaf_eval(raw_i, legal_i, to_move, sp, dyn_c, sqrt_a, ptemp)
 
-    root_ev = jax.vmap(eval_root)(
-        raw, legal, roots.pos.to_move, ss.dyn_score_center,
-        ss.sqrt_board_area, root_policy_temp)
+    def eval_with_sym(sym_or_none):
+        raw, legal = evaluator(roots, feat_params, sym=sym_or_none)
+        return jax.vmap(eval_root)(
+            raw, legal, roots.pos.to_move, ss.dyn_score_center,
+            ss.sqrt_board_area, root_policy_temp), legal
+
+    if root_num_symmetries <= 1:
+        root_ev, _ = eval_with_sym(None)
+    else:
+        rng, sym_key = jax.random.split(rng)
+        syms = jax.random.randint(sym_key, (root_num_symmetries, g), 0, 8)
+        evs = [eval_with_sym(syms[i])[0]
+               for i in range(root_num_symmetries)]
+        root_ev = jax.tree.map(
+            lambda *xs: sum(xs) / float(len(xs)), *evs)
+        # policy: illegal slots are -1 in every image (legality is
+        # symmetry-invariant), so the mean keeps them exactly -1
 
     # dynamic score center from the root NN (search.cpp:1148-1150)
     expected = root_ev.score_mean
@@ -928,6 +1006,16 @@ def init_search(model_apply: Callable, model_params: Any,
     cap = ss.sqrt_board_area * sp.dynamic_score_center_scale
     ss = ss._replace(dyn_score_center=jnp.clip(center, expected - cap,
                                                expected + cap))
+
+    if mirror is not None:
+        from katago_tpu.search import mirror as MIR
+        adj_pol = jax.vmap(
+            lambda p, pl, mp, st, mm, mpla, madv, rp: MIR.adjust_policy(
+                p, pl, mp, jnp.int32(0), st, mm, mpla, madv, rp, size)
+        )(root_ev.policy, roots.pos.recent_moves[:, 0],
+          roots.pos.to_move, roots.pos.board.stones, mirror.mirroring,
+          mirror.mirror_pla, mirror.advantage, roots.pos.to_move)
+        root_ev = root_ev._replace(policy=adj_pol)
 
     # Dirichlet noise at root (searchparams.h:44-47)
     rng, sub = jax.random.split(rng)
@@ -1050,7 +1138,8 @@ def run_playouts(model_apply: Callable, model_params: Any,
                  with_ladders: bool = True,
                  max_visits: int | None = None,
                  active_mask: jax.Array | None = None,
-                 max_superko_retries: int = 3) -> SearchState:
+                 max_superko_retries: int = 3,
+                 mirror=None) -> SearchState:
     """Advance the search by num_sims playouts (the chunked analogue of the
     reference's runWholeSearch playout threads, search.cpp:473-607).
 
@@ -1088,8 +1177,8 @@ def run_playouts(model_apply: Callable, model_params: Any,
         return jnp.any(eq & valid)
 
     def select_leaf(ss):
-        sel = jax.vmap(select_path, in_axes=(0, None, None))(ss, sp,
-                                                             max_depth)
+        sel = jax.vmap(select_path, in_axes=(0, None, None, 0))(
+            ss, sp, max_depth, mirror)
         leaf_pos, leaf_kh, leaf_gs = jax.vmap(
             make_leaf_gamestate, in_axes=(0, 0, None, None))(ss, sel, size,
                                                              max_depth)
@@ -1139,7 +1228,11 @@ def run_playouts(model_apply: Callable, model_params: Any,
             retry_cond, retry_body,
             (ss, sel, leaf_pos, leaf_kh, leaf_gs, sk, jnp.int32(0)))
 
-        raw, legal = evaluator(leaf_gs, feat_params)
+        # per-eval random symmetry (nnRandomize, nneval.h:169-179)
+        rng, sym_key = jax.random.split(rng)
+        sym = jnp.where(sp.nn_random_symmetry,
+                        jax.random.randint(sym_key, (g,), 0, 8), 0)
+        raw, legal = evaluator(leaf_gs, feat_params, sym=sym)
         ptemp = jnp.ones((g,), jnp.float32)
         nn_ev = jax.vmap(
             lambda r, l, tm, dc, sa, pt: nn_leaf_eval(r, l, tm, sp, dc, sa, pt)
@@ -1163,6 +1256,20 @@ def run_playouts(model_apply: Callable, model_params: Any,
         # keep the NN policy for the leaf even if terminal (harmless)
         ev = jax.tree.map(merge_ev, term_ev,
                           leaf_term_ev._replace(policy=nn_ev.policy), nn_ev)
+
+        if mirror is not None:
+            # anti-mirror prior boosts on the fresh node's policy
+            # (maybeApplyAntiMirrorPolicy, searchmirror.cpp:95-153)
+            from katago_tpu.search import mirror as MIR
+            depth = ss.tree.depth[jnp.arange(g), sel.leaf_parent] + 1
+            adj_pol = jax.vmap(
+                lambda p, pl, mp, d, st, mm, mpla, madv, rp: (
+                    MIR.adjust_policy(p, pl, mp, d, st, mm, mpla, madv,
+                                      rp, size))
+            )(ev.policy, sel.leaf_action, leaf_pos.to_move, depth,
+              leaf_pos.board.stones, mirror.mirroring, mirror.mirror_pla,
+              mirror.advantage, ss.tree.pos.to_move[:, 0])
+            ev = ev._replace(policy=adj_pol)
 
         ss = jax.vmap(insert_and_backup,
                       in_axes=(0, 0, 0, 0, 0, 0, 0, None))(
@@ -1241,20 +1348,26 @@ def run_search(model_apply: Callable, model_params: Any,
                prev_actions: jax.Array | None = None,
                root_allowed_mask: jax.Array | None = None,
                max_visits: int | None = None,
-               active_mask: jax.Array | None = None) -> SearchResult:
+               active_mask: jax.Array | None = None,
+               root_num_symmetries: int = 1,
+               mirror=None) -> SearchResult:
     """One-shot search: init + num_sims playouts + results. roots:
     GameState[G]. See init_search/run_playouts for the chunked API used by
-    time-managed and streaming searches."""
+    time-managed and streaming searches. mirror: optional anti-mirror
+    verdict (search/mirror.py) — a static toggle, so mirror-free searches
+    compile without any of its cost."""
     rng, r_init, r_play = jax.random.split(rng, 3)
     ss = init_search(model_apply, model_params, roots, sp, r_init,
                      size=size, max_nodes=max_nodes,
                      with_ladders=with_ladders, prev_tree=prev_tree,
                      prev_actions=prev_actions,
-                     root_allowed_mask=root_allowed_mask)
+                     root_allowed_mask=root_allowed_mask,
+                     root_num_symmetries=root_num_symmetries,
+                     mirror=mirror)
     ss = run_playouts(model_apply, model_params, ss, sp, r_play, size=size,
                       num_sims=num_sims, max_depth=max_depth,
                       with_ladders=with_ladders, max_visits=max_visits,
-                      active_mask=active_mask)
+                      active_mask=active_mask, mirror=mirror)
     return collect_results(ss)
 
 

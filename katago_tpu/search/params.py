@@ -68,6 +68,11 @@ class SearchParams:
     nn_policy_temperature: float = 1.0
     playout_doubling_advantage: float = 0.0
     conservative_pass: bool = False
+    # per-eval random dihedral symmetry (nnRandomize, nneval.h:169-179)
+    nn_random_symmetry: bool = False
+    # symmetries averaged at the root eval (rootNumSymmetriesToSample,
+    # searchparams.h:76); static in the compiled search
+    root_num_symmetries: int = 1
 
     @staticmethod
     def for_selfplay() -> "SearchParams":
@@ -135,6 +140,7 @@ class SearchParams:
             nn_policy_temperature=f(self.nn_policy_temperature),
             playout_doubling_advantage=f(self.playout_doubling_advantage),
             conservative_pass=jnp.bool_(self.conservative_pass),
+            nn_random_symmetry=jnp.bool_(self.nn_random_symmetry),
         )
 
 
@@ -179,3 +185,4 @@ class SearchParamsArr(NamedTuple):
     nn_policy_temperature: jax.Array
     playout_doubling_advantage: jax.Array
     conservative_pass: jax.Array
+    nn_random_symmetry: jax.Array

@@ -60,13 +60,15 @@ _PARAM_KEYS = {
     "nnPolicyTemperature": "nn_policy_temperature",
     "playoutDoublingAdvantage": "playout_doubling_advantage",
     "conservativePass": "conservative_pass",
+    "nnRandomize": "nn_random_symmetry",
+    "rootNumSymmetriesToSample": "root_num_symmetries",
 }
 
 # accepted-but-inapplicable keys (thread/GPU machinery the batched TPU
 # engine replaces; see SURVEY.md section 2.11)
 _IGNORED_PREFIXES = (
     "numSearchThreads", "numNNServerThreadsPerModel", "nnMaxBatchSize",
-    "nnCacheSizePowerOfTwo", "nnMutexPoolSizePowerOfTwo", "nnRandomize",
+    "nnCacheSizePowerOfTwo", "nnMutexPoolSizePowerOfTwo",
     "nnRandSeed", "gpuToUse", "deviceToUse", "cudaUseFP16", "cudaUseNHWC",
     "trtUseFP16", "openclUseFP16", "numEvalThreads", "numAnalysisThreads",
     "searchRandSeed", "mutexPoolSize", "maxBoardSizeForNNBuffer",
