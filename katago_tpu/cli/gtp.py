@@ -180,7 +180,8 @@ class GTPEngine:
             self._drivers[key] = SearchDriver(
                 self.model_apply, None, self.search_params.to_arr(),
                 size=self.size, max_nodes=max_nodes,
-                chunk_size=max(4, min(32, self.visits // 4)))
+                chunk_size=max(4, min(32, self.visits // 4)),
+                root_num_symmetries=self.search_params.root_num_symmetries)
         return self._drivers[key]
 
     def _mirror_arrs(self, root_pla: int):
@@ -206,6 +207,20 @@ class GTPEngine:
             advantage=jnp.asarray([adv], jnp.float32),
             center_err=jnp.asarray([err], jnp.float32))
 
+    def _pattern_bonus_arrs(self, root_pla: int):
+        """avoidRepeatedPatternUtility table from this game's own moves
+        (search.cpp:715-727); None when off (table stays compiled out)."""
+        u = self.search_params.avoid_repeated_pattern_utility
+        if u == 0.0 or not self.moves:
+            return None
+        from katago_tpu.search import patternbonus as PB
+        boards_before = [np.asarray(g.pos.board.stones)
+                         for g in self.history[:-1]]
+        moves = [loc for _, loc in self.moves]
+        plas = [p for p, _ in self.moves]
+        return PB.build_avoid_repeat_table(boards_before, moves, plas,
+                                           self.size, root_pla, u)
+
     def search_root(self, player: int, visits: int | None = None,
                     max_time: float | None = None,
                     callback=None, callback_interval: float = 1.0,
@@ -221,12 +236,19 @@ class GTPEngine:
                                      driver.max_nodes and
                                      int(prev.num_nodes[0]) > 0):
             prev = None
+        # pattern bonus: reuse would keep a playout distribution matched to
+        # the other side's penalties — clear on player change
+        # (search.cpp:684-686)
+        if (self.search_params.avoid_repeated_pattern_utility != 0
+                and self.last_search_player not in (None, player)):
+            prev = None
         res = driver.search(roots, sub, max_visits=visits,
                             max_time=max_time, prev_tree=prev,
                             callback=callback,
                             callback_interval=callback_interval,
                             should_stop=should_stop,
-                            mirror=self._mirror_arrs(player))
+                            mirror=self._mirror_arrs(player),
+                            pattern_bonus=self._pattern_bonus_arrs(player))
         self._reuse_tree = res.ss.tree
         self.last_search_result = res
         self.last_search_player = player

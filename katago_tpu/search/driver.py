@@ -34,7 +34,8 @@ class SearchDriver:
     def __init__(self, model_apply: Callable, model_params: Any,
                  sp: SearchParamsArr, *, size: int, max_nodes: int,
                  chunk_size: int = 16, max_depth: int = 64,
-                 with_ladders: bool = True):
+                 with_ladders: bool = True,
+                 root_num_symmetries: int = 1):
         self.sp = sp
         self.size = size
         self.max_nodes = max_nodes
@@ -44,6 +45,7 @@ class SearchDriver:
         self._model_params = model_params
         self._max_depth = max_depth
         self._with_ladders = with_ladders
+        self.root_num_symmetries = root_num_symmetries
 
     # -- compiled pieces --------------------------------------------------
 
@@ -61,20 +63,22 @@ class SearchDriver:
                     self._model_apply, self._model_params, roots, self.sp,
                     rng, size=self.size, max_nodes=self.max_nodes,
                     with_ladders=self._with_ladders, prev_tree=pt,
-                    prev_actions=pa, mirror=mirror)
+                    prev_actions=pa, mirror=mirror,
+                    root_num_symmetries=self.root_num_symmetries)
             return jax.jit(f)
         return self._get(("init", reuse, reuse_actions), build)
 
     def chunk_fn(self):
         def build():
-            def f(ss, rng, max_visits, active_mask, mirror):
+            def f(ss, rng, max_visits, active_mask, mirror,
+                  pattern_bonus):
                 return mcts.run_playouts(
                     self._model_apply, self._model_params, ss, self.sp, rng,
                     size=self.size, num_sims=self.chunk_size,
                     max_depth=self._max_depth,
                     with_ladders=self._with_ladders,
                     max_visits=max_visits, active_mask=active_mask,
-                    mirror=mirror)
+                    mirror=mirror, pattern_bonus=pattern_bonus)
             return jax.jit(f)
         return self._get(("chunk",), build)
 
@@ -97,7 +101,7 @@ class SearchDriver:
                callback_interval: float = 1.0,
                stop_event: threading.Event | None = None,
                should_stop: Callable[[], bool] | None = None,
-               mirror=None) -> mcts.SearchResult:
+               mirror=None, pattern_bonus=None) -> mcts.SearchResult:
         """Run a time/visit/interrupt-bounded search.
 
         max_visits: per-game root visit cap (None = unbounded, needs
@@ -147,7 +151,7 @@ class SearchDriver:
             if visits_done and elapsed >= min_time:
                 break
             rng, r = jax.random.split(rng)
-            ss = chunk(ss, r, cap, amask, mirror)
+            ss = chunk(ss, r, cap, amask, mirror, pattern_bonus)
             chunks_done += 1
             if callback is not None:
                 now = time.time()

@@ -92,6 +92,37 @@ def _fold(vals):
     return vals[0]
 
 
+def host_pattern_hash(stones: np.ndarray, loc: int, pla: int, size: int,
+                      win: int, atari: np.ndarray | None = None,
+                      symmetry: int = 0,
+                      flip_colors: bool = False) -> np.ndarray:
+    """Pure-numpy getHash/getHashWithSym for host-side bookkeeping (building
+    pattern-bonus tables between searches); bit-identical to
+    local_pattern_hash. Returns uint32[2]."""
+    t = _tables(win)
+    nn = size * size
+    pla_eff = (3 - pla) if flip_colors else pla
+    h = t["pla"][pla_eff - 1].copy()
+    if not (0 <= loc < nn):
+        return h
+    perm = _sym_cell_perm(win)[symmetry]
+    r = win // 2
+    y, x = loc // size, loc % size
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            ty, tx = y + dy, x + dx
+            if not (0 <= ty < size and 0 <= tx < size):
+                continue
+            cell = perm[(dy + r) * win + (dx + r)]
+            s = int(stones[ty * size + tx])
+            if flip_colors and s > 0:
+                s = 3 - s
+            h = h ^ t["pattern"][s, cell]
+            if atari is not None and s > 0 and atari[ty * size + tx]:
+                h = h ^ t["atari"][cell]
+    return h
+
+
 def local_pattern_hash(stones, loc, pla, size: int, win: int,
                        atari=None, symmetry=None, flip_colors=None):
     """Hash of the win x win window at `loc` played by `pla`

@@ -76,6 +76,9 @@ class Tree(NamedTuple):
     bias_key: jax.Array          # int32[N] subtree-value-bias table slot (-1)
     last_bias_delta: jax.Array   # float32[N] node's last table contribution
     last_bias_weight: jax.Array  # float32[N]
+    pattern_bonus: jax.Array     # f32[N] avoid-repeated-shapes white-utility
+                                 # bonus of the node's move (searchnode.h:183
+                                 # patternBonusHash, resolved at insertion)
     num_nodes: jax.Array         # int32 scalar
 
 
@@ -146,6 +149,7 @@ def empty_tree(size: int, max_nodes: int) -> Tree:
         bias_key=jnp.full((n,), -1, jnp.int32),
         last_bias_delta=jnp.zeros((n,), jnp.float32),
         last_bias_weight=jnp.zeros((n,), jnp.float32),
+        pattern_bonus=jnp.zeros((n,), jnp.float32),
         num_nodes=jnp.int32(0),
     )
 
@@ -487,7 +491,8 @@ def terminal_eval(ss: SearchState, node: jax.Array, sp: SearchParamsArr,
 def insert_and_backup(ss: SearchState, sel: PathSel, leaf_pos: H.PosState,
                       leaf_ko_hash: jax.Array, ev: LeafEval,
                       superko_illegal: jax.Array, active: jax.Array,
-                      sp: SearchParamsArr) -> SearchState:
+                      sp: SearchParamsArr,
+                      pat_bonus: jax.Array | None = None) -> SearchState:
     """Allocate the leaf node (unless terminal/full/illegal) and back up.
 
     Graph search (MCGS-lite): if an allocated node at the SAME depth already
@@ -559,6 +564,9 @@ def insert_and_backup(ss: SearchState, sel: PathSel, leaf_pos: H.PosState,
                                jnp.float32(0.0)),
         last_bias_weight=set_at(tree.last_bias_weight, new_idx,
                                 jnp.float32(0.0)),
+        pattern_bonus=set_at(
+            tree.pattern_bonus, new_idx,
+            jnp.float32(0.0) if pat_bonus is None else pat_bonus),
         num_nodes=tree.num_nodes + can_alloc.astype(jnp.int32),
     )
     # link parent -> child (fresh node, or the transposed existing node)
@@ -688,10 +696,14 @@ def recompute_node(tree: Tree, node: jax.Array, sp: SearchParamsArr,
         nn_util = jnp.where(use_bias,
                             nn_util + sp.subtree_value_bias_factor *
                             entry_avg, nn_util)
+    # avoid-repeated-shapes: the node's pattern bonus raises/lowers its
+    # recomputed white-utility average (search.cpp:1073)
+    pat = tree.pattern_bonus[node]
     new = {
         "weight_sum": total_w + sw,
         "weight_sq_sum": child_wsq + sw * sw,
-        "utility_sum": wsum(tree.utility_sum) + sw * nn_util,
+        "utility_sum": wsum(tree.utility_sum) + sw * nn_util
+            + pat * (total_w + sw),
         "utility_sq_sum": wsum(tree.utility_sq_sum)
             + sw * nn_util * nn_util,
         "winloss_sum": wsum(tree.winloss_sum) + sw * tree.nn_winloss[node],
@@ -818,6 +830,7 @@ def extract_subtree(tree: Tree, action: jax.Array) -> Tree:
         bias_key=scatter(tree.bias_key, -1),
         last_bias_delta=scatter(jnp.zeros_like(tree.last_bias_delta)),
         last_bias_weight=scatter(jnp.zeros_like(tree.last_bias_weight)),
+        pattern_bonus=scatter(tree.pattern_bonus),
         num_nodes=count,
     )
 
@@ -1113,6 +1126,8 @@ def init_search(model_apply: Callable, model_params: Any,
             reroot_pol = jnp.where(root_allowed_mask, reroot_pol, -1.0)
         reused = reused._replace(
             policy=reused.policy.at[:, 0, :].set(reroot_pol),
+            # no pattern bonus on the root itself (search.cpp:726)
+            pattern_bonus=reused.pattern_bonus.at[:, 0].set(0.0),
             # the live game state is authoritative for the root position
             pos=jax.tree.map(lambda store, v: store.at[:, 0].set(v),
                              reused.pos, roots.pos))
@@ -1139,7 +1154,8 @@ def run_playouts(model_apply: Callable, model_params: Any,
                  max_visits: int | None = None,
                  active_mask: jax.Array | None = None,
                  max_superko_retries: int = 3,
-                 mirror=None) -> SearchState:
+                 mirror=None,
+                 pattern_bonus=None) -> SearchState:
     """Advance the search by num_sims playouts (the chunked analogue of the
     reference's runWholeSearch playout threads, search.cpp:473-607).
 
@@ -1271,9 +1287,22 @@ def run_playouts(model_apply: Callable, model_params: Any,
               mirror.advantage, ss.tree.pos.to_move[:, 0])
             ev = ev._replace(policy=adj_pol)
 
+        if pattern_bonus is not None:
+            # avoid-repeated-shapes bonus of the expansion move, resolved
+            # against the host-built table (patternbonustable.cpp get)
+            from katago_tpu.search import patternbonus as PB
+            gi = jnp.arange(g)
+            pat_leaf = jax.vmap(
+                lambda st, mv, pl: PB.lookup(pattern_bonus, st, mv, pl,
+                                             size)
+            )(ss.tree.pos.board.stones[gi, sel.leaf_parent],
+              jnp.maximum(sel.leaf_action, 0),
+              ss.tree.pos.to_move[gi, sel.leaf_parent])
+        else:
+            pat_leaf = None
         ss = jax.vmap(insert_and_backup,
-                      in_axes=(0, 0, 0, 0, 0, 0, 0, None))(
-            ss, sel, leaf_pos, leaf_kh, ev, void, active, sp)
+                      in_axes=(0, 0, 0, 0, 0, 0, 0, None, 0))(
+            ss, sel, leaf_pos, leaf_kh, ev, void, active, sp, pat_leaf)
         ok = active & ~void
         ss = ss._replace(
             own_sum=ss.own_sum + jnp.where(
@@ -1350,7 +1379,8 @@ def run_search(model_apply: Callable, model_params: Any,
                max_visits: int | None = None,
                active_mask: jax.Array | None = None,
                root_num_symmetries: int = 1,
-               mirror=None) -> SearchResult:
+               mirror=None,
+               pattern_bonus=None) -> SearchResult:
     """One-shot search: init + num_sims playouts + results. roots:
     GameState[G]. See init_search/run_playouts for the chunked API used by
     time-managed and streaming searches. mirror: optional anti-mirror
@@ -1367,7 +1397,8 @@ def run_search(model_apply: Callable, model_params: Any,
     ss = run_playouts(model_apply, model_params, ss, sp, r_play, size=size,
                       num_sims=num_sims, max_depth=max_depth,
                       with_ladders=with_ladders, max_visits=max_visits,
-                      active_mask=active_mask, mirror=mirror)
+                      active_mask=active_mask, mirror=mirror,
+                      pattern_bonus=pattern_bonus)
     return collect_results(ss)
 
 

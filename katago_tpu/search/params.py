@@ -73,6 +73,10 @@ class SearchParams:
     # symmetries averaged at the root eval (rootNumSymmetriesToSample,
     # searchparams.h:76); static in the compiled search
     root_num_symmetries: int = 1
+    # avoid-repeated-shapes white-utility penalty
+    # (avoidRepeatedPatternUtility, searchparams.h:119); host-side — the
+    # table it parameterizes is built between searches (search/patternbonus)
+    avoid_repeated_pattern_utility: float = 0.0
 
     @staticmethod
     def for_selfplay() -> "SearchParams":

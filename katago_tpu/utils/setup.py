@@ -62,6 +62,7 @@ _PARAM_KEYS = {
     "conservativePass": "conservative_pass",
     "nnRandomize": "nn_random_symmetry",
     "rootNumSymmetriesToSample": "root_num_symmetries",
+    "avoidRepeatedPatternUtility": "avoid_repeated_pattern_utility",
 }
 
 # accepted-but-inapplicable keys (thread/GPU machinery the batched TPU
