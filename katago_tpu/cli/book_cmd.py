@@ -44,15 +44,28 @@ def main(argv=None):
     ap.add_argument("-visits", type=int, default=64)
     ap.add_argument("-rounds", type=int, default=4)
     ap.add_argument("-nodes-per-round", type=int, default=8)
+    ap.add_argument("-book-config", default=None,
+                    help="reference-keyed genbook cfg with BookParams "
+                         "(errorFactor, costPerMove, ... — "
+                         "configs/book/genbook7jp.cfg:23-40)")
     args = ap.parse_args(argv)
 
     if args.command == "genbook":
         book = Book.load(args.book) if os.path.exists(args.book) else None
         size = book.size if book else args.size
         apply_fn, params = _load_model(args, size)
+        book_params = None
+        if args.book_config:
+            from katago_tpu.book.book import BookParams
+            from katago_tpu.utils.config_parser import ConfigParser
+            cfg = ConfigParser(args.book_config)
+            book_params = BookParams.from_config(
+                {k: cfg.get_string(k) for k in BookParams._CFG_KEYS
+                 if cfg.contains(k)})
         book = gen_book(apply_fn, params, size=size, visits=args.visits,
                         rounds=args.rounds,
-                        nodes_per_round=args.nodes_per_round, book=book)
+                        nodes_per_round=args.nodes_per_round, book=book,
+                        book_params=book_params)
         book.save(args.book)
         print(json.dumps({"nodes": len(book.nodes), "book": args.book}))
     elif args.command == "writebook":
