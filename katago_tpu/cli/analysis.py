@@ -130,8 +130,7 @@ class AnalysisEngine:
         gs = H.new_game(size, H.RulesArr.from_rules(rules), max_hist)
         for color, vert in initial:
             loc = gtp_to_loc(vert, size)
-            st = gs.pos.board.stones.at[loc].set(player_of[color])
-            gs = H.replace_pos(gs, board=gs.pos.board._replace(stones=st))
+            gs = H.setup_stone(gs, loc, player_of[color], size)
 
         analyze_turns = req.get("analyzeTurns", [len(moves)])
         states: dict[int, H.GameState] = {}

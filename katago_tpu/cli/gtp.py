@@ -558,13 +558,11 @@ def run_gtp(engine: GTPEngine, infile=sys.stdin, outfile=sys.stdout,
                     respond("expected color vertex pairs", cmd_id, ok=False)
                     continue
                 engine.clear_board()
-                st = engine.gs.pos.board.stones
                 for i in range(0, len(args), 2):
                     color = player_of[args[i].lower()]
                     loc = gtp_to_loc(args[i + 1], engine.size)
-                    st = st.at[loc].set(color)
-                engine.gs = H.replace_pos(
-                    engine.gs, board=engine.gs.pos.board._replace(stones=st))
+                    engine.gs = H.setup_stone(engine.gs, loc, color,
+                                              engine.size)
                 engine.history = [engine.gs]
                 respond("", cmd_id)
             elif cmd == "kata-benchmark":
@@ -713,9 +711,8 @@ def run_gtp(engine: GTPEngine, infile=sys.stdin, outfile=sys.stdout,
                                           "komi": game.komi})
                 engine.set_size(xs)
                 for color, loc in game.setup_stones():
-                    st = engine.gs.pos.board.stones.at[loc].set(color)
-                    engine.gs = H.replace_pos(
-                        engine.gs, board=engine.gs.pos.board._replace(stones=st))
+                    engine.gs = H.setup_stone(engine.gs, loc, color,
+                                              engine.size)
                 upto = int(args[1]) if len(args) > 1 else None
                 for i, (player, loc) in enumerate(game.moves()):
                     if upto is not None and i + 1 >= upto:

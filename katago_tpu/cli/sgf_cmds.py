@@ -44,8 +44,7 @@ def _replay(game: S.SgfGame, upto: int | None = None):
     gs = H.new_game(size, H.RulesArr.from_rules(rules),
                     max_hist=2 * size * size + 32)
     for color, loc in game.setup_stones():
-        stones = gs.board.stones.at[loc].set(color)
-        gs = H.replace_pos(gs, board=gs.board._replace(stones=stones))
+        gs = H.setup_stone(gs, loc, color, size)
     states = [gs]
     moves = game.moves()
     if upto is not None:

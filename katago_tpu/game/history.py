@@ -107,6 +107,13 @@ class PosState(NamedTuple):
     #   reference board carries (set on any ko-shaped capture, even in
     #   encore where our board absorbs it into ko_recap_blocked) — the
     #   ladder featurizer consults it (iterLadders runs on the raw board)
+    # --- previous two board snapshots for ladder planes 15/16
+    #     (BoardHistory::getRecentBoard, boardhistory.h:153; V7 featurizer
+    #     nninputs.cpp:1125-1143) ---
+    prev_stones: jax.Array        # int8[NN] board before the last move
+    prev_prev_stones: jax.Array   # int8[NN] board two moves ago
+    prev_ko_loc: jax.Array        # int32 simple ko loc on prev board
+    prev_prev_ko_loc: jax.Array   # int32
     # --- territory-scoring encore state (boardhistory.h:66-90) ---
     encore_phase: jax.Array       # int32 0/1/2
     ko_recap_blocked: jax.Array   # bool[NN]
@@ -176,6 +183,31 @@ def replace_pos(gs: GameState, **kw) -> GameState:
     return gs._replace(pos=gs.pos._replace(**kw))
 
 
+def setup_stone(gs: GameState, loc, color, size: int) -> GameState:
+    """Place (or clear, color=EMPTY) a pre-game setup stone: updates the
+    zobrist pos_hash, seeds the prev-board snapshots (getRecentBoard
+    clamps to the earliest board), and refreshes the recorded starting
+    ko-hash (Board::setStone + BoardHistory::clear, boardhistory.cpp:122).
+    Only valid before any moves are played."""
+    st = jnp.asarray(zobrist.stone_table(size))      # [2, NN, 2]
+    loc = jnp.int32(loc)
+    color = jnp.int32(color)
+    old = gs.pos.board.stones[loc]
+    h = gs.pos.board.pos_hash
+    h = jnp.where(old > 0, h ^ st[jnp.clip(old, 1, 2) - 1, loc], h)
+    h = jnp.where(color > 0, h ^ st[jnp.clip(color, 1, 2) - 1, loc], h)
+    stones = gs.pos.board.stones.at[loc].set(color)
+    board = gs.pos.board._replace(stones=stones, pos_hash=h)
+    gs = gs._replace(pos=gs.pos._replace(
+        board=board,
+        prev_stones=stones.astype(jnp.int8),
+        prev_prev_stones=stones.astype(jnp.int8)))
+    # re-record the starting position's ko hash in slot 0
+    return gs._replace(
+        ko_hash_hist=gs.ko_hash_hist.at[0].set(_pos_ko_hash(gs.pos,
+                                                            gs.rules)))
+
+
 def _ko_hash(pos_hash: jax.Array, to_move_next: jax.Array,
              ko_rule: jax.Array, encore_phase=None,
              ko_recap_block_hash=None) -> jax.Array:
@@ -213,6 +245,10 @@ def new_pos(size: int) -> PosState:
         recent_moves=jnp.full((5,), -1, jnp.int32),
         turns_this_phase=jnp.int32(0),
         simple_ko_loc=jnp.int32(-1),
+        prev_stones=jnp.zeros((nn,), jnp.int8),
+        prev_prev_stones=jnp.zeros((nn,), jnp.int8),
+        prev_ko_loc=jnp.int32(-1),
+        prev_prev_ko_loc=jnp.int32(-1),
         encore_phase=jnp.int32(0),
         ko_recap_blocked=jnp.zeros((nn,), bool),
         ko_recap_block_hash=jnp.zeros((2,), jnp.uint32),
@@ -421,6 +457,13 @@ def step_pos(pos: PosState, rules: RulesArr, loc: jax.Array,
             was_over, pos.turns_this_phase,
             jnp.where(advance, jnp.int32(0), pos.turns_this_phase + 1)),
         simple_ko_loc=jnp.where(was_over, pos.simple_ko_loc, simple_ko_loc),
+        prev_stones=jnp.where(was_over, pos.prev_stones,
+                              pos.board.stones.astype(jnp.int8)),
+        prev_prev_stones=jnp.where(was_over, pos.prev_prev_stones,
+                                   pos.prev_stones),
+        prev_ko_loc=jnp.where(was_over, pos.prev_ko_loc, pos.simple_ko_loc),
+        prev_prev_ko_loc=jnp.where(was_over, pos.prev_prev_ko_loc,
+                                   pos.prev_ko_loc),
         encore_phase=jnp.where(was_over, pos.encore_phase, encore2),
         ko_recap_blocked=jnp.where(was_over, pos.ko_recap_blocked, recap),
         ko_recap_block_hash=jnp.where(was_over, pos.ko_recap_block_hash,

@@ -184,14 +184,28 @@ def fill_features_v7(gs: H.GameState, size: int,
         gl = gl.at[k].set(is_pass.astype(jnp.float32))
 
     # planes 14-17: ladders (iterLadders, nninputs.cpp:815; feature apply
-    # nninputs.cpp:2548-2580). Planes 15/16 reuse the current board's result
-    # until prev-board storage lands (hideHistory fallback).
+    # nninputs.cpp:2548-2580). Planes 15/16 mark the laddered stones of
+    # the boards one and two moves ago (getRecentBoard(1/2),
+    # nninputs.cpp:1125-1143); history suppression falls back to the
+    # nearest included board.
     if with_ladders:
-        lad = ladder.ladder_map(stones, size, ko_loc=gs.pos.simple_ko_loc)
-        lad_f = lad.laddered.astype(jnp.float32)
-        sp = sp.at[:, 14].set(lad_f)
-        sp = sp.at[:, 15].set(lad_f)
-        sp = sp.at[:, 16].set(lad_f)
+        prev = jnp.where(amount >= 1,
+                         gs.pos.prev_stones.astype(stones.dtype), stones)
+        prev_ko = jnp.where(amount >= 1, gs.pos.prev_ko_loc,
+                            gs.pos.simple_ko_loc)
+        pp = jnp.where(amount >= 2,
+                       gs.pos.prev_prev_stones.astype(stones.dtype), prev)
+        pp_ko = jnp.where(amount >= 2, gs.pos.prev_prev_ko_loc, prev_ko)
+        # one vmapped solve over {current, prev, prevprev}: the solver
+        # compiles once and the three boards batch onto the device
+        lad3 = jax.vmap(
+            lambda s, k: ladder.ladder_map(s, size, ko_loc=k)
+        )(jnp.stack([stones, prev, pp]),
+          jnp.stack([gs.pos.simple_ko_loc, prev_ko, pp_ko]))
+        lad = jax.tree.map(lambda x: x[0], lad3)
+        sp = sp.at[:, 14].set(lad.laddered.astype(jnp.float32))
+        sp = sp.at[:, 15].set(lad3.laddered[1].astype(jnp.float32))
+        sp = sp.at[:, 16].set(lad3.laddered[2].astype(jnp.float32))
         working = jnp.where(opp == B.BLACK, lad.working_vs_black,
                             lad.working_vs_white)
         sp = sp.at[:, 17].set(working.astype(jnp.float32))
