@@ -76,11 +76,19 @@ def main(argv=None):
     me = conn.test_connection()
     print(f"contribute: connected as {me.get('username', args.username)}")
     done = 0
+    from katago_tpu.utils.signals import GracefulShutdown
+    stop_ctx = GracefulShutdown(print)
+    stop_ctx.__enter__()
     while args.max_tasks == 0 or done < args.max_tasks:
+        if stop_ctx.requested:
+            print("contribute: drain requested, stopping after "
+                  f"{done} tasks")
+            break
         task = conn.get_next_task()
         run_one_task(conn, task, args.base_dir, size=args.size,
                      visits=args.visits, games=args.games_per_task)
         done += 1
+    stop_ctx.__exit__()
     print(json.dumps({"tasks_completed": done}))
 
 

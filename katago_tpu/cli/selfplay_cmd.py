@@ -99,7 +99,13 @@ def run_selfplay(output_dir: str, models_dir: str | None, *, size: int,
             return None
 
     from katago_tpu.dataio import sgf as S
+    from katago_tpu.utils.signals import GracefulShutdown
+    stop_ctx = GracefulShutdown(log)
+    stop_ctx.__enter__()
     for batch_i in range(max_batches):
+        if stop_ctx.requested:
+            log("selfplay: drain requested, stopping before next batch")
+            break
         rng, sub = jax.random.split(rng)
         t0 = time.time()
         # GameInitializer: per-game sizes/rules/komi/handicap; one
@@ -169,6 +175,7 @@ def run_selfplay(output_dir: str, models_dir: str | None, *, size: int,
         log(f"  batch {batch_i}: {b_games} games "
             f"({len(shard_arrays)} size buckets), {b_rows} rows, {dt:.1f}s "
             f"({b_playouts/max(dt,1e-9):.0f} playouts/s)")
+    stop_ctx.__exit__()
     return totals
 
 

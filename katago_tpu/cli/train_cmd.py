@@ -191,7 +191,14 @@ def run_training(data_dir: str, ckpt_dir: str, export_dir: str | None, *,
     mlog = MetricsLogger(os.path.join(ckpt_dir, "metrics.json"))
     t0 = time.time()
     steps_done = 0
+    from katago_tpu.utils.signals import GracefulShutdown
+    stop_ctx = GracefulShutdown(log)
+    stop_ctx.__enter__()
     for i in range(steps):
+        if stop_ctx.requested:
+            log(f"train: drain requested, checkpointing at step "
+                f"{start_step + steps_done}")
+            break
         hb = batches.next_batch()
         if hb is None:
             log(f"data exhausted after {steps_done} steps "
@@ -222,6 +229,7 @@ def run_training(data_dir: str, ckpt_dir: str, export_dir: str | None, *,
                             state.swa_params if export_swa
                             else state.ema_params)
 
+    stop_ctx.__exit__()
     val_metrics = None
     if val_dir and eval_step is not None:
         vals = []

@@ -115,6 +115,27 @@ class ConfigParser:
         self._check_range(key, v, min, max)
         return v
 
+    _MEM_SHIFTS = {"K": 10, "KB": 10, "M": 20, "MB": 20, "G": 30,
+                   "GB": 30, "T": 40, "TB": 40, "P": 50, "PB": 50, "B": 0}
+
+    def get_mem(self, key: str, default: int | None = None) -> int:
+        """Memory amount in bytes with binary K/KB/M/MB/G/GB/T/TB/P/PB/B
+        suffixes (Global::readMem, core/global.cpp:643-685)."""
+        if default is not None and key not in self._kvs:
+            return default
+        raw = self._raw(key).strip()
+        shift = 0
+        num = raw
+        for suf in ("KB", "MB", "GB", "TB", "PB", "K", "M", "G", "T",
+                    "P", "B"):
+            if raw.upper().endswith(suf):
+                shift = self._MEM_SHIFTS[suf]
+                num = raw[:-len(suf)]
+                break
+        if not num.isdigit():
+            raise ConfigError(f"{key}={raw!r} is not a memory amount")
+        return int(num) << shift
+
     def get_float(self, key: str, default: float | None = None,
                   min: float | None = None, max: float | None = None) -> float:
         if default is not None and key not in self._kvs:

@@ -56,3 +56,25 @@ def test_reference_gtp_config_parses(tmp_path):
     cfg = ConfigParser(src)
     sp = load_search_params(cfg)
     assert sp is not None
+
+
+def test_get_mem_suffixes():
+    """Global::readMem suffix parsing (core/global.cpp:643-685)."""
+    from katago_tpu.utils.config_parser import ConfigError, ConfigParser
+
+    cp = ConfigParser(contents=(
+        "a = 17\nb = 4K\nc = 4KB\nd = 2M\ne = 3GB\nf = 1T\ng = 100B\n"
+        "bad = 4X\n"))
+    assert cp.get_mem("a") == 17
+    assert cp.get_mem("b") == 4 << 10
+    assert cp.get_mem("c") == 4 << 10
+    assert cp.get_mem("d") == 2 << 20
+    assert cp.get_mem("e") == 3 << 30
+    assert cp.get_mem("f") == 1 << 40
+    assert cp.get_mem("g") == 100
+    assert cp.get_mem("missing", default=64) == 64
+    try:
+        cp.get_mem("bad")
+        raise AssertionError("expected ConfigError")
+    except ConfigError:
+        pass
