@@ -53,6 +53,48 @@ class SGFMetadata:
     game_date: datetime.date = datetime.date(1970, 1, 1)
     source: int = 0
 
+    _WIRE_KEYS = {
+        "inverseBRank": "inverse_b_rank", "inverseWRank": "inverse_w_rank",
+        "bIsUnranked": "b_is_unranked", "wIsUnranked": "w_is_unranked",
+        "bRankIsUnknown": "b_rank_is_unknown",
+        "wRankIsUnknown": "w_rank_is_unknown",
+        "bIsHuman": "b_is_human", "wIsHuman": "w_is_human",
+        "gameIsUnrated": "game_is_unrated",
+        "gameRatednessIsUnknown": "game_ratedness_is_unknown",
+        "tcIsUnknown": "tc_is_unknown", "tcIsNone": "tc_is_none",
+        "tcIsAbsolute": "tc_is_absolute", "tcIsSimple": "tc_is_simple",
+        "tcIsByoYomi": "tc_is_byo_yomi", "tcIsCanadian": "tc_is_canadian",
+        "tcIsFischer": "tc_is_fischer",
+        "mainTimeSeconds": "main_time_seconds",
+        "periodTimeSeconds": "period_time_seconds",
+        "byoYomiPeriods": "byo_yomi_periods",
+        "canadianMoves": "canadian_moves",
+        "gameDate": "game_date", "source": "source",
+    }
+
+    @classmethod
+    def of_dict(cls, data: dict) -> "SGFMetadata":
+        """Build from the camelCase wire format of the reference's
+        humanslnet protocol (python/katago/game/sgfmetadata.py:54)."""
+        kw = {"initialized": True}
+        for wire, field in cls._WIRE_KEYS.items():
+            if wire in data:
+                v = data[wire]
+                if field == "game_date" and isinstance(v, str):
+                    v = datetime.date.fromisoformat(v)
+                kw[field] = v
+        m = cls(**kw)
+        if not any([m.tc_is_unknown, m.tc_is_none, m.tc_is_absolute,
+                    m.tc_is_simple, m.tc_is_byo_yomi, m.tc_is_canadian,
+                    m.tc_is_fischer]):
+            m.tc_is_unknown = True
+        return m
+
+    def to_dict(self) -> dict:
+        return {wire: (getattr(self, field).isoformat()
+                       if field == "game_date" else getattr(self, field))
+                for wire, field in self._WIRE_KEYS.items()}
+
 
 def fill_metadata_row(meta: SGFMetadata, next_player_is_white: bool,
                       board_area: int) -> np.ndarray:
