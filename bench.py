@@ -1,20 +1,32 @@
-"""Benchmark: selfplay MCTS playouts/s per chip.
+"""Benchmark: selfplay MCTS playouts/s per chip at the north-star config.
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
-Headline metric per BASELINE.json: selfplay playouts/s per chip. The
-reference publishes 10-20 playouts/s for its Eigen CPU backend with 15-20
-block nets (/root/reference/README.md:104) and no GPU playouts/s figure;
-vs_baseline is computed against 15 playouts/s (Eigen midpoint) until a GPU
-reference figure is measured. Current bench config: 9x9 b6c96, batch of 64
-games, 64 visits/move — will move to 19x19 b18c384 as rounds progress.
+Config matches BASELINE.md's target and the reference's production
+selfplay settings (cpp/configs/training/selfplay1.cfg:84,115,120):
+19x19, b18c384nbt, 600 visits/move, 128 parallel games (= NN batch 128),
+ladder features ON (the reference featurizer always pays them,
+nninputs.cpp:2548).
+
+Baseline: the reference publishes no GPU playouts/s figure
+(BASELINE.md). The strongest widely-reported number for its best GPU
+backend is ~2,500 playouts/s for b18c384nbt 19x19 on a top consumer GPU
+with TensorRT (README.md "OpenCL vs CUDA vs TensorRT vs Eigen" ranks
+TensorRT fastest). vs_baseline is playouts/s divided by that figure;
+the BASELINE.json target is >= 5x.
+
+Environment knobs:
+  BENCH_QUICK=1   small config (9x9 b6c96, 64 games, 64 visits) for CI
+  BENCH_VISITS/BENCH_GAMES/BENCH_NO_LADDERS   overrides for bisection
 """
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def main():
@@ -28,11 +40,18 @@ def main():
 
     accel = setup_accelerator_dispatch()
 
-    size = 9
-    num_games = 64
-    visits = 64
-    cfg = MC.get_config("b6c96")
-    model = KataGoModel(cfg, pos_len=size)
+    quick = os.environ.get("BENCH_QUICK", "") not in ("", "0")
+    if quick:
+        size, cfg_name, num_games, visits = 9, "b6c96", 64, 64
+    else:
+        size, cfg_name, num_games, visits = 19, "b18c384nbt", 128, 600
+    visits = int(os.environ.get("BENCH_VISITS", visits))
+    num_games = int(os.environ.get("BENCH_GAMES", num_games))
+    with_ladders = os.environ.get("BENCH_NO_LADDERS", "") in ("", "0")
+
+    cfg = MC.get_config(cfg_name)
+    # bf16 trunk: MXU-native matmul/conv precision for inference
+    model = KataGoModel(cfg, pos_len=size, dtype=jnp.bfloat16)
 
     gs = H.new_game(size, H.RulesArr.from_rules(R.Rules.tromp_taylorish()),
                     max_hist=160)
@@ -48,30 +67,28 @@ def main():
     params = jax.device_put(params, accel)
 
     sp = SearchParams.for_selfplay().to_arr()
-    # with_ladders=False: embedding the ladder solver inside the search scan
-    # currently faults the tunneled TPU runtime's compiler (standalone
-    # ladder featurization compiles and runs fine); search-internal evals
-    # skip planes 14-17 until the ladder pass moves to a pallas kernel.
     search_fn = jax.jit(lambda r, k: mcts.run_search(
         model.apply, params, r, sp, k, size=size, num_sims=visits,
-        max_nodes=visits + 3, with_ladders=False))
+        max_nodes=visits + 3, with_ladders=with_ladders))
 
     # compile + warmup
+    t0 = time.time()
     res = search_fn(roots, jax.device_put(jax.random.PRNGKey(1), accel))
     jax.block_until_ready(res.root_visits)
+    compile_s = time.time() - t0
 
-    import numpy as np
     keys = [jax.device_put(jax.random.PRNGKey(2 + i), accel)
             for i in range(40)]
 
     def measure(iters, key_off):
         t0 = time.time()
         for i in range(iters):
-            res = search_fn(roots, keys[key_off + i])
-            jax.block_until_ready(res.root_visits)
-        return (time.time() - t0) / iters, res
+            r = search_fn(roots, keys[key_off + i])
+            jax.block_until_ready(r.root_visits)
+        return (time.time() - t0) / iters, r
 
-    dt, res = measure(5, 0)
+    iters = 5 if quick or visits <= 64 else 2
+    dt, res = measure(iters, 0)
     # result sanity: every game must have run all its playouts (guards
     # against a flaky tunneled runtime returning without executing)
     rv = np.asarray(res.root_visits)
@@ -83,12 +100,19 @@ def main():
         assert (rv == visits + 1).all()
 
     playouts_per_s = num_games * visits / dt
-    baseline = 15.0  # reference Eigen CPU backend midpoint (README.md:104)
+    if quick:
+        metric = "selfplay_playouts_per_s_per_chip_9x9_b6c96"
+        baseline = 15.0  # reference Eigen CPU midpoint (README.md:104)
+    else:
+        metric = ("selfplay_playouts_per_s_per_chip_19x19_b18c384"
+                  + ("" if with_ladders else "_noladders"))
+        baseline = 2500.0  # reference TensorRT top-GPU estimate (above)
     print(json.dumps({
-        "metric": "selfplay_playouts_per_s_per_chip_9x9_b6c96",
+        "metric": metric,
         "value": round(playouts_per_s, 1),
         "unit": "playouts/s",
         "vs_baseline": round(playouts_per_s / baseline, 2),
+        "compile_s": round(compile_s, 1),
     }))
 
 
