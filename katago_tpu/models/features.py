@@ -288,3 +288,69 @@ def fill_features_v7(gs: H.GameState, size: int,
     gl = gl.at[18].set(jnp.where(area_scoring, wave, 0.0))
 
     return sp, gl
+
+
+# ---------------------------------------------------------------------------
+# Older input-feature versions (modelversion.cpp getInputsVersion):
+# model v3/v4 -> inputs V3, v5 -> V4, v6 -> V5, v7 -> V6, v8+ -> V7.
+# V3/V4/V6 share V7's 22-plane spatial layout with different territory
+# semantics on planes 18/19 (fillRowV3 nninputs.cpp:1145, fillRowV4
+# "pass-alive only" nninputs.cpp:1490, fillRowV6 nninputs.cpp:1935);
+# V5 is the reduced "no fancy features" 13-plane set (fillRowV5
+# nninputs.cpp:1649: no ko-ban or ladder planes, history at 6-10,
+# second-encore stones at 11/12). Globals are subsets/permutations of
+# V7's with komi scaled /15 before V6.
+# ---------------------------------------------------------------------------
+
+NUM_SPATIAL_BY_VERSION = {3: 22, 4: 22, 5: 13, 6: 22, 7: NUM_SPATIAL_V7}
+NUM_GLOBAL_BY_VERSION = {3: 14, 4: 14, 5: 12, 6: 16, 7: NUM_GLOBAL_V7}
+
+
+def fill_features(gs: H.GameState, size: int, params: FeatureParams,
+                  legal: jax.Array, *, version: int = 7,
+                  with_ladders: bool = True):
+    """Versioned featurizer: V3..V7 spatial/global rows."""
+    if version == 7:
+        return fill_features_v7(gs, size, params, legal,
+                                with_ladders=with_ladders)
+    if version not in NUM_SPATIAL_BY_VERSION:
+        raise ValueError(f"unsupported input-features version {version}")
+    sp, gl = fill_features_v7(gs, size, params, legal,
+                              with_ladders=(with_ladders and version != 5))
+
+    if version in (3, 4):
+        # planes 18/19: V3 = scoring-dependent plain area
+        # (area: all-stones+all-territories; territory: pass-alive + safe
+        # big territories only); V4 = always the pass-alive recipe
+        pla = gs.pos.to_move
+        opp = B.opponent(pla)
+        is_area = gs.rules.scoring_rule == R.SCORING_AREA
+        non_pass_alive = jnp.bool_(False) if version == 4 \
+            else is_area
+        unsafe_big = non_pass_alive
+        area = benson.calculate_area(
+            gs.pos.board.stones, size, non_pass_alive, jnp.bool_(True),
+            unsafe_big, gs.rules.multi_suicide)
+        sp = sp.at[:, 18].set((area == pla).astype(jnp.float32))
+        sp = sp.at[:, 19].set((area == opp).astype(jnp.float32))
+
+    if version == 5:
+        # [0-5 board/libs][6-10 prev moves 1-5][11,12 second-encore]
+        sp = jnp.concatenate(
+            [sp[:, 0:6], sp[:, 9:14], sp[:, 20:22]], axis=1)
+
+    # ---- global remaps ----
+    komi15 = gl[5] * 20.0 / 15.0    # V3/V4/V5 scale selfKomi by /15
+    if version in (3, 4):
+        out = jnp.concatenate([
+            gl[0:5], komi15[None], gl[6:10],
+            gl[12:14],            # encore phase flags
+            gl[14:15],            # passWouldEndPhase
+            gl[18:19],            # komi parity wave
+        ])
+    elif version == 5:
+        out = jnp.concatenate([gl[0:5], komi15[None], gl[6:10],
+                               gl[12:14]])
+    else:  # version 6: V7 minus pda(15,16)/button(17), wave at 15
+        out = jnp.concatenate([gl[0:15], gl[18:19]])
+    return sp, out

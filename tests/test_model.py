@@ -232,3 +232,54 @@ def test_rope_tables_orthogonal_rotation():
     # rotation preserves norm: cos^2 + sin^2 = 1 pointwise
     np.testing.assert_allclose(cos ** 2 + sin ** 2, 1.0, atol=1e-6)
     assert cos.shape == (25, 8)
+
+
+def test_input_feature_versions():
+    """V3-V7 featurizer rows: shapes, shared planes, and the version
+    deltas (fillRowV3/V4/V5/V6, modelversion.cpp)."""
+    import jax.numpy as jnp
+
+    from katago_tpu.game import history as H
+    from katago_tpu.game import rules as R
+    from katago_tpu.models import features as F
+    from katago_tpu.models import modelversion as MV
+
+    assert MV.get_inputs_version(8) == 7
+    assert MV.get_inputs_version(17) == 7
+    assert MV.get_inputs_version(7) == 6
+    assert MV.get_inputs_version(6) == 5
+    assert MV.get_inputs_version(5) == 4
+    assert MV.get_inputs_version(3) == 3
+    assert MV.get_num_spatial_features(6) == 13
+    assert MV.get_num_global_features(7) == 16
+
+    size = 5
+    gs = H.new_game(size, H.RulesArr.from_rules(R.Rules.tromp_taylorish()),
+                    max_hist=16)
+    gs, _ = H.step(gs, jnp.int32(12), size)
+    gs, _ = H.step(gs, jnp.int32(7), size)
+    legal = H.legal_moves(gs, size)
+    rows = {}
+    for v in (3, 4, 5, 6, 7):
+        sp, gl = F.fill_features(gs, size, F.FeatureParams.default(),
+                                 legal, version=v)
+        assert sp.shape == (size * size, F.NUM_SPATIAL_BY_VERSION[v])
+        assert gl.shape == (F.NUM_GLOBAL_BY_VERSION[v],)
+        rows[v] = (np.asarray(sp), np.asarray(gl))
+
+    sp7, gl7 = rows[7]
+    # board planes 0-5 identical across all versions
+    for v in (3, 4, 5, 6):
+        assert np.array_equal(rows[v][0][:, :6], sp7[:, :6])
+    # V6 spatial == V7 spatial (semantics unchanged, globals differ)
+    assert np.array_equal(rows[6][0], sp7)
+    assert rows[6][1].shape == (16,)
+    # V6 globals: wave at 15 equals V7's wave at 18, passEnds at 14
+    assert rows[6][1][15] == gl7[18] and rows[6][1][14] == gl7[14]
+    # V5: history planes relocated to 6-10
+    assert np.array_equal(rows[5][0][:, 6:11], sp7[:, 9:14])
+    # V3/V4 komi scaled /15 instead of /20
+    assert np.isclose(rows[3][1][5], gl7[5] * 20.0 / 15.0)
+    # V4 territory (pass-alive only) differs from V3 under area scoring
+    # on a nearly-empty board both are all-zero; shapes already checked
+    assert rows[3][1][13] == gl7[18]  # V3 wave at 13
