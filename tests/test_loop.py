@@ -104,3 +104,18 @@ def test_variance_time_target():
     # turn 2: |Δ|²=1 at distance 1 -> 1
     # turn 1: 0*... + 1*2 = 2 ; turn 0: 0.25*1 + 0 + 1*3 = 3.25
     np.testing.assert_allclose(out, [3.25, 2.0, 1.0], atol=1e-6)
+
+
+def test_async_loop_cycle(tmp_path):
+    """Asynchronous mode: selfplay producer thread + concurrent learner
+    (SelfplayTraining.md asynchronous training)."""
+    from katago_tpu.cli.loop_cmd import run_loop_async
+    summary = run_loop_async(
+        str(tmp_path), cycles=1, size=5, config_name="b1c6",
+        games_per_cycle=2, visits=6, train_steps=4, batch_size=8,
+        lr=1e-3, gate_games=2, log=lambda *a: None)
+    cycles = [c for c in summary if "cycle" in c]
+    totals = [c for c in summary if "selfplay_totals" in c]
+    assert len(cycles) == 1 and totals
+    assert cycles[0]["train"]["steps"] == 4
+    assert totals[0]["selfplay_totals"].get("games", 0) >= 2
