@@ -121,10 +121,11 @@ def run_selfplay(output_dir: str, models_dir: str | None, *, size: int,
         sgf_lines = []
         for bsize, bspecs in sorted(buckets.items()):
             if bspecs is None:
-                n_games, grules, nh, comp, fork = (games_per_batch, None,
-                                                   None, None, None)
+                n_games, grules, nh, comp, fork, starts = (
+                    games_per_batch, None, None, None, None, None)
             else:
-                grules, nh, comp, fork = GI.specs_to_rules_arrays(bspecs)
+                grules, nh, comp, fork, starts = \
+                    GI.specs_to_rules_arrays(bspecs)
                 n_games = len(bspecs)
             bmesh = mesh if (mesh is not None
                              and n_games % mesh.devices.size == 0) else None
@@ -134,7 +135,8 @@ def run_selfplay(output_dir: str, models_dir: str | None, *, size: int,
                 num_games=n_games, visits=visits, rules=rules,
                 search_params=sp, rng=bsub, play_settings=ps,
                 game_rules=grules, num_handicap=nh, compensate_komi=comp,
-                early_fork=fork, params_provider=params_provider,
+                early_fork=fork, start_samples=starts,
+                params_provider=params_provider,
                 mesh=bmesh)
             arrays = data.to_npz_arrays(bsize,
                                         stats["white_minus_black"],

@@ -183,29 +183,45 @@ def cmd_writetrainingdata(args):
 
 
 def cmd_startposes(args):
-    """Sample positions from SGFs into a JSONL start-position file
-    (startposes.cpp / Sgf::PositionSample)."""
+    """Sample positions from SGFs into Sgf::PositionSample JSON lines
+    (startposes.cpp), the wire format selfplay's startPosesFiles
+    consume. Each sample stores the board a few moves before the
+    sampled turn plus the context moves up to it; the sampled turn's
+    move becomes hintLoc."""
+    from katago_tpu.dataio.poses import PositionSample
     rng = random.Random(args.seed)
     files = sorted(glob.glob(os.path.join(args.sgf_dir, "*.sgf")))
     out = open(args.output, "w")
     count = 0
+    num_context = 2
     for path in files:
         try:
             game = S.parse_sgf(open(path).read())[0]
         except S.SgfError:
             continue
         xs, ys = game.size
+        if xs != ys:
+            continue
         moves = game.moves()
+        states = None
         for i in range(len(moves)):
-            if rng.random() < args.sample_prob:
-                out.write(json.dumps({
-                    "sgf": os.path.basename(path), "size": xs,
-                    "turn": i,
-                    "moves": [[p, l] for p, l in moves[:i]],
-                    "next_player": moves[i][0],
-                    "hint_loc": moves[i][1],
-                }) + "\n")
-                count += 1
+            if rng.random() >= args.sample_prob:
+                continue
+            if states is None:
+                _, _, states, _ = _replay(game)
+            base = max(0, i - num_context)
+            sample = PositionSample(
+                x_size=xs, y_size=ys,
+                stones=np.asarray(states[base].pos.board.stones, np.int8),
+                next_pla=moves[base][0] if base < len(moves)
+                else B.BLACK,
+                moves=list(moves[base:i]),
+                initial_turn_number=base,
+                hint_loc=moves[i][1],
+                weight=1.0,
+                metadata=os.path.basename(path))
+            out.write(sample.to_json_line() + "\n")
+            count += 1
     out.close()
     print(json.dumps({"positions": count, "output": args.output}))
 

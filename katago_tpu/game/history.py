@@ -183,6 +183,28 @@ def replace_pos(gs: GameState, **kw) -> GameState:
     return gs._replace(pos=gs.pos._replace(**kw))
 
 
+def setup_board(gs: GameState, stones, size: int) -> GameState:
+    """Replace the whole starting board in one shot (vectorized
+    setup_stone): recomputes the zobrist pos_hash by xor-folding the
+    stone keys, seeds the prev-board snapshots, and refreshes the
+    recorded starting ko-hash. Only valid before any moves are played."""
+    st = jnp.asarray(zobrist.stone_table(size))[:, :size * size]  # [2,NN,2]
+    stones = jnp.asarray(stones, jnp.int32)
+    keysel = (jnp.where((stones == B.BLACK)[:, None], st[0], jnp.uint32(0))
+              ^ jnp.where((stones == B.WHITE)[:, None], st[1],
+                          jnp.uint32(0)))
+    h = jax.lax.reduce(keysel, jnp.uint32(0), jax.lax.bitwise_xor,
+                       dimensions=(0,))
+    board = gs.pos.board._replace(stones=stones, pos_hash=h)
+    gs = gs._replace(pos=gs.pos._replace(
+        board=board,
+        prev_stones=stones.astype(jnp.int8),
+        prev_prev_stones=stones.astype(jnp.int8)))
+    return gs._replace(
+        ko_hash_hist=gs.ko_hash_hist.at[0].set(_pos_ko_hash(gs.pos,
+                                                            gs.rules)))
+
+
 def setup_stone(gs: GameState, loc, color, size: int) -> GameState:
     """Place (or clear, color=EMPTY) a pre-game setup stone: updates the
     zobrist pos_hash, seeds the prev-board snapshots (getRecentBoard

@@ -48,6 +48,10 @@ class GameInitParams:
     early_fork_game_prob: float = 0.0
     fork_game_prob: float = 0.0
     max_handicap: int = 0    # 0 -> size-scaled default (play.cpp)
+    # start positions: with prob, a game begins from a weighted sample of
+    # a poses file (startPosesProb/startPosesFiles, selfplay.cpp:182-207)
+    start_poses_prob: float = 0.0
+    start_poses_files: tuple = ()
 
     @staticmethod
     def from_config(cfg: dict) -> "GameInitParams":
@@ -93,6 +97,8 @@ class GameInitParams:
                         cfg.get("handicapCompensateKomiProb", 0.0))),
             early_fork_game_prob=float(cfg.get("earlyForkGameProb", 0.0)),
             fork_game_prob=float(cfg.get("forkGameProb", 0.0)),
+            start_poses_prob=float(cfg.get("startPosesProb", 0.0)),
+            start_poses_files=get_list("startPosesFiles", str, ()),
         )
 
 
@@ -109,6 +115,7 @@ class GameSpec:
     num_handicap: int
     compensate_komi: bool
     early_fork: bool
+    start_pos: object = None    # dataio.poses.PositionSample | None
 
 
 def sample_game_specs(p: GameInitParams, num_games: int,
@@ -118,9 +125,21 @@ def sample_game_specs(p: GameInitParams, num_games: int,
     sizes = np.asarray(p.allowed_sizes)
     sprobs = np.asarray(p.size_rel_probs, np.float64)
     sprobs = sprobs / sprobs.sum()
+    poses, pose_w = [], None
+    if p.start_poses_prob > 0 and p.start_poses_files:
+        from katago_tpu.dataio.poses import load_poses
+        poses = [ps for ps in load_poses(list(p.start_poses_files))
+                 if ps.x_size == ps.y_size]
+        if poses:
+            pose_w = np.asarray([ps.weight for ps in poses], np.float64)
+            pose_w = pose_w / pose_w.sum()
     out = []
     for _ in range(num_games):
-        size = int(rng.choice(sizes, p=sprobs))
+        start = None
+        if poses and rng.random() < p.start_poses_prob:
+            start = poses[int(rng.choice(len(poses), p=pose_w))]
+        size = start.x_size if start is not None \
+            else int(rng.choice(sizes, p=sprobs))
         ko = int(rng.choice(p.allowed_ko_rules))
         sc = int(rng.choice(p.allowed_scoring_rules))
         # territory scoring requires a tax in {SEKI, ALL}? No — the
@@ -145,10 +164,14 @@ def sample_game_specs(p: GameInitParams, num_games: int,
                (rng.random() < p.fork_compensate_komi_prob)
         fork = (p.early_fork_game_prob > 0
                 and rng.random() < p.early_fork_game_prob)
+        if start is not None:
+            nh = 0
+            fork = False
         out.append(GameSpec(size=size, ko_rule=ko, scoring_rule=sc,
                             tax_rule=tax, suicide=sui, button=btn,
                             komi=komi, num_handicap=nh,
-                            compensate_komi=comp, early_fork=fork))
+                            compensate_komi=comp, early_fork=fork,
+                            start_pos=start))
     return out
 
 
@@ -171,7 +194,8 @@ def specs_to_rules_arrays(specs: list[GameSpec]):
     nh = np.asarray([s.num_handicap for s in specs], np.int32)
     comp = np.asarray([s.compensate_komi for s in specs], bool)
     fork = np.asarray([s.early_fork for s in specs], bool)
-    return rules, nh, comp, fork
+    starts = [s.start_pos for s in specs]
+    return rules, nh, comp, fork, starts
 
 
 def fixed_handicap_locs(size: int, n: int) -> list[int]:

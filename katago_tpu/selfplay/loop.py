@@ -180,6 +180,10 @@ def _place_handicap(games, num_handicap: np.ndarray, size: int):
     games = games._replace(pos=games.pos._replace(
         board=games.board._replace(stones=jnp.asarray(stones),
                                    pos_hash=jnp.asarray(hashes)),
+        # prev-board snapshots clamp to the handicapped starting board
+        # (getRecentBoard semantics)
+        prev_stones=jnp.asarray(stones).astype(jnp.int8),
+        prev_prev_stones=jnp.asarray(stones).astype(jnp.int8),
         to_move=jnp.asarray(to_move)))
     # re-record the starting ko-hash (new_game recorded the empty board)
     h0 = jax.vmap(lambda p, r: H._pos_ko_hash(p, r))(games.pos, games.rules)
@@ -209,6 +213,28 @@ def _adjust_komi_to_even(games, flags: np.ndarray, model_apply, params,
         komi=jnp.asarray(komi)))
 
 
+def _place_start_positions(games, start_samples: list, size: int):
+    """Install sampled start positions (Sgf::PositionSample /
+    startPosesProb, selfplay.cpp:182-207): set the sample's stones as the
+    starting board, replay its context moves (restoring ko state), and
+    adopt its turn number."""
+    max_hist = games.ko_hash_hist.shape[1]
+    for g, sample in enumerate(start_samples):
+        if sample is None or sample.x_size != size or sample.y_size != size:
+            continue
+        rules_g = jax.tree.map(lambda a: a[g], games.rules)
+        gs = H.new_game(size, rules_g, max_hist=max_hist)
+        gs = H.setup_board(gs, np.asarray(sample.stones, np.int32), size)
+        gs = H.replace_pos(gs, to_move=jnp.int32(sample.next_pla))
+        for pla, loc in sample.moves:
+            gs = H.replace_pos(gs, to_move=jnp.int32(pla))
+            gs, _ = H.step(gs, jnp.int32(loc), size)
+        gs = H.replace_pos(gs, move_num=jnp.int32(
+            sample.initial_turn_number + len(sample.moves)))
+        games = jax.tree.map(lambda store, v: store.at[g].set(v), games, gs)
+    return games
+
+
 def play_games(model_apply: Callable, model_params: Any, *,
                size: int, num_games: int, visits: int,
                rules: R.Rules | None = None,
@@ -222,6 +248,7 @@ def play_games(model_apply: Callable, model_params: Any, *,
                num_handicap: np.ndarray | None = None,
                compensate_komi: np.ndarray | None = None,
                early_fork: np.ndarray | None = None,
+               start_samples: list | None = None,
                params_provider: Callable | None = None,
                resign_threshold: float = 0.0,
                resign_consec_turns: int = 3,
@@ -279,6 +306,9 @@ def play_games(model_apply: Callable, model_params: Any, *,
             komi=jnp.asarray(komi_white)))
     if num_handicap is not None and (num_handicap > 0).any():
         games = _place_handicap(games, num_handicap, size)
+    if start_samples is not None and any(st is not None
+                                         for st in start_samples):
+        games = _place_start_positions(games, start_samples, size)
     if mesh is not None:
         from katago_tpu.parallel import mesh as M
         if num_games % mesh.devices.size != 0:
