@@ -39,6 +39,10 @@ class ModelConfig:
     # humanSL metadata conditioning (model_pytorch.py:2881)
     metadata_encoder: bool = False
     metadata_encoder_channels: int = 64
+    # intermediate auxiliary heads partway down the trunk
+    # (model_pytorch.py:3073-3078, modelconfigs.py:2098-2108)
+    has_intermediate_head: bool = False
+    intermediate_head_blocks: int = 0
     # v17 transformer knobs (modelconfigs.py b5c48h3tfr etc.)
     transformer_ffn_channels: int = 0
     transformer_heads: int = 0

@@ -535,7 +535,25 @@ class KataGoModel(nn.Module):
 
         num_blocks = len(cfg.block_kind)
         fixup_scale = 1.0 / math.sqrt(max(num_blocks, 1))
-        for kind in cfg.block_kind:
+        intermediate_out = {}
+        for block_i, kind in enumerate(cfg.block_kind):
+            if (cfg.has_intermediate_head
+                    and block_i == cfg.intermediate_head_blocks):
+                # auxiliary heads tapping the trunk partway down
+                # (model_pytorch.py:3510-3521): own final norm + full
+                # policy/value head stacks, outputs prefixed
+                xi = NormMask(cfg.trunk_num_channels, use_gamma=True,
+                              name="norm_intermediate_trunkfinal")(x, mask)
+                xi = act_fn(actn)(xi)
+                ipol = PolicyHead(cfg, dtype=self.dtype,
+                                  name="intermediate_policy_head")(
+                    xi, mask, mask_sum_hw)
+                ival = ValueHead(cfg, self.pos_len,
+                                 name="intermediate_value_head")(
+                    xi, mask, mask_sum_hw, global_in)
+                intermediate_out = {
+                    "intermediate_policy_logits": ipol,
+                    **{f"intermediate_{k}": v for k, v in ival.items()}}
             if kind in ("attnrope", "attn"):
                 blk = TransformerAttentionBlock(
                     cfg, self.pos_len, use_rope=(kind == "attnrope"),
@@ -563,13 +581,30 @@ class KataGoModel(nn.Module):
                 raise ValueError(f"unsupported block kind {kind!r}")
             x = x + blk(x, mask, mask_sum_hw)
 
+        if (cfg.has_intermediate_head
+                and cfg.intermediate_head_blocks >= num_blocks):
+            # full-distillation variant: intermediate heads share the
+            # trunk end (modelconfigs.py:2107-2108)
+            xi = NormMask(cfg.trunk_num_channels, use_gamma=True,
+                          name="norm_intermediate_trunkfinal")(x, mask)
+            xi = act_fn(actn)(xi)
+            ipol = PolicyHead(cfg, dtype=self.dtype,
+                              name="intermediate_policy_head")(
+                xi, mask, mask_sum_hw)
+            ival = ValueHead(cfg, self.pos_len,
+                             name="intermediate_value_head")(
+                xi, mask, mask_sum_hw, global_in)
+            intermediate_out = {
+                "intermediate_policy_logits": ipol,
+                **{f"intermediate_{k}": v for k, v in ival.items()}}
+
         x = NormMask(cfg.trunk_num_channels, use_gamma=True)(x, mask)
         x = act_fn(actn)(x)
 
         policy = PolicyHead(cfg, dtype=self.dtype)(x, mask, mask_sum_hw)
         value_outs = ValueHead(cfg, self.pos_len)(x, mask, mask_sum_hw,
                                                   global_in)
-        return {"policy_logits": policy, **value_outs}
+        return {"policy_logits": policy, **value_outs, **intermediate_out}
 
 
 def postprocess_outputs(raw: dict, to_move_is_white=None) -> dict:

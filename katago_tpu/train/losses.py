@@ -34,6 +34,7 @@ class LossScales(NamedTuple):
     seki_loss_scale: float = 1.0
     variance_time_loss_scale: float = 1.0
     main_loss_scale: float = 1.0
+    intermediate_loss_scale: float = 1.0
     disable_optimistic_policy: bool = False
     predict_q_values: bool = True
 
@@ -108,9 +109,17 @@ def postprocess(raw: dict) -> dict:
 def compute_losses(raw: dict, batch: dict, *,
                    scales: LossScales = LossScales(),
                    seki_ema: SekiEma | None = None,
-                   is_training: bool = True
+                   is_training: bool = True,
+                   main_loss_scale: float | None = None,
+                   intermediate_loss_scale: float | None = None
                    ) -> tuple[jax.Array, dict, SekiEma]:
     """All reference loss terms for one batch.
+
+    When `raw` carries intermediate-head outputs (intermediate_* keys,
+    has_intermediate_head models) the same term set is computed on them
+    (without the seki moving-average update, metrics_pytorch.py:461-484)
+    and the total becomes main_loss_scale * main +
+    intermediate_loss_scale * intermediate (both default 1).
 
     batch keys (reference npz schema, float-decoded):
       binaryInputNCHW  f32 [B, 22, H, W]   (only channel 0, the mask, read)
@@ -397,4 +406,20 @@ def compute_losses(raw: dict, batch: dict, *,
             (jnp.argmax(pol[:, 0, :], -1) ==
              jnp.argmax(target_policy_player, -1)).astype(jnp.float32)) / nsum,
     }
-    return total / nsum, metrics, ema
+    total_mean = total / nsum
+    if any(k.startswith("intermediate_") for k in raw):
+        inter_raw = {k[len("intermediate_"):]: v for k, v in raw.items()
+                     if k.startswith("intermediate_")}
+        itotal, imetrics, _ = compute_losses(
+            inter_raw, batch, scales=scales, seki_ema=seki_ema,
+            is_training=False)
+        ms = scales.main_loss_scale if main_loss_scale is None \
+            else main_loss_scale
+        isc = scales.intermediate_loss_scale if intermediate_loss_scale \
+            is None else intermediate_loss_scale
+        metrics["intermediate_loss"] = itotal
+        metrics["intermediate_policy_loss"] = imetrics["policy_loss"]
+        metrics["intermediate_value_loss"] = imetrics["value_loss"]
+        total_mean = ms * total_mean + isc * itotal
+        metrics["loss"] = total_mean
+    return total_mean, metrics, ema

@@ -283,3 +283,54 @@ def test_input_feature_versions():
     # V4 territory (pass-alive only) differs from V3 under area scoring
     # on a nearly-empty board both are all-zero; shapes already checked
     assert rows[3][1][13] == gl7[18]  # V3 wave at 13
+
+
+def test_intermediate_heads():
+    """Auxiliary mid-trunk heads (model_pytorch.py:3073,3510-3521) and the
+    main+intermediate loss combination (metrics_pytorch.py:443-484)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from katago_tpu.models import config as MC
+    from katago_tpu.models.model import KataGoModel
+    from katago_tpu.train.losses import compute_losses
+
+    size = 5
+    base = MC.get_config("b2c16")
+    cfg = dataclasses.replace(base, has_intermediate_head=True,
+                              intermediate_head_blocks=1)
+    model = KataGoModel(cfg, pos_len=size, dtype=jnp.float32)
+    sp = jnp.zeros((2, size, size, 22))
+    gl = jnp.zeros((2, 19))
+    params = model.init(jax.random.PRNGKey(0), sp, gl)
+    raw = model.apply(params, sp, gl)
+    assert "intermediate_policy_logits" in raw
+    assert "intermediate_value_logits" in raw
+    assert raw["intermediate_policy_logits"].shape == \
+        raw["policy_logits"].shape
+    # intermediate heads have their own parameters
+    assert any("intermediate" in k for k in params["params"])
+
+    # loss combination: fabricate a minimal batch
+    nn = size * size
+    sb = cfg.scorebelief_len(size)
+    batch = {
+        "binaryInputNCHW": np.ones((2, 22, size, size), np.float32),
+        "globalTargetsNC": np.zeros((2, 80), np.float32),
+        "policyTargetsNCMove": np.ones((2, 2, nn + 1), np.float32),
+        "scoreDistrN": np.ones((2, sb), np.float32),
+        "valueTargetsNCHW": np.zeros((2, 5, size, size), np.float32),
+        "qValueTargetsNCMove": np.zeros((2, 3, nn + 1), np.float32),
+    }
+    batch["globalTargetsNC"][:, 25] = 1.0   # global weight
+    batch["globalTargetsNC"][:, 26] = 1.0   # policy weight
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    total, metrics, _ = compute_losses(raw, batch,
+                                       intermediate_loss_scale=0.5)
+    assert "intermediate_loss" in metrics
+    assert np.isfinite(float(total))
+    # scale moves the total
+    total0, _, _ = compute_losses(raw, batch, intermediate_loss_scale=0.0)
+    assert float(total) != float(total0)
