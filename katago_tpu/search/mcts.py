@@ -39,6 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from katago_tpu.game import board as B
+from katago_tpu.game import graphhash as GH
 from katago_tpu.game import history as H
 from katago_tpu.models import features as F
 from katago_tpu.ops import symmetry as SYM
@@ -52,6 +53,9 @@ class Tree(NamedTuple):
     """Single-game node pool; every array's leading dim is max_nodes."""
     pos: H.PosState              # per-node position ([N, ...] leaves)
     ko_hash: jax.Array           # uint32[N, 2] node's superko hash
+    graph_hash: jax.Array        # uint32[N, 2] MCGS transposition key
+                                 # (graphhash.cpp: path-dependent inside
+                                 # cramped regions, state-pure elsewhere)
     parent: jax.Array            # int32[N]
     parent_action: jax.Array     # int32[N]
     depth: jax.Array             # int32[N]
@@ -125,6 +129,7 @@ def empty_tree(size: int, max_nodes: int) -> Tree:
     return Tree(
         pos=pos,
         ko_hash=jnp.zeros((n, 2), jnp.uint32),
+        graph_hash=jnp.zeros((n, 2), jnp.uint32),
         parent=jnp.full((n,), -1, jnp.int32),
         parent_action=jnp.full((n,), -1, jnp.int32),
         depth=jnp.zeros((n,), jnp.int32),
@@ -510,11 +515,24 @@ def insert_and_backup(ss: SearchState, sel: PathSel, leaf_pos: H.PosState,
 
     would_alloc = (~sel.is_terminal) & (tree.num_nodes < n) \
         & ~superko_illegal & active
-    # transposition probe at the target depth
-    depth_new = tree.depth[sel.leaf_parent] + 1
+    # graph-hash transposition probe (graphhash.cpp getGraphHash): the
+    # leaf's key chains from the parent unless the local region around
+    # the move bounds out repetition cycles, in which case it is the
+    # pure state hash and transpositions merge across depths/move orders
+    nn_area = leaf_pos.board.stones.shape[0]
+    size_ = int(nn_area ** 0.5)
+    action_loc = jnp.where(sel.is_terminal, jnp.int32(nn_area),
+                           jnp.maximum(sel.leaf_action, 0))
+    state_h = GH.state_hash(leaf_ko_hash, leaf_pos.game_over,
+                            leaf_pos.consec_passes)
+    reset = GH.simple_repetition_bound_gt(
+        leaf_pos.board.stones, size_, action_loc,
+        sp.graph_search_rep_bound)
+    leaf_graph = GH.graph_hash_step(tree.graph_hash[sel.leaf_parent],
+                                    state_h, reset)
     idx = jnp.arange(n, dtype=jnp.int32)
-    is_tp = (idx < tree.num_nodes) & (tree.depth == depth_new) & \
-        jnp.all(tree.ko_hash == leaf_ko_hash[None, :], axis=1)
+    is_tp = (idx < tree.num_nodes) & \
+        jnp.all(tree.graph_hash == leaf_graph[None, :], axis=1)
     tp_idx = jnp.argmax(is_tp).astype(jnp.int32)
     use_tp = sp.use_graph_search & jnp.any(is_tp) & would_alloc
 
@@ -531,6 +549,7 @@ def insert_and_backup(ss: SearchState, sel: PathSel, leaf_pos: H.PosState,
     tree = tree._replace(
         pos=pos,
         ko_hash=set_at(tree.ko_hash, new_idx, leaf_ko_hash),
+        graph_hash=set_at(tree.graph_hash, new_idx, leaf_graph),
         parent=set_at(tree.parent, new_idx, sel.leaf_parent),
         parent_action=set_at(tree.parent_action, new_idx, sel.leaf_action),
         depth=set_at(tree.depth, new_idx, tree.depth[sel.leaf_parent] + 1),
@@ -804,6 +823,7 @@ def extract_subtree(tree: Tree, action: jax.Array) -> Tree:
     return Tree(
         pos=new_pos,
         ko_hash=scatter(tree.ko_hash),
+        graph_hash=scatter(tree.graph_hash),
         parent=scatter(parent_rm, -1),
         parent_action=scatter(tree.parent_action, -1),
         depth=scatter(tree.depth - tree.depth[nr]),
@@ -1059,6 +1079,8 @@ def init_search(model_apply: Callable, model_params: Any,
         tree = tree._replace(
             pos=pos,
             ko_hash=tree.ko_hash.at[0].set(kh),
+            graph_hash=tree.graph_hash.at[0].set(GH.state_hash(
+                kh, gs.pos.game_over, gs.pos.consec_passes)),
             policy=tree.policy.at[0].set(ev.policy),
             visits=tree.visits.at[0].set(1),
             weight_sum=tree.weight_sum.at[0].set(ev.weight),

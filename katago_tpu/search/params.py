@@ -61,6 +61,7 @@ class SearchParams:
     min_visit_prop_for_lcb: float = 0.05
     # graph search (MCGS transpositions, searchparams.h:52-55)
     use_graph_search: bool = True
+    graph_search_rep_bound: int = 11   # searchparams.cpp:42
     # subtree value bias (searchparams.h:115-118; selfplay1.cfg:180)
     subtree_value_bias_factor: float = 0.0
     subtree_value_bias_weight_exponent: float = 0.5
@@ -138,6 +139,7 @@ class SearchParams:
             lcb_stdevs=f(self.lcb_stdevs),
             min_visit_prop_for_lcb=f(self.min_visit_prop_for_lcb),
             use_graph_search=jnp.bool_(self.use_graph_search),
+            graph_search_rep_bound=jnp.int32(self.graph_search_rep_bound),
             subtree_value_bias_factor=f(self.subtree_value_bias_factor),
             subtree_value_bias_weight_exponent=f(
                 self.subtree_value_bias_weight_exponent),
@@ -184,6 +186,7 @@ class SearchParamsArr(NamedTuple):
     lcb_stdevs: jax.Array
     min_visit_prop_for_lcb: jax.Array
     use_graph_search: jax.Array
+    graph_search_rep_bound: jax.Array
     subtree_value_bias_factor: jax.Array
     subtree_value_bias_weight_exponent: jax.Array
     nn_policy_temperature: jax.Array

@@ -53,6 +53,7 @@ _PARAM_KEYS = {
     "chosenMovePrune": "chosen_move_prune",
     "useLcbForSelection": "use_lcb_for_selection",
     "useGraphSearch": "use_graph_search",
+    "graphSearchRepBound": "graph_search_rep_bound",
     "subtreeValueBiasFactor": "subtree_value_bias_factor",
     "subtreeValueBiasWeightExponent": "subtree_value_bias_weight_exponent",
     "lcbStdevs": "lcb_stdevs",
