@@ -49,21 +49,28 @@ KNOWN_COMMANDS = [
 ]
 
 
-def loc_to_gtp(loc: int, size: int) -> str:
+def loc_to_gtp(loc: int, size: int, x_size: int | None = None,
+               y_size: int | None = None) -> str:
+    """Rect boards embed at rows 0..y_size-1 / cols 0..x_size-1 of the
+    square grid; vertex row numbers count from the rect's bottom."""
+    ys = y_size or size
     if loc >= size * size:
         return "pass"
     x, y = loc % size, loc // size
-    return f"{GTP_COLS[x]}{size - y}"
+    return f"{GTP_COLS[x]}{ys - y}"
 
 
-def gtp_to_loc(s: str, size: int) -> int:
+def gtp_to_loc(s: str, size: int, x_size: int | None = None,
+               y_size: int | None = None) -> int:
+    xs = x_size or size
+    ys = y_size or size
     s = s.strip().upper()
     if s in ("PASS", "RESIGN"):
         return size * size
     col = GTP_COLS.index(s[0])
     row = int(s[1:])
-    y = size - row
-    if not (0 <= col < size and 0 <= y < size):
+    y = ys - row
+    if not (0 <= col < xs and 0 <= y < ys):
         raise ValueError(f"vertex {s} off board")
     return y * size + col
 
@@ -78,6 +85,8 @@ class GTPEngine:
                  ponder: bool = False,
                  anti_mirror: bool = True):
         self.size = size
+        self.x_size = size
+        self.y_size = size
         self.rules = rules or R.Rules.tromp_taylorish()
         self.visits = visits
         base = search_params or SearchParams(
@@ -129,15 +138,26 @@ class GTPEngine:
     def clear_board(self):
         self.stop_ponder()
         max_hist = 2 * self.size * self.size + 64
+        shape = None
+        if self.x_size != self.size or self.y_size != self.size:
+            import numpy as _np
+            m = _np.zeros((self.size, self.size), bool)
+            m[:self.y_size, :self.x_size] = True
+            shape = jnp.asarray(m.reshape(-1))
         self.gs = H.new_game(self.size, H.RulesArr.from_rules(self.rules),
-                             max_hist)
+                             max_hist, shape_mask=shape)
         self.history: list = [self.gs]
         self.moves: list[tuple[int, int]] = []
         self._reuse_tree = None   # Search::makeMove-style tree carry-over
         self._recent_winloss = []
 
-    def set_size(self, size: int):
-        self.size = size
+    def set_size(self, size: int, y_size: int | None = None):
+        """Square or rectangular (board.h:14-16): a rect board plays on
+        the max(x,y)-square engine grid with WALL-filled off-board rows
+        (see H.new_pos shape_mask)."""
+        self.x_size = size
+        self.y_size = y_size or size
+        self.size = max(self.x_size, self.y_size)
         self.clear_board()
 
     def set_rules(self, rules: R.Rules):
@@ -377,10 +397,10 @@ class GTPEngine:
             if player == B.BLACK:
                 util, winloss, score = -util, -winloss, -score
             winrate = 0.5 * (1.0 + winloss)
-            pv = " ".join(loc_to_gtp(m, self.size)
+            pv = " ".join(loc_to_gtp(m, self.size, self.x_size, self.y_size)
                           for m in pv_from(child, int(a)))
             infos.append(
-                f"info move {loc_to_gtp(int(a), self.size)} visits {int(cv[a])} "
+                f"info move {loc_to_gtp(int(a), self.size, self.x_size, self.y_size)} visits {int(cv[a])} "
                 f"utility {util:.6f} winrate {winrate:.6f} "
                 f"scoreMean {score:.2f} scoreLead {score:.2f} "
                 f"prior {max(prior[a], 0):.6f} order {rank} "
@@ -457,15 +477,13 @@ def run_gtp(engine: GTPEngine, infile=sys.stdin, outfile=sys.stdout,
                 respond("", cmd_id)
                 return
             elif cmd in ("boardsize", "rectangular_boardsize"):
-                if cmd == "rectangular_boardsize" and len(args) == 2 \
-                        and args[0] != args[1]:
-                    respond("rectangular boards not yet supported", cmd_id, ok=False)
+                xs = int(args[0])
+                ys = int(args[1]) if len(args) > 1 else xs
+                if not (2 <= xs <= 19 and 2 <= ys <= 19):
+                    respond(f"unacceptable size {xs} {ys}", cmd_id,
+                            ok=False)
                     continue
-                size = int(args[0])
-                if not (2 <= size <= 19):
-                    respond(f"unacceptable size {size}", cmd_id, ok=False)
-                    continue
-                engine.set_size(size)
+                engine.set_size(xs, ys)
                 respond("", cmd_id)
             elif cmd == "clear_board":
                 engine.clear_board()
@@ -478,7 +496,7 @@ def run_gtp(engine: GTPEngine, infile=sys.stdin, outfile=sys.stdout,
                 respond(str(engine.rules.komi), cmd_id)
             elif cmd == "play":
                 player = player_of[args[0].lower()]
-                loc = gtp_to_loc(args[1], engine.size)
+                loc = gtp_to_loc(args[1], engine.size, engine.x_size, engine.y_size)
                 engine.play(player, loc)
                 respond("", cmd_id)
             elif cmd == "undo":
@@ -488,7 +506,7 @@ def run_gtp(engine: GTPEngine, infile=sys.stdin, outfile=sys.stdout,
                 player = player_of[args[0].lower()]
                 loc = engine.genmove(player)
                 respond("resign" if loc is None
-                        else loc_to_gtp(loc, engine.size), cmd_id)
+                        else loc_to_gtp(loc, engine.size, engine.x_size, engine.y_size), cmd_id)
             elif cmd in ("genmove_analyze", "lz-genmove_analyze",
                          "kata-genmove_analyze"):
                 # stream info lines during the search, then the move
@@ -516,7 +534,7 @@ def run_gtp(engine: GTPEngine, infile=sys.stdin, outfile=sys.stdout,
                     outfile.write(engine.analyze_info(
                         final_res, player=engine.last_search_player) + "\n")
                 move_s = "resign" if loc is None \
-                    else loc_to_gtp(loc, engine.size)
+                    else loc_to_gtp(loc, engine.size, engine.x_size, engine.y_size)
                 outfile.write(f"play {move_s}\n\n")
                 outfile.flush()
             elif cmd == "showboard":
@@ -549,7 +567,7 @@ def run_gtp(engine: GTPEngine, infile=sys.stdin, outfile=sys.stdout,
                     status = ("alive" if own[loc] == mine else
                               "dead" if own[loc] == -mine else "seki")
                     if status == kind:
-                        out_locs.append(loc_to_gtp(loc, engine.size))
+                        out_locs.append(loc_to_gtp(loc, engine.size, engine.x_size, engine.y_size))
                 respond(" ".join(out_locs), cmd_id)
             elif cmd == "kata-set-position":
                 # alternating color/vertex pairs on an empty board
@@ -560,7 +578,7 @@ def run_gtp(engine: GTPEngine, infile=sys.stdin, outfile=sys.stdout,
                 engine.clear_board()
                 for i in range(0, len(args), 2):
                     color = player_of[args[i].lower()]
-                    loc = gtp_to_loc(args[i + 1], engine.size)
+                    loc = gtp_to_loc(args[i + 1], engine.size, engine.x_size, engine.y_size)
                     engine.gs = H.setup_stone(engine.gs, loc, color,
                                               engine.size)
                 engine.history = [engine.gs]
@@ -583,7 +601,7 @@ def run_gtp(engine: GTPEngine, infile=sys.stdin, outfile=sys.stdout,
                 for l in locs:
                     engine.play(B.BLACK, l)
                 engine.gs = H.replace_pos(engine.gs, to_move=jnp.int32(B.WHITE))
-                respond(" ".join(loc_to_gtp(l, engine.size) for l in locs), cmd_id)
+                respond(" ".join(loc_to_gtp(l, engine.size, engine.x_size, engine.y_size) for l in locs), cmd_id)
             elif cmd == "time_settings":
                 # GTP: main_time byo_yomi_time byo_yomi_stones
                 mt, byo_t, byo_s = float(args[0]), float(args[1]), int(args[2])

@@ -185,7 +185,8 @@ def calculate_area(stones: jax.Array, size: int,
     result = jnp.where(w_all, B.WHITE, result)
     result = jnp.where(w_unsafe & (result == 0), B.WHITE, result)
     result = jnp.where(non_pass_alive_stones & (result == 0), stones, result)
-    return result
+    # off-board cells (WALL stones on rect/shaped boards) own nothing
+    return jnp.where(stones == B.WALL, jnp.int32(B.EMPTY), result)
 
 
 def calculate_independent_life_area(

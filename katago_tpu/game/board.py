@@ -312,7 +312,7 @@ def loc_of_xy(x: int, y: int, size: int) -> int:
 
 
 def board_to_string(stones: np.ndarray, size: int) -> str:
-    chars = {EMPTY: ".", BLACK: "X", WHITE: "O"}
+    chars = {EMPTY: ".", BLACK: "X", WHITE: "O", WALL: "#"}
     rows = []
     for y in range(size):
         rows.append("".join(chars[int(stones[y * size + x])] for x in range(size)))

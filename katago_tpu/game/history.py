@@ -253,11 +253,23 @@ def _pos_ko_hash(pos: PosState, rules: RulesArr) -> jax.Array:
                     pos.encore_phase, pos.ko_recap_block_hash)
 
 
-def new_pos(size: int) -> PosState:
+def new_pos(size: int, shape_mask=None) -> PosState:
+    """shape_mask: optional bool[NN] on-board mask for rectangular or
+    irregular boards. Off-shape cells hold B.WALL stones, which behave
+    exactly like the board edge everywhere (shift4 pads edges with WALL,
+    so every neighbor rule already treats them as walls): they are
+    unplayable, have no liberties, can't be captured, score nothing, and
+    carry no zobrist keys. A 17x13 game is a 17x17 grid with 4 WALL
+    rows (the TPU-native form of the reference's x_size/y_size boards,
+    board.h:14-16)."""
     nn = size * size
     e = MAX_ENCORE_KO_CAPS
+    board = B.empty_board(size)
+    if shape_mask is not None:
+        board = board._replace(stones=jnp.where(
+            jnp.asarray(shape_mask), board.stones, jnp.int32(B.WALL)))
     return PosState(
-        board=B.empty_board(size),
+        board=board,
         to_move=jnp.int32(B.BLACK),
         move_num=jnp.int32(0),
         consec_passes=jnp.int32(0),
@@ -267,8 +279,8 @@ def new_pos(size: int) -> PosState:
         recent_moves=jnp.full((5,), -1, jnp.int32),
         turns_this_phase=jnp.int32(0),
         simple_ko_loc=jnp.int32(-1),
-        prev_stones=jnp.zeros((nn,), jnp.int8),
-        prev_prev_stones=jnp.zeros((nn,), jnp.int8),
+        prev_stones=board.stones.astype(jnp.int8),
+        prev_prev_stones=board.stones.astype(jnp.int8),
         prev_ko_loc=jnp.int32(-1),
         prev_prev_ko_loc=jnp.int32(-1),
         encore_phase=jnp.int32(0),
@@ -284,8 +296,9 @@ def new_pos(size: int) -> PosState:
     )
 
 
-def new_game(size: int, rules: RulesArr, max_hist: int) -> GameState:
-    pos = new_pos(size)
+def new_game(size: int, rules: RulesArr, max_hist: int,
+             shape_mask=None) -> GameState:
+    pos = new_pos(size, shape_mask=shape_mask)
     hist = jnp.zeros((max_hist, 2), jnp.uint32)
     # record the empty starting position (black to move)
     h0 = _pos_ko_hash(pos, rules)
@@ -607,7 +620,8 @@ def legal_moves(gs: GameState, size: int) -> jax.Array:
     # per-chain XOR of stone zobrist keys (keyed by chain root label)
     own_keys = jnp.where((stones == B.BLACK)[:, None],
                          zst[0, :nn], zst[1, :nn])
-    own_keys = jnp.where((stones != B.EMPTY)[:, None], own_keys, 0)
+    own_keys = jnp.where(((stones == B.BLACK) | (stones == B.WHITE))[:, None],
+                         own_keys, 0)
     chain_key = segment_xor(own_keys, labels, nn)  # uint32[NN, 2]
 
     nbr_s = B.shift4(stones, size, B.WALL)            # [4,NN]

@@ -112,7 +112,9 @@ def fill_features_v7(gs: H.GameState, size: int,
     sp = jnp.zeros((nn, NUM_SPATIAL_V7), jnp.float32)
     gl = jnp.zeros((NUM_GLOBAL_V7,), jnp.float32)
 
-    sp = sp.at[:, 0].set(1.0)
+    onboard = stones != B.WALL   # static shape mask (rect boards embed
+                                 # in the square grid with WALL cells)
+    sp = sp.at[:, 0].set(onboard.astype(jnp.float32))
     sp = sp.at[:, 1].set((stones == pla).astype(jnp.float32))
     sp = sp.at[:, 2].set((stones == opp).astype(jnp.float32))
     occupied = stones != B.EMPTY
@@ -242,7 +244,7 @@ def fill_features_v7(gs: H.GameState, size: int,
 
     # ---- globals ----
     sk = self_komi(gs, params)
-    b_area = float(nn)
+    b_area = jnp.sum(onboard.astype(jnp.float32))
     sk = jnp.clip(sk, -b_area - KOMI_CLIP_RADIUS, b_area + KOMI_CLIP_RADIUS)
     gl = gl.at[5].set(sk / 20.0)
 
@@ -277,9 +279,9 @@ def fill_features_v7(gs: H.GameState, size: int,
     # parity wave (nninputs.cpp:2667-2728): triangle wave of selfKomi vs the
     # nearest drawable komi parity; area scoring only (or encore >= 2)
     area_scoring = (gs.rules.scoring_rule == R.SCORING_AREA) | in_encore2
-    drawable_even = (nn % 2) == 0
+    drawable_even = (jnp.sum(onboard.astype(jnp.int32)) % 2) == 0
     komi_floor = jnp.where(
-        jnp.bool_(drawable_even),
+        drawable_even,
         jnp.floor(sk / 2.0) * 2.0,
         jnp.floor((sk - 1.0) / 2.0) * 2.0 + 1.0)
     delta = jnp.clip(sk - komi_floor, 0.0, 2.0)

@@ -1000,7 +1000,11 @@ def init_search(model_apply: Callable, model_params: Any,
         root_hist=roots.ko_hash_hist,
         root_hist_len=roots.hist_len,
         dyn_score_center=jnp.zeros((g,), jnp.float32),
-        sqrt_board_area=jnp.full((g,), float(np.sqrt(nn)), jnp.float32),
+        # per-game true board area (rect/shaped boards mark off-board
+        # cells WALL; cpuct and score scaling track the real area)
+        sqrt_board_area=jnp.sqrt(jnp.sum(
+            (roots.pos.board.stones != B.WALL).astype(jnp.float32),
+            axis=-1)),
         bias_sum=jnp.zeros((g, BIAS_TABLE_SIZE), jnp.float32),
         bias_weight=jnp.zeros((g, BIAS_TABLE_SIZE), jnp.float32),
         own_sum=jnp.zeros((g, nn), jnp.float32),
