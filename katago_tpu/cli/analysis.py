@@ -97,9 +97,7 @@ class AnalysisEngine:
         rid = req["id"]
         xs = int(req.get("boardXSize", 19))
         ys = int(req.get("boardYSize", xs))
-        if xs != ys:
-            return [{"id": rid, "error": "rectangular boards not yet supported"}]
-        size = xs
+        size = max(xs, ys)
         nn = size * size
         rules = R.Rules.parse(req["rules"]) if isinstance(req.get("rules"), str) \
             else (R.Rules.from_json(req["rules"]) if req.get("rules")
@@ -121,15 +119,21 @@ class AnalysisEngine:
                 if str(e.get("player", "")).upper()[:1] not in ("", pla_char):
                     continue
                 for v in e.get("moves", []):
-                    locs.add(gtp_to_loc(v, size))
+                    locs.add(gtp_to_loc(v, size, xs, ys))
             return locs
 
         player_of = {"B": B.BLACK, "W": B.WHITE,
                      "b": B.BLACK, "w": B.WHITE}
         max_hist = 2 * nn + 64 + len(moves)
-        gs = H.new_game(size, H.RulesArr.from_rules(rules), max_hist)
+        shape = None
+        if xs != ys:
+            m = np.zeros((size, size), bool)
+            m[:ys, :xs] = True
+            shape = jnp.asarray(m.reshape(-1))
+        gs = H.new_game(size, H.RulesArr.from_rules(rules), max_hist,
+                        shape_mask=shape)
         for color, vert in initial:
-            loc = gtp_to_loc(vert, size)
+            loc = gtp_to_loc(vert, size, xs, ys)
             gs = H.setup_stone(gs, loc, player_of[color], size)
 
         analyze_turns = req.get("analyzeTurns", [len(moves)])
@@ -139,7 +143,8 @@ class AnalysisEngine:
         for i, (color, vert) in enumerate(moves):
             player = player_of[color]
             gs = H.replace_pos(gs, to_move=jnp.int32(player))
-            gs, _ = H.step(gs, jnp.int32(gtp_to_loc(vert, size)), size)
+            gs, _ = H.step(gs, jnp.int32(gtp_to_loc(vert, size, xs, ys)),
+                           size)
             if (i + 1) in analyze_turns:
                 states[i + 1] = gs
 
@@ -163,11 +168,11 @@ class AnalysisEngine:
                     roots, sub, jnp.asarray(mask))
             else:
                 res = self._search_fn(size, visits)(roots, sub)
-            out.append(self._response(rid, turn, state, res, size,
+            out.append(self._response(rid, turn, state, res, size, xs, ys,
                                       want_ownership, want_policy))
         return out
 
-    def _response(self, rid, turn, state, res, size, want_ownership,
+    def _response(self, rid, turn, state, res, size, xs, ys, want_ownership,
                   want_policy=False) -> dict:
         cv = np.asarray(res.child_visits[0])
         prior = np.asarray(res.root_policy_prior[0])
@@ -177,6 +182,20 @@ class AnalysisEngine:
 
         move_infos = []
         order = np.argsort(cv)[::-1]
+        # continuation PVs for the top candidates in one vmapped descent
+        top = np.asarray([a for rank, a in enumerate(order)
+                          if cv[a] > 0 and rank < 15], np.int32)
+        pv_moves = pv_lens = None
+        if top.size:
+            from katago_tpu.search import mcts as _mcts
+            tree1 = jax.tree.map(lambda x: x[0], tree)
+            starts = jnp.asarray(
+                np.asarray(tree.children[0, 0, top], np.int32))
+            pv_moves, pv_lens = jax.vmap(
+                lambda st: _mcts.extract_pv(tree1, max_len=14, start=st)
+            )(starts)
+            pv_moves = np.asarray(pv_moves)
+            pv_lens = np.asarray(pv_lens)
         for rank, a in enumerate(order):
             if cv[a] <= 0 or rank >= 15:
                 break
@@ -186,7 +205,7 @@ class AnalysisEngine:
             score = sign * float(np.asarray(tree.score_mean_sum[0, child])) / w
             util = sign * float(np.asarray(tree.utility_sum[0, child])) / w
             move_infos.append({
-                "move": loc_to_gtp(int(a), size),
+                "move": loc_to_gtp(int(a), size, xs, ys),
                 "visits": int(cv[a]),
                 "winrate": 0.5 * (1.0 + winloss),
                 "scoreMean": score,
@@ -195,7 +214,9 @@ class AnalysisEngine:
                 "utility": util,
                 "prior": float(max(prior[a], 0.0)),
                 "order": rank,
-                "pv": [loc_to_gtp(int(a), size)],
+                "pv": [loc_to_gtp(int(a), size, xs, ys)] + [
+                    loc_to_gtp(int(m), size, xs, ys)
+                    for m in pv_moves[rank][:pv_lens[rank]]],
             })
 
         root_winloss = sign * float(np.asarray(res.root_winloss[0]))

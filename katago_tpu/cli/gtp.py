@@ -722,24 +722,30 @@ def run_gtp(engine: GTPEngine, infile=sys.stdin, outfile=sys.stdout,
                 games = S.parse_sgf(open(args[0]).read())
                 game = games[0]
                 xs, ys = game.size
-                if xs != ys:
-                    respond("rectangular sgf not supported", cmd_id, ok=False)
-                    continue
                 engine.rules = R.Rules(**{**engine.rules.__dict__,
                                           "komi": game.komi})
-                engine.set_size(xs)
+                engine.set_size(xs, ys)
                 for color, loc in game.setup_stones():
-                    engine.gs = H.setup_stone(engine.gs, loc, color,
-                                              engine.size)
+                    engine.gs = H.setup_stone(
+                        engine.gs, S.remap_to_grid(loc, xs, ys,
+                                                   engine.size),
+                        color, engine.size)
                 upto = int(args[1]) if len(args) > 1 else None
                 for i, (player, loc) in enumerate(game.moves()):
                     if upto is not None and i + 1 >= upto:
                         break
-                    engine.play(player, loc)
+                    engine.play(player,
+                                S.remap_to_grid(loc, xs, ys, engine.size))
                 respond("", cmd_id)
             elif cmd == "printsgf":
                 from katago_tpu.dataio import sgf as S
-                text = S.write_sgf(engine.moves, engine.size, engine.size,
+                grid = engine.size
+                xs, ys = engine.x_size, engine.y_size
+                sgf_moves = [
+                    (p, xs * ys if l >= grid * grid
+                     else (l // grid) * xs + (l % grid))
+                    for p, l in engine.moves]
+                text = S.write_sgf(sgf_moves, xs, ys,
                                    komi=engine.rules.komi)
                 if args:
                     open(args[0], "w").write(text)

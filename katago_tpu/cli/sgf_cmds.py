@@ -33,20 +33,26 @@ from katago_tpu.game import rules as R
 
 
 def _replay(game: S.SgfGame, upto: int | None = None):
-    """Replay a game's main line; returns (states list incl. initial,
-    moves list)."""
+    """Replay a game's main line; returns (grid size, rules, states list
+    incl. initial, moves in engine-grid space). Rectangular SGFs play on
+    the max(x,y) square grid with WALL-filled off-board rows."""
     xs, ys = game.size
+    size = max(xs, ys)
+    shape = None
     if xs != ys:
-        raise ValueError("rectangular SGFs not yet supported here")
-    size = xs
+        m = np.zeros((size, size), bool)
+        m[:ys, :xs] = True
+        shape = jnp.asarray(m.reshape(-1))
     rules = R.Rules.tromp_taylorish()
     rules = R.Rules(**{**rules.__dict__, "komi": game.komi})
     gs = H.new_game(size, H.RulesArr.from_rules(rules),
-                    max_hist=2 * size * size + 32)
+                    max_hist=2 * size * size + 32, shape_mask=shape)
     for color, loc in game.setup_stones():
-        gs = H.setup_stone(gs, loc, color, size)
+        gs = H.setup_stone(gs, S.remap_to_grid(loc, xs, ys, size), color,
+                           size)
     states = [gs]
-    moves = game.moves()
+    moves = [(p, S.remap_to_grid(l, xs, ys, size))
+             for p, l in game.moves()]
     if upto is not None:
         moves = moves[:upto]
     for player, loc in moves:

@@ -101,6 +101,15 @@ class SgfGame:
         return out
 
 
+def remap_to_grid(loc: int, x_size: int, y_size: int,
+                  grid_size: int) -> int:
+    """x_size-stride SGF flat loc -> max-square engine-grid loc
+    (rect boards embed at rows 0..y_size-1 / cols 0..x_size-1)."""
+    if loc >= x_size * y_size:
+        return grid_size * grid_size
+    return (loc // x_size) * grid_size + (loc % x_size)
+
+
 def parse_sgf_loc(val: str, x_size: int, y_size: int) -> int:
     """SGF coordinate -> flat loc; '' or 'tt' (on small boards) -> pass."""
     nn = x_size * y_size

@@ -904,9 +904,14 @@ def make_nn_evaluator(model_apply: Callable, model_params: Any, size: int,
 
 def nn_leaf_eval(raw: dict, legal: jax.Array, gs_to_move: jax.Array,
                  sp: SearchParamsArr, dyn_center, sqrt_area,
-                 policy_temp: jax.Array) -> LeafEval:
+                 policy_temp: jax.Array,
+                 optimism: jax.Array | None = None) -> LeafEval:
     """Convert one game's NN outputs (mover perspective) to a LeafEval
-    (white perspective utilities, masked softmax prior)."""
+    (white perspective utilities, masked softmax prior).
+
+    optimism: optimistic-policy blend factor (policyOptimism); blends
+    policy channel 1 (v12+ optimistic head) into channel 0 at the logit
+    level like the reference backends (trtbackend.cpp:2082)."""
     value_probs = jax.nn.softmax(raw["value_logits"], axis=-1)
     winloss_mover = value_probs[0] - value_probs[1]
     mv = raw["miscvalue"]
@@ -925,7 +930,10 @@ def nn_leaf_eval(raw: dict, legal: jax.Array, gs_to_move: jax.Array,
     weight = uncertainty_weight(st_wl_err, st_score_err, score_w, sp,
                                 dyn_center, sqrt_area)
 
-    logits = raw["policy_logits"][0]                 # [A] channel 0
+    pl = raw["policy_logits"]
+    logits = pl[0]                                   # [A] channel 0
+    if optimism is not None and pl.shape[0] > 1:
+        logits = logits + (pl[1] - logits) * optimism
     logits = logits / jnp.maximum(sp.nn_policy_temperature, 1e-6)
     logits = logits / jnp.maximum(policy_temp, 1e-6)
     logits = jnp.where(legal, logits, -1e30)
@@ -1017,7 +1025,8 @@ def init_search(model_apply: Callable, model_params: Any,
     root_policy_temp = jnp.broadcast_to(sp.root_policy_temperature, (g,))
 
     def eval_root(raw_i, legal_i, to_move, dyn_c, sqrt_a, ptemp):
-        return nn_leaf_eval(raw_i, legal_i, to_move, sp, dyn_c, sqrt_a, ptemp)
+        return nn_leaf_eval(raw_i, legal_i, to_move, sp, dyn_c, sqrt_a,
+                            ptemp, optimism=sp.root_policy_optimism)
 
     def eval_with_sym(sym_or_none):
         raw, legal = evaluator(roots, feat_params, sym=sym_or_none)
@@ -1036,6 +1045,18 @@ def init_search(model_apply: Callable, model_params: Any,
             lambda *xs: sum(xs) / float(len(xs)), *evs)
         # policy: illegal slots are -1 in every image (legality is
         # symmetry-invariant), so the mean keeps them exactly -1
+
+    # wideRootNoise: smooth the root policy toward uniform for wider
+    # analysis (searchexplorehelpers.cpp:89-90)
+    def widen(pol):
+        legal_m = pol >= 0
+        p = jnp.power(jnp.maximum(pol, 1e-30),
+                      1.0 / (4.0 * sp.wide_root_noise + 1.0))
+        p = jnp.where(legal_m, p, 0.0)
+        p = p / jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+        return jnp.where(legal_m, p, -1.0)
+    root_ev = root_ev._replace(policy=jnp.where(
+        sp.wide_root_noise > 0.0, widen(root_ev.policy), root_ev.policy))
 
     # dynamic score center from the root NN (search.cpp:1148-1150)
     expected = root_ev.score_mean
@@ -1277,7 +1298,8 @@ def run_playouts(model_apply: Callable, model_params: Any,
         raw, legal = evaluator(leaf_gs, feat_params, sym=sym)
         ptemp = jnp.ones((g,), jnp.float32)
         nn_ev = jax.vmap(
-            lambda r, l, tm, dc, sa, pt: nn_leaf_eval(r, l, tm, sp, dc, sa, pt)
+            lambda r, l, tm, dc, sa, pt: nn_leaf_eval(
+                r, l, tm, sp, dc, sa, pt, optimism=sp.policy_optimism)
         )(raw, legal, leaf_gs.pos.to_move, ss.dyn_score_center,
           ss.sqrt_board_area, ptemp)
         term_ev = jax.vmap(
@@ -1372,11 +1394,13 @@ def collect_results(ss: SearchState) -> SearchResult:
     )
 
 
-def extract_pv(tree: Tree, max_len: int = 15) -> tuple[jax.Array, jax.Array]:
+def extract_pv(tree: Tree, max_len: int = 15,
+               start: jax.Array | int = 0) -> tuple[jax.Array, jax.Array]:
     """Principal variation by greedy max-edge-visits descent
     (Search::appendPV / getPV, searchresults.cpp:773-867). Single game;
-    vmap for the batch. Returns (moves int32[max_len], -1 padded, and
-    pv_len int32)."""
+    vmap for the batch. `start`: node to descend from (0 = root; pass a
+    child index for per-candidate continuation PVs). Returns (moves
+    int32[max_len], -1 padded, and pv_len int32)."""
     def body(carry, _):
         node, done = carry
         children = tree.children[node]
@@ -1389,8 +1413,9 @@ def extract_pv(tree: Tree, max_len: int = 15) -> tuple[jax.Array, jax.Array]:
         return (jnp.where(valid, jnp.maximum(child, 0), node),
                 done | ~valid), move
 
+    start = jnp.asarray(start, jnp.int32)
     (_, _), moves = jax.lax.scan(
-        body, (jnp.int32(0), jnp.bool_(False)), None, length=max_len)
+        body, (start, start < 0), None, length=max_len)
     return moves, jnp.sum((moves >= 0).astype(jnp.int32))
 
 

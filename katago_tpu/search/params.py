@@ -67,6 +67,14 @@ class SearchParams:
     subtree_value_bias_weight_exponent: float = 0.5
     # misc
     nn_policy_temperature: float = 1.0
+    # optimistic-policy blending (policyOptimism/rootPolicyOptimism,
+    # searchparams.cpp:32,55; blend trtbackend.cpp:2082)
+    policy_optimism: float = 0.0
+    root_policy_optimism: float = 0.0
+    # analysis root-widening (wideRootNoise, searchparams.cpp:71; the
+    # policy-smoothing pow of searchexplorehelpers.cpp:90 — the per-visit
+    # random utility bonus dissolves in the lockstep batch)
+    wide_root_noise: float = 0.0
     playout_doubling_advantage: float = 0.0
     conservative_pass: bool = False
     # per-eval random dihedral symmetry (nnRandomize, nneval.h:169-179)
@@ -144,6 +152,9 @@ class SearchParams:
             subtree_value_bias_weight_exponent=f(
                 self.subtree_value_bias_weight_exponent),
             nn_policy_temperature=f(self.nn_policy_temperature),
+            policy_optimism=f(self.policy_optimism),
+            root_policy_optimism=f(self.root_policy_optimism),
+            wide_root_noise=f(self.wide_root_noise),
             playout_doubling_advantage=f(self.playout_doubling_advantage),
             conservative_pass=jnp.bool_(self.conservative_pass),
             nn_random_symmetry=jnp.bool_(self.nn_random_symmetry),
@@ -190,6 +201,9 @@ class SearchParamsArr(NamedTuple):
     subtree_value_bias_factor: jax.Array
     subtree_value_bias_weight_exponent: jax.Array
     nn_policy_temperature: jax.Array
+    policy_optimism: jax.Array
+    root_policy_optimism: jax.Array
+    wide_root_noise: jax.Array
     playout_doubling_advantage: jax.Array
     conservative_pass: jax.Array
     nn_random_symmetry: jax.Array

@@ -64,6 +64,9 @@ _PARAM_KEYS = {
     "nnRandomize": "nn_random_symmetry",
     "rootNumSymmetriesToSample": "root_num_symmetries",
     "avoidRepeatedPatternUtility": "avoid_repeated_pattern_utility",
+    "policyOptimism": "policy_optimism",
+    "rootPolicyOptimism": "root_policy_optimism",
+    "wideRootNoise": "wide_root_noise",
 }
 
 # accepted-but-inapplicable keys (thread/GPU machinery the batched TPU

@@ -14,3 +14,13 @@ import jax  # noqa: E402
 # backend (JAX_PLATFORMS=axon in env); per-sync round trips through the
 # tunnel are ~100ms, which makes move-by-move engine tests crawl. Force CPU.
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent XLA compilation cache: jit compiles dominate suite wall-clock
+# (test_search alone spends ~10 min compiling); caching them on disk makes
+# re-runs start warm. Keyed by HLO hash, so stale entries are impossible.
+import os as _os  # noqa: E402
+_cache_dir = _os.environ.get("KATAGO_JAX_CACHE",
+                             "/tmp/katago_tpu_jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -123,3 +123,47 @@ def test_rect_gtp_vertices():
             raise AssertionError(f"{bad} should be off board")
         except ValueError:
             pass
+
+
+def test_rect_sgf_replay():
+    from katago_tpu.cli.sgf_cmds import _replay
+    from katago_tpu.dataio import sgf as S
+    game = S.parse_sgf("(;GM[1]FF[4]SZ[5:3]KM[6.5];B[cb];W[db];B[cc])")[0]
+    assert game.size == (5, 3)
+    size, rules, states, moves = _replay(game)
+    assert size == 5
+    stones = np.asarray(states[-1].pos.board.stones)
+    # 'cb' = x2,y1 -> grid loc 1*5+2; 'cc' = x2,y2 -> 2*5+2
+    assert stones[1 * 5 + 2] == B.BLACK
+    assert stones[1 * 5 + 3] == B.WHITE
+    assert stones[2 * 5 + 2] == B.BLACK
+    # off-board rows walled
+    assert (stones[3 * 5:] == B.WALL).all()
+
+
+def test_rect_analysis_request():
+    import json
+
+    from katago_tpu.cli.analysis import AnalysisEngine
+    from katago_tpu.models import config as MC
+    from katago_tpu.models.model import KataGoModel
+
+    size = 5
+    model = KataGoModel(MC.get_config("b1c6"), pos_len=size,
+                        dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, size, size, 22)),
+                        jnp.zeros((1, 19)))
+    eng = AnalysisEngine(None, default_visits=8)
+    eng.model_apply = lambda p, s, g: model.apply(params, s, g)
+    resp = eng.handle({"id": "r1", "boardXSize": 5, "boardYSize": 3,
+                       "rules": "tromp-taylor",
+                       "moves": [["B", "C2"]], "maxVisits": 8})[0]
+    assert "error" not in resp, resp
+    assert resp["moveInfos"]
+    # no suggested move off the 5x3 rect; PVs are multi-move capable
+    for mi in resp["moveInfos"]:
+        v = mi["move"]
+        if v != "pass":
+            assert int(v[1:]) <= 3
+        assert isinstance(mi["pv"], list) and len(mi["pv"]) >= 1

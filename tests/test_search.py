@@ -338,3 +338,39 @@ def test_subtree_value_bias_shifts_utility():
     res0 = run(stub_model(value_fn), roots, num_sims=20,
                sp=SearchParams(subtree_value_bias_factor=0.0))
     assert np.abs(np.asarray(res0.ss.bias_sum)).sum() == 0.0
+
+
+def test_policy_optimism_and_wide_root_noise():
+    """policyOptimism blends the optimistic policy channel
+    (trtbackend.cpp:2082); wideRootNoise flattens the root prior
+    (searchexplorehelpers.cpp:89-90)."""
+
+    def apply(params, spatial, glob):
+        g = spatial.shape[0]
+        pol = jnp.zeros((g, 6, A))
+        pol = pol.at[:, 0, 3].set(4.0)     # normal policy peaks at 3
+        pol = pol.at[:, 1, 7].set(4.0)     # optimistic policy peaks at 7
+        return {
+            "policy_logits": pol,
+            "value_logits": jnp.zeros((g, 3)),
+            "miscvalue": jnp.zeros((g, 10)),
+            "moremiscvalue": jnp.zeros((g, 8)),
+        }
+
+    def go(sp):
+        return run(apply, make_roots(g=1), sp=sp, num_sims=8)
+
+    r0 = go(SearchParams(root_noise_enabled=False))
+    r_opt = go(SearchParams(root_noise_enabled=False,
+                            root_policy_optimism=1.0))
+    r_wide = go(SearchParams(root_noise_enabled=False,
+                             wide_root_noise=2.0))
+    p0 = np.asarray(r0.root_policy_prior[0])
+    po = np.asarray(r_opt.root_policy_prior[0])
+    pw = np.asarray(r_wide.root_policy_prior[0])
+    legal = p0 >= 0
+    assert p0.argmax() == 3
+    assert po.argmax() == 7          # optimism switched to channel 1
+    assert pw[legal].max() < p0[legal].max()   # widened prior is flatter
+    for r in (r0, r_opt, r_wide):
+        assert (np.asarray(r.root_visits) == 9).all()
