@@ -243,6 +243,8 @@ class GTPEngine:
 
     def search_root(self, player: int, visits: int | None = None,
                     max_time: float | None = None,
+                    time_rec: float | None = None,
+                    time_max: float | None = None,
                     callback=None, callback_interval: float = 1.0,
                     should_stop=None):
         self.stop_ponder()
@@ -264,6 +266,9 @@ class GTPEngine:
             prev = None
         res = driver.search(roots, sub, max_visits=visits,
                             max_time=max_time, prev_tree=prev,
+                            time_rec=time_rec, time_max=time_max,
+                            turn_number=len(self.moves),
+                            host_params=self.search_params,
                             callback=callback,
                             callback_interval=callback_interval,
                             should_stop=should_stop,
@@ -280,14 +285,18 @@ class GTPEngine:
         (gtp.cpp:276-324 resignation conditions)."""
         tc = self.time_controls[player]
         max_time = None
+        time_rec = time_max = None
         if tc is not None and not tc.is_effectively_unlimited():
             stones = int(np.asarray(
                 (self.gs.pos.board.stones != B.EMPTY).sum()))
             _, rec, max_t = tc.get_time(self.size * self.size, stones,
                                         lag_buffer=self.lag_buffer)
-            max_time = min(rec, max_t) if max_t > 0 else rec
+            # dynamic time management (recomputeSearchTimeLimit): the
+            # driver refines the planned limit between chunks
+            time_rec, time_max = rec, max_t
         t0 = time.time()
         res = self.search_root(player, visits=self.visits,
+                               time_rec=time_rec, time_max=time_max,
                                max_time=max_time, callback=callback,
                                callback_interval=callback_interval)
         dt = max(time.time() - t0, 1e-3)

@@ -101,6 +101,10 @@ class SearchDriver:
                callback_interval: float = 1.0,
                stop_event: threading.Event | None = None,
                should_stop: Callable[[], bool] | None = None,
+               time_rec: float | None = None,
+               time_max: float | None = None,
+               turn_number: int = 0,
+               host_params=None,
                mirror=None, pattern_bonus=None) -> mcts.SearchResult:
         """Run a time/visit/interrupt-bounded search.
 
@@ -113,6 +117,15 @@ class SearchDriver:
         stop_event: external interrupt (pondering / analyze cancellation).
         should_stop(): polled between chunks (e.g. stdin readability for
         GTP analyze interruption).
+
+        time_rec/time_max + host_params (a SearchParams with the
+        host-side time-manager knobs): dynamic time management
+        (Search::recomputeSearchTimeLimit) — the planned limit is
+        recomputed between chunks with midgame weighting and the
+        obvious-move discount from the live root entropy/surprise, and
+        futileVisitsThreshold stops the search early once no
+        alternative move can catch the leader in the time remaining
+        (single-game searches only).
         """
         g = roots.hist_len.shape[0]
         rng, r_init = jax.random.split(rng)
@@ -124,6 +137,8 @@ class SearchDriver:
         else:
             ss = self.init_fn(False)(roots, r_init, mirror)
 
+        if time_rec is not None and max_time is None:
+            max_time = time_rec   # refined between chunks below
         if max_visits is None and max_time is None and stop_event is None \
                 and should_stop is None:
             raise ValueError("search needs a visit cap, time cap, or "
@@ -143,12 +158,27 @@ class SearchDriver:
             if should_stop is not None and chunks_done > 0 and should_stop():
                 break
             elapsed = time.time() - t0
+            if (time_rec is not None and host_params is not None
+                    and chunks_done > 0 and g == 1):
+                from katago_tpu.search import timecontrols as TC
+                ent, surprise = self._root_entropy_surprise(ss)
+                max_time = TC.recompute_search_time_limit(
+                    host_params, time_rec, time_max or 0.0,
+                    turn_number=turn_number, board_area=self.size ** 2,
+                    policy_entropy=ent, policy_surprise=surprise)
             if max_time is not None and elapsed >= max_time:
                 break
             rv = np.asarray(ss.tree.visits[:, 0])
             visits_done = bool(((rv >= int(cap)) |
                                 ~np.asarray(amask)).all())
             if visits_done and elapsed >= min_time:
+                break
+            if (host_params is not None and max_time is not None
+                    and getattr(host_params, "futile_visits_threshold",
+                                0.0) > 0 and g == 1 and chunks_done > 0
+                    and elapsed >= 0.1
+                    and self._futile_stop(ss, host_params, elapsed,
+                                          max_time, turn_number)):
                 break
             rng, r = jax.random.split(rng)
             ss = chunk(ss, r, cap, amask, mirror, pattern_bonus)
@@ -159,6 +189,56 @@ class SearchDriver:
                     last_cb = now
                     callback(self.collect_fn()(ss), now - t0)
         return self.collect_fn()(ss)
+
+
+    # -- dynamic time-management helpers (host side, g == 1) ----------
+
+    def _root_entropy_surprise(self, ss):
+        """Root policy entropy and search surprise
+        (Search::getPolicySurpriseAndEntropy): entropy of the raw root
+        prior, and the KL-ish surprise of the visit distribution
+        relative to it."""
+        prior = np.asarray(ss.tree.policy[0, 0, :])
+        legal = prior >= 0
+        p = np.where(legal, np.maximum(prior, 1e-30), 0.0)
+        p = p / max(p.sum(), 1e-30)
+        ent = float(-(p[legal] * np.log(np.maximum(p[legal], 1e-30))).sum())
+        children = np.asarray(ss.tree.children[0, 0, :])
+        visits = np.asarray(ss.tree.visits[0])
+        cv = np.where(children >= 0,
+                      visits[np.maximum(children, 0)], 0).astype(np.float64)
+        tot = cv.sum()
+        if tot <= 0:
+            return ent, 0.0
+        q = cv / tot
+        nzq = q > 0
+        surprise = float((q[nzq] * (np.log(q[nzq]) -
+                                    np.log(np.maximum(p[nzq], 1e-30)))).sum())
+        return ent, max(surprise, 0.0)
+
+    def _futile_stop(self, ss, hp, elapsed, planned, turn_number) -> bool:
+        """futileVisitsThreshold early stop
+        (searchtimehelpers.cpp:97-140): once the best-by-visits move is
+        also best-by-selection and no alternative can reach the
+        non-futile visit requirement in the time left, stop."""
+        from katago_tpu.search import timecontrols as TC
+        root_visits = float(np.asarray(ss.tree.visits[0, 0]))
+        if root_visits <= 1:
+            return False
+        ub_left = (planned - elapsed) / max(elapsed, 1e-9) * root_visits
+        children = np.asarray(ss.tree.children[0, 0, :])
+        visits = np.asarray(ss.tree.visits[0])
+        cv = np.where(children >= 0,
+                      visits[np.maximum(children, 0)], 0).astype(np.float64)
+        if cv.sum() <= 0:
+            return False
+        best = int(cv.argmax())
+        required = TC.num_visits_needed_to_be_non_futile(
+            hp, cv[best], turn_number, self.size ** 2)
+        if ub_left >= required:
+            return False
+        alt = np.delete(cv, best)
+        return bool((alt + ub_left < required).all())
 
 
 class AsyncSearch:

@@ -75,6 +75,18 @@ class SearchParams:
     # policy-smoothing pow of searchexplorehelpers.cpp:90 — the per-visit
     # random utility bonus dissolves in the lockstep batch)
     wide_root_noise: float = 0.0
+    # ---- host-side time-manager knobs (searchparams.h:139-156,
+    # Search::recomputeSearchTimeLimit) — consumed between chunks by the
+    # SearchDriver, never traced, so they are not in SearchParamsArr ----
+    overallocate_time_factor: float = 1.0
+    midgame_time_factor: float = 1.0
+    midgame_turn_peak_time: float = 130.0
+    endgame_turn_time_decay: float = 100.0
+    obvious_moves_time_factor: float = 1.0
+    obvious_moves_policy_entropy_tolerance: float = 0.30
+    obvious_moves_policy_surprise_tolerance: float = 0.15
+    futile_visits_threshold: float = 0.0
+    lag_buffer: float = 1.0
     playout_doubling_advantage: float = 0.0
     conservative_pass: bool = False
     # per-eval random dihedral symmetry (nnRandomize, nneval.h:169-179)

@@ -236,3 +236,56 @@ def visits_for_time_budget(recommended_s: float, playouts_per_s: float,
     while budget * 2 <= min(target, max_visits):
         budget *= 2
     return int(budget)
+
+
+def recompute_search_time_limit(sp, tc_rec: float, tc_max: float, *,
+                                turn_number: int, board_area: int,
+                                policy_entropy: float | None = None,
+                                policy_surprise: float | None = None
+                                ) -> float:
+    """Search::recomputeSearchTimeLimit (searchtimehelpers.cpp:37-97):
+    scale the clock's recommended time by overallocation, a midgame
+    weighting (think longest mid-game, tapering into the endgame), and
+    an obvious-move discount when the policy was confident and the
+    search agrees. sp: SearchParams (host fields)."""
+    import math
+    rec = tc_rec * sp.overallocate_time_factor
+    if sp.midgame_time_factor != 1.0:
+        scale = board_area / 361.0
+        t = max(float(turn_number), 0.0)
+        peak = sp.midgame_turn_peak_time * scale
+        if t < peak:
+            w = t / max(peak, 1e-9)
+        else:
+            w = math.exp(-(t - peak) /
+                         max(sp.endgame_turn_time_decay * scale, 1e-9))
+        w = min(max(w, 0.0), 1.0)
+        rec *= 1.0 + w * (sp.midgame_time_factor - 1.0)
+    if sp.obvious_moves_time_factor < 1.0 and policy_entropy is not None:
+        obv_e = math.exp(-policy_entropy /
+                         max(sp.obvious_moves_policy_entropy_tolerance,
+                             1e-9))
+        obv_s = math.exp(-(policy_surprise or 0.0) /
+                         max(sp.obvious_moves_policy_surprise_tolerance,
+                             1e-9))
+        obv = min(obv_e, obv_s)
+        rec *= 1.0 + obv * (sp.obvious_moves_time_factor - 1.0)
+    if tc_max and tc_max > 0:
+        rec = min(rec, tc_max)
+    return rec
+
+
+def num_visits_needed_to_be_non_futile(sp, max_visits_move_visits: float,
+                                       turn_number: int,
+                                       board_area: int) -> float:
+    """Search::numVisitsNeededToBeNonFutile (searchtimehelpers.cpp:10-20)."""
+    required = sp.futile_visits_threshold * max_visits_move_visits
+    halflife = sp.chosen_move_temperature_halflife * board_area / 361.0
+    import math
+    frac = 0.5 ** (turn_number / max(halflife, 1e-9))
+    temp = (sp.chosen_move_temperature
+            + (sp.chosen_move_temperature_early
+               - sp.chosen_move_temperature) * frac)
+    if temp < 1e-3:
+        return required
+    return min(required, max_visits_move_visits * (0.01 ** temp))

@@ -67,6 +67,17 @@ _PARAM_KEYS = {
     "policyOptimism": "policy_optimism",
     "rootPolicyOptimism": "root_policy_optimism",
     "wideRootNoise": "wide_root_noise",
+    "overallocateTimeFactor": "overallocate_time_factor",
+    "midgameTimeFactor": "midgame_time_factor",
+    "midgameTurnPeakTime": "midgame_turn_peak_time",
+    "endgameTurnTimeDecay": "endgame_turn_time_decay",
+    "obviousMovesTimeFactor": "obvious_moves_time_factor",
+    "obviousMovesPolicyEntropyTolerance":
+        "obvious_moves_policy_entropy_tolerance",
+    "obviousMovesPolicySurpriseTolerance":
+        "obvious_moves_policy_surprise_tolerance",
+    "futileVisitsThreshold": "futile_visits_threshold",
+    "lagBuffer": "lag_buffer",
 }
 
 # accepted-but-inapplicable keys (thread/GPU machinery the batched TPU

@@ -15,12 +15,7 @@ import jax  # noqa: E402
 # tunnel are ~100ms, which makes move-by-move engine tests crawl. Force CPU.
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent XLA compilation cache: jit compiles dominate suite wall-clock
-# (test_search alone spends ~10 min compiling); caching them on disk makes
-# re-runs start warm. Keyed by HLO hash, so stale entries are impossible.
-import os as _os  # noqa: E402
-_cache_dir = _os.environ.get("KATAGO_JAX_CACHE",
-                             "/tmp/katago_tpu_jax_cache")
-jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+# NOTE: the persistent XLA compilation cache (jax_compilation_cache_dir)
+# was tried here and reverted: the CPU AOT loader records stricter
+# machine features than the host reports, spamming feature-mismatch
+# errors and risking SIGILL on reload. Re-evaluate on real TPU runtimes.
