@@ -108,7 +108,8 @@ def run_training(data_dir: str, ckpt_dir: str, export_dir: str | None, *,
                  no_repeat_files: bool = False,
                  max_train_per_data: float | None = None,
                  export_swa: bool | None = None,
-                 log=print) -> dict:
+                 log=print,
+                 longterm_hours: float = 12.0) -> dict:
     from katago_tpu.models import config as MC
     from katago_tpu.models.model import KataGoModel
     from katago_tpu.parallel import mesh as M
@@ -255,14 +256,19 @@ def run_training(data_dir: str, ckpt_dir: str, export_dir: str | None, *,
                 f"({len(vals)} batches from {len(vfiles)} files)")
 
     final_step = start_step + steps_done
-    path = C.save_checkpoint(
-        ckpt_dir, state, final_step,
-        metadata={"global_step": final_step,
-                  "global_step_samples": final_step * batch_size,
-                  "config": config_name, "size": size,
-                  "swa_sample_accum": swa.accum,
-                  "data_serve_state": serve_state,
-                  "val_metrics": val_metrics})
+    meta = {"global_step": final_step,
+            "global_step_samples": final_step * batch_size,
+            "config": config_name, "size": size,
+            "swa_sample_accum": swa.accum,
+            "data_serve_state": serve_state,
+            "val_metrics": val_metrics}
+    path = C.save_checkpoint(ckpt_dir, state, final_step, metadata=meta)
+    # periodic never-pruned snapshots (train.py longterm checkpoints)
+    lt = C.maybe_save_longterm(ckpt_dir, state, final_step,
+                               every_s=longterm_hours * 3600.0,
+                               metadata=meta)
+    if lt:
+        log(f"longterm checkpoint: {lt}")
     if export_dir:
         C.export_params(export_dir, f"{config_name}-s{final_step}",
                         state.swa_params if export_swa
@@ -310,6 +316,10 @@ def main(argv=None):
                          "(train.py -max-train-bucket-per-new-data)")
     ap.add_argument("-optimizer", default="sgd",
                     choices=["sgd", "muon", "normuon", "polar"])
+    ap.add_argument("-longterm-checkpoint-hours", type=float, default=12.0,
+                    help="save a never-pruned snapshot into "
+                         "ckpt-dir/longterm_checkpoints at this interval "
+                         "(train.py:1884)")
     ap.add_argument("-multi-host", action="store_true",
                     help="jax.distributed.initialize (auto-detected "
                          "coordinator on TPU pods)")
@@ -329,7 +339,8 @@ def main(argv=None):
                        swa_scale=args.swa_scale,
                        val_dir=args.val_dir,
                        no_repeat_files=args.no_repeat_files,
-                       max_train_per_data=args.max_train_per_data)
+                       max_train_per_data=args.max_train_per_data,
+                       longterm_hours=args.longterm_checkpoint_hours)
     print(json.dumps(out))
 
 

@@ -37,6 +37,33 @@ def save_checkpoint(ckpt_dir: str, state: TrainState, step: int,
     return path
 
 
+def maybe_save_longterm(ckpt_dir: str, state: TrainState, step: int,
+                        every_s: float = 12 * 3600.0,
+                        metadata: dict | None = None) -> str | None:
+    """Periodic never-pruned snapshots (train.py:1358-1885 longterm
+    checkpoints, saved every 12h by default): writes into
+    ckpt_dir/longterm_checkpoints/ when the newest snapshot there is
+    older than every_s. Returns the path when one was written."""
+    import time
+    lt_dir = os.path.join(ckpt_dir, "longterm_checkpoints")
+    os.makedirs(lt_dir, exist_ok=True)
+    entries = [os.path.join(lt_dir, d) for d in os.listdir(lt_dir)
+               if d.startswith("step_")]
+    if entries:
+        newest = max(os.path.getmtime(e) for e in entries)
+        if time.time() - newest < every_s:
+            return None
+    path = os.path.abspath(os.path.join(lt_dir, f"step_{step:012d}"))
+    if os.path.exists(path):
+        return None
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, jax.device_get(state), force=True)
+    if metadata is not None:
+        with open(os.path.join(path, "train_metadata.json"), "w") as f:
+            json.dump(metadata, f)
+    return path
+
+
 def load_metadata(path: str) -> dict:
     """Read the sidecar train_metadata.json of a checkpoint (global step,
     samples, SWA accumulator, data-serving state); {} if absent."""

@@ -212,3 +212,30 @@ def test_window_power_law():
     w1 = SH.compute_window_size(10_000_000)
     assert 250_000 < w1 < 10_000_000
     assert SH.compute_window_size(10_000_000, max_rows=300_000) == 300_000
+
+
+def test_longterm_checkpoint_snapshots(tmp_path):
+    """Never-pruned periodic snapshots (train.py longterm checkpoints)."""
+    import os
+    import time
+
+    import jax.numpy as jnp
+
+    from katago_tpu.cli.checkpoint_tools_cmd import _template_state
+    from katago_tpu.train import checkpoint as C
+
+    state, _ = _template_state("b1c6", 5)
+    ckpt = str(tmp_path)
+    p1 = C.maybe_save_longterm(ckpt, state, 5, every_s=3600.0,
+                               metadata={"a": 1})
+    assert p1 and os.path.isdir(p1)
+    # within the interval: no new snapshot
+    assert C.maybe_save_longterm(ckpt, state, 6, every_s=3600.0) is None
+    # expired interval: snapshot saved, old one KEPT
+    old = os.path.join(ckpt, "longterm_checkpoints")
+    past = time.time() - 7200
+    for d in os.listdir(old):
+        os.utime(os.path.join(old, d), (past, past))
+    p2 = C.maybe_save_longterm(ckpt, state, 7, every_s=3600.0)
+    assert p2 and os.path.isdir(p1) and os.path.isdir(p2)
+    assert len(os.listdir(old)) == 2
