@@ -17,7 +17,7 @@ import argparse
 import json
 import os
 
-from katago_tpu.dataio.sgf import parse_sgf
+from katago_tpu.dataio.sgfscan import scan_sgf_or_parse
 from katago_tpu.utils import elo as E
 
 
@@ -41,21 +41,13 @@ def collect_records(paths: list[str]):
             chunk = chunk.strip()
             if not chunk:
                 continue
-            try:
-                games = parse_sgf(chunk)
-            except Exception:
+            g = scan_sgf_or_parse(chunk)   # native fast path
+            if g is None:
                 continue
-            for g in games:
-                black = g.root.get("PB") or "black"
-                white = g.root.get("PW") or "white"
-                res = (g.result or "").upper()
-                if res.startswith("B+"):
-                    winner = 1
-                elif res.startswith("W+"):
-                    winner = 2
-                else:
-                    winner = 0
-                records.append((black, white, winner))
+            black = g.black_name or "black"
+            white = g.white_name or "white"
+            winner = g.result if g.result in (1, 2) else 0
+            records.append((black, white, winner))
     players = sorted({r[0] for r in records} | {r[1] for r in records})
     idx = {p: i for i, p in enumerate(players)}
     n = len(players)

@@ -67,3 +67,29 @@ def test_roundtrip_with_trainingwrite():
     unpacked = N.unpack_bits_nchw_native(packed, area)
     np.testing.assert_array_equal(
         unpacked.reshape(n, 22, size, size).transpose(0, 2, 3, 1), spatial)
+
+
+def test_native_sgf_scanner_matches_python():
+    """native/sgfscan.cpp main-line scan == python parser facts."""
+    from katago_tpu.dataio import sgf as S
+    from katago_tpu.dataio.sgfscan import have_native, scan_sgf_or_parse
+
+    text = ("(;GM[1]FF[4]SZ[9]KM[5.5]HA[2]PB[ann]PW[bo\\]b]RE[B+R]"
+            "AB[cc][gg];W[ee];B[dd](;W[cd];B[ce])(;W[dg]))")
+    out = scan_sgf_or_parse(text)
+    game = S.parse_sgf(text)[0]
+    assert out.size == game.size
+    assert out.komi == game.komi
+    assert out.handicap == game.handicap
+    assert out.result_str == game.result == "B+R"
+    assert out.moves == game.moves()        # variations: first child only
+    assert out.setup_stones == game.setup_stones()
+    assert out.black_name == "ann"
+    # rectangular + pass + tt-as-pass
+    t2 = "(;SZ[5:3]KM[0];B[];W[ab];B[tt])"
+    o2 = scan_sgf_or_parse(t2)
+    g2 = S.parse_sgf(t2)[0]
+    assert o2.size == (5, 3) and o2.moves == g2.moves()
+    if have_native():
+        from katago_tpu.dataio.sgfscan import scan_sgf
+        assert scan_sgf(text).moves == out.moves
