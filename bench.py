@@ -15,13 +15,24 @@ with TensorRT (README.md "OpenCL vs CUDA vs TensorRT vs Eigen" ranks
 TensorRT fastest). vs_baseline is playouts/s divided by that figure;
 the BASELINE.json target is >= 5x.
 
+Robustness: when run as the top-level driver entry, the ladders-on
+attempt executes in a child process with a hard timeout — the known
+failure mode on the tunneled TPU runtime is the remote compiler
+stalling on the combined ladder+search graph, which hangs rather than
+raising. On timeout/crash the bench re-runs ladders-off so a round
+always records a real number (the metric name flags the downgrade).
+
 Environment knobs:
   BENCH_QUICK=1   small config (9x9 b6c96, 64 games, 64 visits) for CI
   BENCH_VISITS/BENCH_GAMES/BENCH_NO_LADDERS   overrides for bisection
+  BENCH_CHILD=1   (internal) run the measurement directly, no fallback
+  BENCH_ATTEMPT_TIMEOUT   seconds for the ladders-on attempt (1800)
 """
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 import jax
@@ -116,5 +127,38 @@ def main():
     }))
 
 
+def main_with_fallback():
+    """Attempt the full config in a child; fall back to ladders-off."""
+    if (os.environ.get("BENCH_CHILD") or os.environ.get("BENCH_QUICK")
+            or os.environ.get("BENCH_NO_LADDERS")):
+        main()
+        return
+    env = dict(os.environ, BENCH_CHILD="1")
+    budget = int(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "1800"))
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, timeout=budget)
+        lines = [ln for ln in out.stdout.splitlines()
+                 if ln.startswith("{")]
+        if out.returncode == 0 and lines:
+            print(lines[-1])
+            return
+    except subprocess.TimeoutExpired:
+        pass
+    # ladders-on stalled or failed: measure ladders-off so the round
+    # still records a genuine number, flagged in the metric name
+    env["BENCH_NO_LADDERS"] = "1"
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)], env=env,
+        capture_output=True, text=True, timeout=budget)
+    lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+    if lines:
+        print(lines[-1])
+    else:
+        sys.stderr.write(out.stderr[-2000:])
+        raise SystemExit(1)
+
+
 if __name__ == "__main__":
-    main()
+    main_with_fallback()

@@ -38,9 +38,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from katago_tpu.game import benson
 from katago_tpu.game import board as B
 from katago_tpu.game import graphhash as GH
 from katago_tpu.game import history as H
+from katago_tpu.game import rules as R
 from katago_tpu.models import features as F
 from katago_tpu.ops import symmetry as SYM
 from katago_tpu.search.params import SearchParamsArr
@@ -105,6 +107,10 @@ class SearchState(NamedTuple):
                                  # tree-averaged ownership of
                                  # searchresults.cpp getAverageTreeOwnership)
     own_weight: jax.Array        # f32
+    ending_bonus: jax.Array      # f32[A] white-persp per-root-move score
+                                 # bonus (getEndingWhiteScoreBonus,
+                                 # searchhelpers.cpp:351-420); zeros when
+                                 # rootEndingBonusPoints is 0
 
 
 class LeafEval(NamedTuple):
@@ -297,6 +303,14 @@ def select_path(ss: SearchState, sp: SearchParamsArr, max_depth: int,
             total_cw + TOTALCHILDWEIGHT_PUCT_OFFSET) * stdev_factor
 
         child_util = jnp.where(has_child, cu, fpu)
+        # root ending bonus -> utility via the score-utility derivative
+        # at the parent's average score (searchhelpers.cpp:587-589)
+        parent_score = tree.score_mean_sum[node] / w
+        deriv = score_utility_derivative(parent_score, sp,
+                                         ss.dyn_score_center,
+                                         ss.sqrt_board_area)
+        child_util = child_util + jnp.where(is_root,
+                                            ss.ending_bonus * deriv, 0.0)
         value_comp = jnp.where(is_white, child_util, -child_util)
         if mirror is not None:
             from katago_tpu.search import mirror as MIR
@@ -1017,6 +1031,7 @@ def init_search(model_apply: Callable, model_params: Any,
         bias_weight=jnp.zeros((g, BIAS_TABLE_SIZE), jnp.float32),
         own_sum=jnp.zeros((g, nn), jnp.float32),
         own_weight=jnp.zeros((g,), jnp.float32),
+        ending_bonus=jnp.zeros((g, nn + 1), jnp.float32),
     )
 
     # root NN eval, averaged over root_num_symmetries sampled dihedral
@@ -1057,6 +1072,11 @@ def init_search(model_apply: Callable, model_params: Any,
         return jnp.where(legal_m, p, -1.0)
     root_ev = root_ev._replace(policy=jnp.where(
         sp.wide_root_noise > 0.0, widen(root_ev.policy), root_ev.policy))
+
+    # per-root-move ending score bonuses (rootEndingBonusPoints)
+    ss = ss._replace(ending_bonus=jax.vmap(
+        lambda gs_i, ow: root_ending_bonus(gs_i, ow, sp, size)
+    )(roots, root_ev.ownership))
 
     # dynamic score center from the root NN (search.cpp:1148-1150)
     expected = root_ev.score_mean
@@ -1417,6 +1437,60 @@ def extract_pv(tree: Tree, max_len: int = 15,
     (_, _), moves = jax.lax.scan(
         body, (start, start < 0), None, length=max_len)
     return moves, jnp.sum((moves >= 0).astype(jnp.int32))
+
+
+def root_ending_bonus(gs: H.GameState, own_white: jax.Array,
+                      sp: SearchParamsArr, size: int) -> jax.Array:
+    """getEndingWhiteScoreBonus (searchhelpers.cpp:351-420): per-root-move
+    white-perspective score bonuses, scaled by rootEndingBonusPoints.
+
+    Area-ish scoring: discourage playing inside either side's settled
+    territory (per the root NN ownership), except captures and except
+    own-territory points adjacent to opponent stones or connecting
+    non-pass-alive own groups; with a button, slightly discourage
+    passing. Territory scoring: additionally discourage passing so dame
+    get filled in the main phase. Single game; vmap over the batch."""
+    nn = size * size
+    stones = gs.pos.board.stones
+    pla = gs.pos.to_move
+    opp = B.opponent(pla)
+    labels = B.connected_labels(stones, size)
+    libs = B.chain_liberties(stones, labels, size)
+    area_ish = (gs.rules.scoring_rule == R.SCORING_AREA) \
+        | (gs.pos.encore_phase >= 2)
+    own_pla = jnp.where(pla == B.WHITE, own_white, -own_white)
+    extreme, tail = 0.95, 0.05
+
+    nbr_s = B.shift4(stones, size, B.WALL)
+    nbr_libs = B.shift4(libs, size, jnp.int32(0))
+    nbr_lab = B.shift4(labels, size, jnp.int32(nn))
+    would_capture = jnp.any((nbr_s == opp) & (nbr_libs == 1), axis=0)
+    adj_opp = jnp.any(nbr_s == opp, axis=0)
+    # own non-pass-alive group connection (Board::isNonPassAliveSelfConnection)
+    safe_all, _ = benson.pass_alive_area_for(
+        stones, pla, gs.rules.multi_suicide, size,
+        jnp.bool_(False), jnp.bool_(False))
+    nbr_safe = B.shift4(safe_all.astype(jnp.int32), size, jnp.int32(1)) > 0
+    nonpa_own = (nbr_s == pla) & ~nbr_safe
+    lab_or_big = jnp.where(nonpa_own, nbr_lab, nn)
+    srt = jnp.sort(lab_or_big, axis=0)
+    distinct = (srt[0] < nn).astype(jnp.int32) + jnp.sum(
+        ((srt[1:] != srt[:-1]) & (srt[1:] < nn)).astype(jnp.int32), axis=0)
+    self_conn = distinct >= 2
+
+    opp_owned = jnp.clip((-extreme - own_pla) / tail, 0.0, 1.0)
+    own_owned = jnp.clip((own_pla - extreme) / tail, 0.0, 1.0)
+    own_owned = jnp.where(adj_opp | self_conn, 0.0, own_owned)
+    pen = jnp.where(area_ish,
+                    jnp.where(would_capture, 0.0, opp_owned) + own_owned,
+                    opp_owned + own_owned)
+    pen = jnp.where(gs.pos.board.ko_loc < 0, pen, 0.0)
+    pass_pen = jnp.where(area_ish,
+                         jnp.where(gs.rules.has_button, 0.5, 0.0),
+                         jnp.float32(2.0 / 3.0))
+    extra = jnp.concatenate([-pen, -pass_pen[None]]) \
+        * sp.root_ending_bonus_points
+    return jnp.where(pla == B.WHITE, extra, -extra)
 
 
 def run_search(model_apply: Callable, model_params: Any,

@@ -75,6 +75,10 @@ class SearchParams:
     # policy-smoothing pow of searchexplorehelpers.cpp:90 — the per-visit
     # random utility bonus dissolves in the lockstep batch)
     wide_root_noise: float = 0.0
+    # endgame shaping: discourage pointless territory fills / encourage
+    # dame-filling (rootEndingBonusPoints, searchparams.cpp:66; standard
+    # gtp/match presets use 0.5, searchparams.cpp:288)
+    root_ending_bonus_points: float = 0.0
     # ---- host-side time-manager knobs (searchparams.h:139-156,
     # Search::recomputeSearchTimeLimit) — consumed between chunks by the
     # SearchDriver, never traced, so they are not in SearchParamsArr ----
@@ -167,6 +171,7 @@ class SearchParams:
             policy_optimism=f(self.policy_optimism),
             root_policy_optimism=f(self.root_policy_optimism),
             wide_root_noise=f(self.wide_root_noise),
+            root_ending_bonus_points=f(self.root_ending_bonus_points),
             playout_doubling_advantage=f(self.playout_doubling_advantage),
             conservative_pass=jnp.bool_(self.conservative_pass),
             nn_random_symmetry=jnp.bool_(self.nn_random_symmetry),
@@ -216,6 +221,7 @@ class SearchParamsArr(NamedTuple):
     policy_optimism: jax.Array
     root_policy_optimism: jax.Array
     wide_root_noise: jax.Array
+    root_ending_bonus_points: jax.Array
     playout_doubling_advantage: jax.Array
     conservative_pass: jax.Array
     nn_random_symmetry: jax.Array

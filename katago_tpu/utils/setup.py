@@ -67,6 +67,7 @@ _PARAM_KEYS = {
     "policyOptimism": "policy_optimism",
     "rootPolicyOptimism": "root_policy_optimism",
     "wideRootNoise": "wide_root_noise",
+    "rootEndingBonusPoints": "root_ending_bonus_points",
     "overallocateTimeFactor": "overallocate_time_factor",
     "midgameTimeFactor": "midgame_time_factor",
     "midgameTurnPeakTime": "midgame_turn_peak_time",

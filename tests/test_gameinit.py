@@ -49,7 +49,7 @@ def test_specs_to_rules_arrays_mixed_batch():
     p = GI.GameInitParams(allowed_sizes=(7,), komi_stdev=2.0)
     rng = np.random.default_rng(1)
     specs = GI.sample_game_specs(p, 8, rng)
-    rules, nh, comp, fork = GI.specs_to_rules_arrays(specs)
+    rules, nh, comp, fork, starts = GI.specs_to_rules_arrays(specs)
     assert rules.ko_rule.shape == (8,)
     assert rules.komi.shape == (8,)
 
@@ -86,7 +86,7 @@ def test_play_games_with_gameinit_diversity():
     specs[0].num_handicap = 2
     specs[0].compensate_komi = True
     specs[1].early_fork = True
-    grules, nh, comp, fork = GI.specs_to_rules_arrays(specs)
+    grules, nh, comp, fork, starts = GI.specs_to_rules_arrays(specs)
 
     cfg = MC.get_config("b1c6")
     model = KataGoModel(cfg, pos_len=size, dtype=jnp.float32)

@@ -374,3 +374,42 @@ def test_policy_optimism_and_wide_root_noise():
     assert pw[legal].max() < p0[legal].max()   # widened prior is flatter
     for r in (r0, r_opt, r_wide):
         assert (np.asarray(r.root_visits) == 9).all()
+
+
+def test_root_ending_bonus():
+    """getEndingWhiteScoreBonus (searchhelpers.cpp:351-420): settled
+    territory fills are discouraged; dame/captures are not; territory
+    rules discourage passing."""
+    gs = H.new_game(SIZE, H.RulesArr.from_rules(R.Rules.tromp_taylorish()),
+                    32)
+    # black wall on column 1: loc x=1 each row; black "owns" column 0
+    for y in range(SIZE):
+        gs = H.replace_pos(gs, to_move=jnp.int32(1))
+        gs, _ = H.step(gs, jnp.int32(y * SIZE + 1), SIZE)
+    own = np.zeros(SIZE * SIZE, np.float32)
+    own[[y * SIZE for y in range(SIZE)]] = 1.0    # column 0: black-owned
+    own[[y * SIZE + 1 for y in range(SIZE)]] = 1.0
+    own[[y * SIZE + 4 for y in range(SIZE)]] = -1.0  # column 4: white's
+    # black to move; ownership is white-persp, so black-owned = -1
+    gs = H.replace_pos(gs, to_move=jnp.int32(1))
+    sp = SearchParams(root_ending_bonus_points=0.5).to_arr()
+    bonus = mcts.root_ending_bonus(gs, jnp.asarray(-own), sp, SIZE)
+    bonus = np.asarray(bonus)
+    # black playing in its own settled territory (column 0, not adjacent
+    # to white): discouraged => bonus negative for black => positive in
+    # white perspective? extra is root-player persp then flipped; black
+    # root => white-persp bonus positive
+    assert bonus[2 * SIZE + 0] > 0.0
+    # neutral center point: no bonus
+    assert bonus[2 * SIZE + 2] == 0.0
+    # playing inside white's settled territory: also discouraged
+    assert bonus[2 * SIZE + 4] > 0.0
+    # area rules without button: pass not penalized
+    assert bonus[SIZE * SIZE] == 0.0
+    # territory rules: pass discouraged (2/3 points)
+    jrules = R.Rules.parse("japanese")
+    gs2 = H.replace_pos(gs._replace(rules=H.RulesArr.from_rules(jrules)),
+                        to_move=jnp.int32(1))
+    b2 = np.asarray(mcts.root_ending_bonus(gs2, jnp.asarray(-own), sp,
+                                           SIZE))
+    assert abs(b2[SIZE * SIZE] - 0.5 * 2.0 / 3.0) < 1e-6
