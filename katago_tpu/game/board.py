@@ -121,6 +121,11 @@ def shift4(x: jax.Array, size: int, pad_val) -> jax.Array:
     return jnp.stack([up, down, left, right]).reshape(4, size * size)
 
 
+import os as _os
+
+_PALLAS_LABELS = _os.environ.get("KATAGO_PALLAS_LABELS", "") not in ("", "0")
+
+
 def connected_labels(values: jax.Array, size: int) -> jax.Array:
     """Label connected components of equal values.
 
@@ -133,6 +138,12 @@ def connected_labels(values: jax.Array, size: int) -> jax.Array:
     neighbors, then pointer-jump (label <- label[label]), giving O(log d)
     convergence for chains of diameter d.
     """
+    if _PALLAS_LABELS and jax.default_backend() == "tpu":
+        # opt-in fused TPU kernel (ops/labels_pallas.py): fixed log-depth
+        # iteration in VMEM instead of the data-dependent while_loop —
+        # KATAGO_PALLAS_LABELS=1 to enable, pending tunnel validation
+        from katago_tpu.ops.labels_pallas import connected_labels_batch
+        return connected_labels_batch(values[None, :], size)[0]
     nn = size * size
     idx = jnp.arange(nn, dtype=jnp.int32)
     same = shift4(values, size, WALL) == values[None, :]  # [4, NN]
