@@ -67,7 +67,11 @@ class AnalysisEngine:
                         num_sims=visits, max_nodes=visits + 3))
         return self._search_cache[key]
 
-    def handle(self, req: dict) -> list[dict]:
+    def handle(self, req: dict, emit=None) -> list[dict]:
+        """emit: optional callable(resp_dict) for streaming partial
+        reports (reportDuringSearchEvery, Analysis_Engine.md) — partial
+        responses carry isDuringSearch=true, the returned final ones
+        isDuringSearch=false."""
         action = req.get("action")
         if action == "query_version":
             return [{"id": req.get("id"), "action": "query_version",
@@ -89,11 +93,28 @@ class AnalysisEngine:
         if self.model_apply is None:
             return [{"id": rid, "error": "no model loaded (start with -model <file>)"}]
         try:
-            return self._analyze(req)
+            return self._analyze(req, emit)
         except Exception as e:  # noqa: BLE001 — protocol answers, not dies
             return [{"id": rid, "error": f"{type(e).__name__}: {e}"}]
 
-    def _analyze(self, req: dict) -> list[dict]:
+    def _driver(self, size: int, visits: int):
+        key = ("driver", size)
+        if key not in self._search_cache:
+            from katago_tpu.search.driver import SearchDriver
+            sp = SearchParams(
+                root_noise_enabled=False, cpuct_exploration_log=0.45,
+                static_score_utility_factor=0.1,
+                dynamic_score_utility_factor=0.3).to_arr()
+            self._search_cache[key] = SearchDriver(
+                self.model_apply, None, sp, size=size,
+                max_nodes=visits + 3, chunk_size=max(visits // 8, 4))
+        d = self._search_cache[key]
+        if d.max_nodes < visits + 3:   # bigger budget: rebuild
+            del self._search_cache[key]
+            return self._driver(size, visits)
+        return d
+
+    def _analyze(self, req: dict, emit=None) -> list[dict]:
         rid = req["id"]
         xs = int(req.get("boardXSize", 19))
         ys = int(req.get("boardYSize", xs))
@@ -156,6 +177,7 @@ class AnalysisEngine:
             pla_char = "B" if int(state.pos.to_move) == B.BLACK else "W"
             avoid = vertex_set(req.get("avoidMoves"), pla_char)
             allow = vertex_set(req.get("allowMoves"), pla_char)
+            mask = None
             if avoid or allow:
                 mask = np.ones((1, nn + 1), bool)
                 if allow:
@@ -164,12 +186,34 @@ class AnalysisEngine:
                         mask[0, l] = True
                 for l in avoid:
                     mask[0, l] = False
+            report_every = req.get("reportDuringSearchEvery")
+            if report_every is not None and emit is not None:
+                # streaming partial reports through the chunked driver
+                driver = self._driver(size, visits)
+
+                def cb(partial, elapsed, _turn=turn, _state=state):
+                    resp = self._response(rid, _turn, _state, partial,
+                                          size, xs, ys, want_ownership,
+                                          want_policy)
+                    resp["isDuringSearch"] = True
+                    emit(resp)
+
+                res = driver.search(
+                    roots, sub, max_visits=visits,
+                    root_allowed_mask=(jnp.asarray(mask)
+                                       if mask is not None else None),
+                    callback=cb,
+                    callback_interval=float(report_every))
+            elif mask is not None:
                 res = self._search_fn(size, visits, masked=True)(
                     roots, sub, jnp.asarray(mask))
             else:
                 res = self._search_fn(size, visits)(roots, sub)
-            out.append(self._response(rid, turn, state, res, size, xs, ys,
-                                      want_ownership, want_policy))
+            resp = self._response(rid, turn, state, res, size, xs, ys,
+                                  want_ownership, want_policy)
+            if report_every is not None:
+                resp["isDuringSearch"] = False
+            out.append(resp)
         return out
 
     def _response(self, rid, turn, state, res, size, xs, ys, want_ownership,
@@ -264,7 +308,8 @@ def main(argv=None):
         except json.JSONDecodeError as e:
             print(json.dumps({"error": f"bad json: {e}"}), flush=True)
             continue
-        responses = engine.handle(req)
+        responses = engine.handle(
+            req, emit=lambda r: print(json.dumps(r), flush=True))
         for resp in responses:
             print(json.dumps(resp), flush=True)
         if req.get("action") == "terminate":

@@ -54,9 +54,10 @@ class SearchDriver:
             self._jits[key] = build()
         return self._jits[key]
 
-    def init_fn(self, reuse: bool, reuse_actions: bool = False):
+    def init_fn(self, reuse: bool, reuse_actions: bool = False,
+                masked: bool = False):
         def build():
-            def f(roots, rng, mirror, *prev):
+            def f(roots, rng, mirror, mask, *prev):
                 pt = prev[0] if prev else None
                 pa = prev[1] if len(prev) > 1 else None
                 return mcts.init_search(
@@ -64,9 +65,13 @@ class SearchDriver:
                     rng, size=self.size, max_nodes=self.max_nodes,
                     with_ladders=self._with_ladders, prev_tree=pt,
                     prev_actions=pa, mirror=mirror,
+                    root_allowed_mask=mask,
                     root_num_symmetries=self.root_num_symmetries)
-            return jax.jit(f)
-        return self._get(("init", reuse, reuse_actions), build)
+            if masked:
+                return jax.jit(f)
+            return jax.jit(lambda roots, rng, mirror, *prev: f(
+                roots, rng, mirror, None, *prev))
+        return self._get(("init", reuse, reuse_actions, masked), build)
 
     def chunk_fn(self):
         def build():
@@ -105,6 +110,7 @@ class SearchDriver:
                time_max: float | None = None,
                turn_number: int = 0,
                host_params=None,
+               root_allowed_mask=None,
                mirror=None, pattern_bonus=None) -> mcts.SearchResult:
         """Run a time/visit/interrupt-bounded search.
 
@@ -129,13 +135,17 @@ class SearchDriver:
         """
         g = roots.hist_len.shape[0]
         rng, r_init = jax.random.split(rng)
+        masked = root_allowed_mask is not None
+        margs = (root_allowed_mask,) if masked else ()
         if prev_tree is not None and prev_actions is not None:
-            ss = self.init_fn(True, True)(roots, r_init, mirror, prev_tree,
-                                          prev_actions)
+            ss = self.init_fn(True, True, masked)(
+                roots, r_init, mirror, *margs, prev_tree, prev_actions)
         elif prev_tree is not None:
-            ss = self.init_fn(True)(roots, r_init, mirror, prev_tree)
+            ss = self.init_fn(True, masked=masked)(
+                roots, r_init, mirror, *margs, prev_tree)
         else:
-            ss = self.init_fn(False)(roots, r_init, mirror)
+            ss = self.init_fn(False, masked=masked)(
+                roots, r_init, mirror, *margs)
 
         if time_rec is not None and max_time is None:
             max_time = time_rec   # refined between chunks below

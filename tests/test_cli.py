@@ -171,3 +171,39 @@ def test_analysis_avoid_allow_moves(tmp_path):
                        "avoidMoves": [{"player": "B", "moves": ["C3"],
                                        "untilDepth": 1}]})
     assert "C3" not in {mi["move"] for mi in out2[0]["moveInfos"]}
+
+
+def test_analysis_report_during_search(tmp_path):
+    """reportDuringSearchEvery streams partial responses with
+    isDuringSearch=true before the final one (Analysis_Engine.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    from katago_tpu.cli.analysis import AnalysisEngine
+    from katago_tpu.models import config as MC
+    from katago_tpu.models.model import KataGoModel
+
+    size = 5
+    model = KataGoModel(MC.get_config("b1c6"), pos_len=size,
+                        dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, size, size, 22)),
+                        jnp.zeros((1, 19)))
+    eng = AnalysisEngine(None, default_visits=16)
+    eng.model_apply = lambda p, s, g: model.apply(params, s, g)
+    partial = []
+    out = eng.handle({"id": "s1", "boardXSize": 5, "boardYSize": 5,
+                      "rules": "tromp-taylor", "moves": [],
+                      "maxVisits": 24,
+                      "reportDuringSearchEvery": 0.0},
+                     emit=partial.append)
+    assert len(out) == 1
+    final = out[0]
+    assert final.get("isDuringSearch") is False
+    assert final["rootInfo"]["visits"] == 24
+    # at least one partial report streamed, marked and well-formed
+    assert partial
+    assert all(p["isDuringSearch"] for p in partial)
+    assert all("moveInfos" in p for p in partial)
+    # partial visits never exceed the final count
+    assert all(p["rootInfo"]["visits"] <= 24 for p in partial)
