@@ -99,7 +99,10 @@ class PosState(NamedTuple):
     button_taken: jax.Array       # bool
     button_for: jax.Array         # int32 0/1/2
     game_over: jax.Array          # bool
-    recent_moves: jax.Array       # int32[5], most recent first, NN=pass, -1=none
+    recent_moves: jax.Array       # int32[8], most recent first, NN=pass,
+                                  # -1=none (featurizer reads 5; root
+                                  # useless-move pruning inspects the
+                                  # opponent's last 4, indices 0/2/4/6)
     turns_this_phase: jax.Array   # int32: moves since the last phase start
     #   (numApproxValidTurnsThisPhase, boardhistory.cpp:1051 — the V7
     #   featurizer wipes move history across phase changes)
@@ -276,7 +279,7 @@ def new_pos(size: int, shape_mask=None) -> PosState:
         button_taken=jnp.bool_(False),
         button_for=jnp.int32(0),
         game_over=jnp.bool_(False),
-        recent_moves=jnp.full((5,), -1, jnp.int32),
+        recent_moves=jnp.full((8,), -1, jnp.int32),
         turns_this_phase=jnp.int32(0),
         simple_ko_loc=jnp.int32(-1),
         prev_stones=board.stones.astype(jnp.int8),

@@ -1115,6 +1115,28 @@ def init_search(model_apply: Callable, model_params: Any,
         # disallowed root moves get an illegal prior so the search never
         # tries them
         root_pol = jnp.where(root_allowed_mask, root_pol, -1.0)
+
+    # rootPruneUselessMoves (isAllowedRootMove, searchhelpers.cpp:311-341):
+    # after the opponent passed four times in a row, never play inside
+    # either side's pass-alive area (stops pass-vs-fill stalling loops)
+    def useless_root_moves(gs):
+        rm = gs.pos.recent_moves
+        opp_passed4 = jnp.all(rm[jnp.array([0, 2, 4, 6])] >= nn)
+        stones_r = gs.pos.board.stones
+        safe_pla, _ = benson.pass_alive_area_for(
+            stones_r, gs.pos.to_move, gs.rules.multi_suicide, size,
+            jnp.bool_(False), jnp.bool_(False))
+        safe_opp, _ = benson.pass_alive_area_for(
+            stones_r, B.opponent(gs.pos.to_move), gs.rules.multi_suicide,
+            size, jnp.bool_(False), jnp.bool_(False))
+        banned = (safe_pla | safe_opp) & opp_passed4 \
+            & sp.root_prune_useless_moves
+        return jnp.concatenate([banned, jnp.zeros((1,), bool)])
+
+    banned = jax.vmap(useless_root_moves)(roots)
+    # never ban every move: if the mask would empty the root, drop it
+    any_left = jnp.any((root_pol >= 0) & ~banned, axis=1, keepdims=True)
+    root_pol = jnp.where(banned & any_left, -1.0, root_pol)
     root_ev = root_ev._replace(policy=root_pol)
 
     # install root node (index 0) per game

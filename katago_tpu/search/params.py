@@ -79,6 +79,10 @@ class SearchParams:
     # dame-filling (rootEndingBonusPoints, searchparams.cpp:66; standard
     # gtp/match presets use 0.5, searchparams.cpp:288)
     root_ending_bonus_points: float = 0.0
+    # forbid root moves in either side's pass-alive area after the
+    # opponent passed four times in a row (isAllowedRootMove,
+    # searchhelpers.cpp:311-341)
+    root_prune_useless_moves: bool = False
     # ---- host-side time-manager knobs (searchparams.h:139-156,
     # Search::recomputeSearchTimeLimit) — consumed between chunks by the
     # SearchDriver, never traced, so they are not in SearchParamsArr ----
@@ -172,6 +176,8 @@ class SearchParams:
             root_policy_optimism=f(self.root_policy_optimism),
             wide_root_noise=f(self.wide_root_noise),
             root_ending_bonus_points=f(self.root_ending_bonus_points),
+            root_prune_useless_moves=jnp.bool_(
+                self.root_prune_useless_moves),
             playout_doubling_advantage=f(self.playout_doubling_advantage),
             conservative_pass=jnp.bool_(self.conservative_pass),
             nn_random_symmetry=jnp.bool_(self.nn_random_symmetry),
@@ -222,6 +228,7 @@ class SearchParamsArr(NamedTuple):
     root_policy_optimism: jax.Array
     wide_root_noise: jax.Array
     root_ending_bonus_points: jax.Array
+    root_prune_useless_moves: jax.Array
     playout_doubling_advantage: jax.Array
     conservative_pass: jax.Array
     nn_random_symmetry: jax.Array

@@ -68,6 +68,7 @@ _PARAM_KEYS = {
     "rootPolicyOptimism": "root_policy_optimism",
     "wideRootNoise": "wide_root_noise",
     "rootEndingBonusPoints": "root_ending_bonus_points",
+    "rootPruneUselessMoves": "root_prune_useless_moves",
     "overallocateTimeFactor": "overallocate_time_factor",
     "midgameTimeFactor": "midgame_time_factor",
     "midgameTurnPeakTime": "midgame_turn_peak_time",

@@ -150,5 +150,6 @@ def test_recent_moves_tracking():
     locs = [3, 7, 11]
     for l in locs:
         gs, _ = H.step(gs, jnp.int32(l), size)
-    np.testing.assert_array_equal(np.asarray(gs.recent_moves),
-                                  np.array([11, 7, 3, -1, -1], np.int32))
+    np.testing.assert_array_equal(
+        np.asarray(gs.recent_moves),
+        np.array([11, 7, 3, -1, -1, -1, -1, -1], np.int32))

@@ -413,3 +413,39 @@ def test_root_ending_bonus():
     b2 = np.asarray(mcts.root_ending_bonus(gs2, jnp.asarray(-own), sp,
                                            SIZE))
     assert abs(b2[SIZE * SIZE] - 0.5 * 2.0 / 3.0) < 1e-6
+
+
+def test_root_prune_useless_moves():
+    """isAllowedRootMove (searchhelpers.cpp:311-341): after four opponent
+    passes, pass-alive-area moves are pruned at the root."""
+    # black corner group that is pass-alive on 5x5: eyes at 0 and 2,
+    # fully enclosed by ONE chain (1,3 joined through 8)
+    stones = [1, 3, 5, 6, 7, 8, 2 * SIZE + 0, 2 * SIZE + 1,
+              2 * SIZE + 2, 2 * SIZE + 3]
+    gs = H.new_game(SIZE, H.RulesArr.from_rules(R.Rules.tromp_taylorish()),
+                    64)
+    for l in stones:
+        gs = H.replace_pos(gs, to_move=jnp.int32(1))
+        gs, _ = H.step(gs, jnp.int32(l), SIZE)
+    # opponent (white) passed 4 times, black moves between
+    nnp = SIZE * SIZE
+    rm = np.full(8, -1, np.int32)
+    rm[[0, 2, 4, 6]] = nnp     # white's last four: passes
+    rm[[1, 3, 5]] = 20         # black's interleaved board moves
+    gs = H.replace_pos(gs, recent_moves=jnp.asarray(rm),
+                       to_move=jnp.int32(1))
+    roots = jax.tree.map(lambda x: jnp.broadcast_to(x, (1,) + x.shape).copy(),
+                         gs)
+    res_on = run(neutral_model(), roots,
+                 sp=SearchParams(root_noise_enabled=False,
+                                 root_prune_useless_moves=True),
+                 num_sims=30)
+    res_off = run(neutral_model(), roots,
+                  sp=SearchParams(root_noise_enabled=False), num_sims=30)
+    pol_on = np.asarray(res_on.root_policy_prior[0])
+    pol_off = np.asarray(res_off.root_policy_prior[0])
+    # the pass-alive eye at loc 0 is prunable when enabled
+    assert pol_on[0] < 0 and pol_off[0] >= 0
+    # moves outside the safe area stay available
+    assert pol_on[3 * SIZE + 3] >= 0
+    assert (np.asarray(res_on.root_visits) == 31).all()
