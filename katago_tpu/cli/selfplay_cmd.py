@@ -164,7 +164,11 @@ def run_selfplay(output_dir: str, models_dir: str | None, *, size: int,
         for bsize, arrays in shard_arrays:
             shard = os.path.join(
                 tdata_dir, f"batch{batch_i:06d}_{seed}_s{bsize}.npz")
-            np.savez_compressed(shard, **arrays)
+            # write-then-rename so concurrent readers (async loop's
+            # shuffler) never see a half-written file
+            tmp = shard + ".tmp.npz"
+            np.savez_compressed(tmp, **arrays)
+            os.replace(tmp, shard)
         with open(os.path.join(sgf_dir,
                                f"batch{batch_i:06d}_{seed}.sgfs"),
                   "w") as f:

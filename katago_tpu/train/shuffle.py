@@ -45,9 +45,15 @@ def compute_window_size(total_rows: int, *, min_rows: int = 250_000,
 
 
 def _count_rows(path: str) -> int:
-    with np.load(path) as z:
-        k = next(iter(z.keys()))
-        return z[k].shape[0]
+    try:
+        with np.load(path) as z:
+            k = next(iter(z.keys()))
+            return z[k].shape[0]
+    except Exception:
+        # unreadable shard (e.g. a concurrent writer mid-write, or a
+        # truncated file after a crash): skip it rather than die — the
+        # reference's shuffler tolerates bad files the same way
+        return 0
 
 
 def shuffle_npz_files(in_files: list[str], out_dir: str, *,
