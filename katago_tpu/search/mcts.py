@@ -1049,13 +1049,15 @@ def init_search(model_apply: Callable, model_params: Any,
             raw, legal, roots.pos.to_move, ss.dyn_score_center,
             ss.sqrt_board_area, root_policy_temp), legal
 
+    root_legal = None
     if root_num_symmetries <= 1:
-        root_ev, _ = eval_with_sym(None)
+        root_ev, root_legal = eval_with_sym(None)
     else:
         rng, sym_key = jax.random.split(rng)
         syms = jax.random.randint(sym_key, (root_num_symmetries, g), 0, 8)
-        evs = [eval_with_sym(syms[i])[0]
-               for i in range(root_num_symmetries)]
+        ev0, root_legal = eval_with_sym(syms[0])
+        evs = [ev0] + [eval_with_sym(syms[i])[0]
+                       for i in range(1, root_num_symmetries)]
         root_ev = jax.tree.map(
             lambda *xs: sum(xs) / float(len(xs)), *evs)
         # policy: illegal slots are -1 in every image (legality is
@@ -1134,6 +1136,46 @@ def init_search(model_apply: Callable, model_params: Any,
         return jnp.concatenate([banned, jnp.zeros((1,), bool)])
 
     banned = jax.vmap(useless_root_moves)(roots)
+
+    # rootSymmetryPruning (markDuplicateMoveLocs, nninputs.cpp:675-760):
+    # on positions invariant under dihedral symmetries (and free of any
+    # ko/superko bans), keep one representative move per symmetry orbit
+    # — the corner-convention representative — and prune the duplicates
+    def sym_dup_moves(gs, legal_g):
+        perm = jnp.asarray(SYM.loc_perm(size))[:, :nn]        # [8, NN]
+        stones_r = gs.pos.board.stones
+        inv = jnp.all(stones_r[None, :] == stones_r[perm], axis=1)  # [8]
+        in_encore = gs.pos.encore_phase > 0
+        krb = gs.pos.ko_recap_blocked
+        inv = inv & (~in_encore | jnp.all(
+            krb[None, :] == krb[perm], axis=1))
+        ses = gs.pos.second_encore_start
+        inv = inv & ((gs.pos.encore_phase < 2) | jnp.all(
+            ses[None, :] == ses[perm], axis=1))
+        inv = inv.at[0].set(True)
+        # no symmetry treatment while any move is ko/superko banned
+        board_no_ko = gs.pos.board._replace(ko_loc=jnp.int32(-1))
+        basic = B.legal_moves_basic(board_no_ko, gs.pos.to_move,
+                                    gs.rules.multi_suicide, size)
+        ko_banned_any = jnp.any(basic & ~legal_g[:nn]) \
+            | (gs.pos.board.ko_loc >= 0)
+        active = inv & ~ko_banned_any
+        active = active.at[0].set(True)
+        # corner-convention representative: black prefers high-x/low-y,
+        # white the mirror (nninputs.cpp:727-731)
+        xs = jnp.arange(nn) % size
+        ys = jnp.arange(nn) // size
+        rank = jnp.where(gs.pos.to_move == B.BLACK,
+                         (size - 1 - xs) * size + ys,
+                         xs * size + (size - 1 - ys))
+        sym_rank = jnp.where(active[:, None], rank[perm], jnp.int32(2**30))
+        orbit_min = jnp.min(sym_rank, axis=0)
+        dup = (rank > orbit_min) & sp.root_symmetry_pruning
+        return jnp.concatenate([dup, jnp.zeros((1,), bool)])
+
+    if root_legal is not None:
+        banned = banned | jax.vmap(sym_dup_moves)(roots, root_legal)
+
     # never ban every move: if the mask would empty the root, drop it
     any_left = jnp.any((root_pol >= 0) & ~banned, axis=1, keepdims=True)
     root_pol = jnp.where(banned & any_left, -1.0, root_pol)

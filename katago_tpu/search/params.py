@@ -83,6 +83,10 @@ class SearchParams:
     # opponent passed four times in a row (isAllowedRootMove,
     # searchhelpers.cpp:311-341)
     root_prune_useless_moves: bool = False
+    # prune symmetry-duplicate root moves on symmetric positions
+    # (rootSymmetryPruning, search.cpp:732 + markDuplicateMoveLocs,
+    # nninputs.cpp:675-760)
+    root_symmetry_pruning: bool = False
     # ---- host-side time-manager knobs (searchparams.h:139-156,
     # Search::recomputeSearchTimeLimit) — consumed between chunks by the
     # SearchDriver, never traced, so they are not in SearchParamsArr ----
@@ -178,6 +182,7 @@ class SearchParams:
             root_ending_bonus_points=f(self.root_ending_bonus_points),
             root_prune_useless_moves=jnp.bool_(
                 self.root_prune_useless_moves),
+            root_symmetry_pruning=jnp.bool_(self.root_symmetry_pruning),
             playout_doubling_advantage=f(self.playout_doubling_advantage),
             conservative_pass=jnp.bool_(self.conservative_pass),
             nn_random_symmetry=jnp.bool_(self.nn_random_symmetry),
@@ -229,6 +234,7 @@ class SearchParamsArr(NamedTuple):
     wide_root_noise: jax.Array
     root_ending_bonus_points: jax.Array
     root_prune_useless_moves: jax.Array
+    root_symmetry_pruning: jax.Array
     playout_doubling_advantage: jax.Array
     conservative_pass: jax.Array
     nn_random_symmetry: jax.Array

@@ -69,6 +69,7 @@ _PARAM_KEYS = {
     "wideRootNoise": "wide_root_noise",
     "rootEndingBonusPoints": "root_ending_bonus_points",
     "rootPruneUselessMoves": "root_prune_useless_moves",
+    "rootSymmetryPruning": "root_symmetry_pruning",
     "overallocateTimeFactor": "overallocate_time_factor",
     "midgameTimeFactor": "midgame_time_factor",
     "midgameTurnPeakTime": "midgame_turn_peak_time",

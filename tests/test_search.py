@@ -449,3 +449,22 @@ def test_root_prune_useless_moves():
     # moves outside the safe area stay available
     assert pol_on[3 * SIZE + 3] >= 0
     assert (np.asarray(res_on.root_visits) == 31).all()
+
+
+def test_root_symmetry_pruning():
+    """rootSymmetryPruning (markDuplicateMoveLocs): on the empty board,
+    only one representative per dihedral orbit keeps a prior (6 orbits
+    on 5x5), and the pruning disables itself on asymmetric positions."""
+    roots = make_roots(g=1)
+    sp_on = SearchParams(root_noise_enabled=False,
+                         root_symmetry_pruning=True)
+    res = run(neutral_model(), roots, sp=sp_on, num_sims=20)
+    pol = np.asarray(res.root_policy_prior[0])
+    board_live = (pol[:SIZE * SIZE] >= 0).sum()
+    assert board_live == 6        # D4 orbits of the 5x5 cells
+    assert pol[SIZE * SIZE] >= 0  # pass never pruned
+    # after one asymmetric move, no pruning applies
+    roots2 = make_roots(g=1, moves=(1,))
+    res2 = run(neutral_model(), roots2, sp=sp_on, num_sims=20)
+    pol2 = np.asarray(res2.root_policy_prior[0])
+    assert (pol2[:SIZE * SIZE] >= 0).sum() == SIZE * SIZE - 1
