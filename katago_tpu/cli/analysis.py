@@ -53,7 +53,10 @@ class AnalysisEngine:
             sp = SearchParams(
                 root_noise_enabled=False, cpuct_exploration_log=0.45,
                 static_score_utility_factor=0.1,
-                dynamic_score_utility_factor=0.3).to_arr()
+                dynamic_score_utility_factor=0.3,
+                root_symmetry_pruning=True,
+                root_ending_bonus_points=0.5,
+                root_prune_useless_moves=True).to_arr()
             if masked:
                 self._search_cache[key] = jax.jit(
                     lambda roots, k, m: mcts.run_search(
@@ -104,7 +107,10 @@ class AnalysisEngine:
             sp = SearchParams(
                 root_noise_enabled=False, cpuct_exploration_log=0.45,
                 static_score_utility_factor=0.1,
-                dynamic_score_utility_factor=0.3).to_arr()
+                dynamic_score_utility_factor=0.3,
+                root_symmetry_pruning=True,
+                root_ending_bonus_points=0.5,
+                root_prune_useless_moves=True).to_arr()
             self._search_cache[key] = SearchDriver(
                 self.model_apply, None, sp, size=size,
                 max_nodes=visits + 3, chunk_size=max(visits // 8, 4))

@@ -94,7 +94,11 @@ class GTPEngine:
             cpuct_exploration_log=0.45,
             static_score_utility_factor=0.1,
             dynamic_score_utility_factor=0.3,
-            use_lcb_for_selection=True)
+            use_lcb_for_selection=True,
+            # setup.cpp defaults for GTP/analysis (setup.cpp:589,641)
+            root_symmetry_pruning=True,
+            root_ending_bonus_points=0.5,
+            root_prune_useless_moves=True)
         self.search_params = base
         self._drivers: dict[tuple, SearchDriver] = {}
         self._rng = jax.random.PRNGKey(int(time.time() * 1000) % (2**31))

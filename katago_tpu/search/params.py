@@ -131,6 +131,8 @@ class SearchParams:
             chosen_move_temperature_halflife=19.0,
             use_uncertainty=True,
             value_weight_exponent=0.25,
+            root_ending_bonus_points=0.5,
+            root_prune_useless_moves=True,
         )
 
     def to_arr(self) -> "SearchParamsArr":
