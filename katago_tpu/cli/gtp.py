@@ -83,7 +83,8 @@ class GTPEngine:
                  resign_threshold: float = -0.90,
                  resign_consec_turns: int = 3,
                  ponder: bool = False,
-                 anti_mirror: bool = True):
+                 anti_mirror: bool = True,
+                 human_sl_profile: str | None = None):
         self.size = size
         self.x_size = size
         self.y_size = size
@@ -120,10 +121,26 @@ class GTPEngine:
         # like gtp_example.cfg; detection reruns before every search)
         self.anti_mirror = anti_mirror
 
+        # humanSL profile conditioning (humanSLProfile config): evals of
+        # a metadata-encoder net are conditioned on a named rank/pro
+        # profile's 192-float row (models/sgfmetadata.py)
+        self.sgf_meta = None
+        if human_sl_profile:
+            from katago_tpu.models.sgfmetadata import get_profile
+            self.sgf_meta = get_profile(human_sl_profile)
         if model_path:
             from katago_tpu.models import desc as D
             self.desc = D.load_model(model_path)
-            self.model_apply = D.make_desc_apply(self.desc)
+            if self.sgf_meta is not None:
+                if self.desc.trunk.get("meta_encoder") is None:
+                    raise ValueError(
+                        "humanSLProfile requires a metadata-encoder net")
+                net = self.desc
+                self.model_apply = (
+                    lambda p, sp_, gl_, metadata=None:
+                    D.apply_desc_model(net, sp_, gl_, metadata=metadata))
+            else:
+                self.model_apply = D.make_desc_apply(self.desc)
             self.model_name = self.desc.name
         else:
             from katago_tpu.models import config as MC
@@ -205,6 +222,7 @@ class GTPEngine:
                 self.model_apply, None, self.search_params.to_arr(),
                 size=self.size, max_nodes=max_nodes,
                 chunk_size=max(4, min(32, self.visits // 4)),
+                sgf_meta=self.sgf_meta,
                 root_num_symmetries=self.search_params.root_num_symmetries)
         return self._drivers[key]
 
@@ -793,6 +811,7 @@ def main(argv=None):
     resign_consec_turns = 3
     ponder = False
     anti_mirror = True
+    human_sl_profile = None
     if args.config:
         from katago_tpu.utils.setup import (load_search_params,
                                             search_limits, warn_unused)
@@ -820,6 +839,8 @@ def main(argv=None):
             ponder = cfg.get_bool("ponderingEnabled")
         if cfg.contains("antiMirror"):
             anti_mirror = cfg.get_bool("antiMirror")
+        if cfg.contains("humanSLProfile"):
+            human_sl_profile = cfg.get_string("humanSLProfile")
         warn_unused(cfg, log=lambda s: print(s, file=sys.stderr))
     if args.visits:
         visits = args.visits
@@ -830,7 +851,8 @@ def main(argv=None):
                        allow_resignation=allow_resignation,
                        resign_threshold=resign_threshold,
                        resign_consec_turns=resign_consec_turns,
-                       ponder=ponder, anti_mirror=anti_mirror)
+                       ponder=ponder, anti_mirror=anti_mirror,
+                       human_sl_profile=human_sl_profile)
     if lag_buffer is not None:
         engine.lag_buffer = lag_buffer
     run_gtp(engine)

@@ -35,7 +35,8 @@ class SearchDriver:
                  sp: SearchParamsArr, *, size: int, max_nodes: int,
                  chunk_size: int = 16, max_depth: int = 64,
                  with_ladders: bool = True,
-                 root_num_symmetries: int = 1):
+                 root_num_symmetries: int = 1,
+                 sgf_meta=None):
         self.sp = sp
         self.size = size
         self.max_nodes = max_nodes
@@ -46,6 +47,7 @@ class SearchDriver:
         self._max_depth = max_depth
         self._with_ladders = with_ladders
         self.root_num_symmetries = root_num_symmetries
+        self._sgf_meta = sgf_meta
 
     # -- compiled pieces --------------------------------------------------
 
@@ -66,6 +68,7 @@ class SearchDriver:
                     with_ladders=self._with_ladders, prev_tree=pt,
                     prev_actions=pa, mirror=mirror,
                     root_allowed_mask=mask,
+                    sgf_meta=self._sgf_meta,
                     root_num_symmetries=self.root_num_symmetries)
             if masked:
                 return jax.jit(f)
@@ -82,6 +85,7 @@ class SearchDriver:
                     size=self.size, num_sims=self.chunk_size,
                     max_depth=self._max_depth,
                     with_ladders=self._with_ladders,
+                    sgf_meta=self._sgf_meta,
                     max_visits=max_visits, active_mask=active_mask,
                     mirror=mirror, pattern_bonus=pattern_bonus)
             return jax.jit(f)

@@ -870,7 +870,7 @@ def extract_subtree(tree: Tree, action: jax.Array) -> Tree:
 
 
 def make_nn_evaluator(model_apply: Callable, model_params: Any, size: int,
-                      with_ladders: bool = True):
+                      with_ladders: bool = True, sgf_meta=None):
     """Returns batched_eval(leaf_gs_batch, feat_params, rng) -> per-game NN
     outputs dict; the only cross-game-batched piece of the search.
 
@@ -897,7 +897,23 @@ def make_nn_evaluator(model_apply: Callable, model_params: Any, size: int,
                 lambda f_, s_: SYM.transform_spatial(f_, s_, size)
             )(sp_feat, sym)
         sp_feat = sp_feat.reshape(g, size, size, F.NUM_SPATIAL_V7)
-        raw = model_apply(model_params, sp_feat, gl_feat)
+        if sgf_meta is not None:
+            # humanSL profile conditioning: the 192-float metadata row
+            # depends on the mover (fillMetadataRow nextPlayerIsWhite),
+            # so both rows are baked as constants and selected per game
+            from katago_tpu.models.sgfmetadata import fill_metadata_row
+            row_b = jnp.asarray(fill_metadata_row(
+                sgf_meta, next_player_is_white=False,
+                board_area=size * size))
+            row_w = jnp.asarray(fill_metadata_row(
+                sgf_meta, next_player_is_white=True,
+                board_area=size * size))
+            rows = jnp.where((leaf_gs.pos.to_move == B.WHITE)[:, None],
+                             row_w[None, :], row_b[None, :])
+            raw = model_apply(model_params, sp_feat, gl_feat,
+                              metadata=rows)
+        else:
+            raw = model_apply(model_params, sp_feat, gl_feat)
         if sym is not None:
             raw = dict(raw)
             raw["policy_logits"] = jax.vmap(
@@ -987,6 +1003,7 @@ def init_search(model_apply: Callable, model_params: Any,
                 prev_actions: jax.Array | None = None,
                 root_allowed_mask: jax.Array | None = None,
                 root_num_symmetries: int = 1,
+                sgf_meta=None,
                 mirror=None) -> SearchState:
     """Build the initial SearchState for a batch of games: root NN eval,
     Dirichlet noise, dynamic score center, optional tree reuse
@@ -1003,7 +1020,8 @@ def init_search(model_apply: Callable, model_params: Any,
     nn = size * size
     g = roots.hist_len.shape[0]
     evaluator = make_nn_evaluator(model_apply, model_params, size,
-                                  with_ladders=with_ladders)
+                                  with_ladders=with_ladders,
+                                  sgf_meta=sgf_meta)
 
     feat_params = F.FeatureParams(
         draw_equiv_wins_for_white=sp.draw_equivalent_wins_for_white,
@@ -1285,6 +1303,7 @@ def run_playouts(model_apply: Callable, model_params: Any,
                  max_visits: int | None = None,
                  active_mask: jax.Array | None = None,
                  max_superko_retries: int = 3,
+                 sgf_meta=None,
                  mirror=None,
                  pattern_bonus=None) -> SearchState:
     """Advance the search by num_sims playouts (the chunked analogue of the
@@ -1307,7 +1326,8 @@ def run_playouts(model_apply: Callable, model_params: Any,
     a = nn + 1
     g = ss.root_hist_len.shape[0]
     evaluator = make_nn_evaluator(model_apply, model_params, size,
-                                  with_ladders=with_ladders)
+                                  with_ladders=with_ladders,
+                                  sgf_meta=sgf_meta)
     feat_params = F.FeatureParams(
         draw_equiv_wins_for_white=sp.draw_equivalent_wins_for_white,
         playout_doubling_advantage=sp.playout_doubling_advantage,
@@ -1568,6 +1588,7 @@ def run_search(model_apply: Callable, model_params: Any,
                max_visits: int | None = None,
                active_mask: jax.Array | None = None,
                root_num_symmetries: int = 1,
+               sgf_meta=None,
                mirror=None,
                pattern_bonus=None) -> SearchResult:
     """One-shot search: init + num_sims playouts + results. roots:
@@ -1582,12 +1603,12 @@ def run_search(model_apply: Callable, model_params: Any,
                      prev_actions=prev_actions,
                      root_allowed_mask=root_allowed_mask,
                      root_num_symmetries=root_num_symmetries,
-                     mirror=mirror)
+                     sgf_meta=sgf_meta, mirror=mirror)
     ss = run_playouts(model_apply, model_params, ss, sp, r_play, size=size,
                       num_sims=num_sims, max_depth=max_depth,
                       with_ladders=with_ladders, max_visits=max_visits,
-                      active_mask=active_mask, mirror=mirror,
-                      pattern_bonus=pattern_bonus)
+                      active_mask=active_mask, sgf_meta=sgf_meta,
+                      mirror=mirror, pattern_bonus=pattern_bonus)
     return collect_results(ss)
 
 

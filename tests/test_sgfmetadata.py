@@ -69,3 +69,58 @@ def test_metadata_encoder_conditions_model():
     diff = np.abs(np.asarray(o1["policy_logits"]) -
                   np.asarray(o2["policy_logits"])).max()
     assert diff > 1e-6
+
+
+def test_search_with_human_sl_profile():
+    """sgf_meta threads through the search evaluator: a metadata-encoder
+    net conditions every eval on the profile row, and different profiles
+    change the search's root values."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from katago_tpu.game import history as H
+    from katago_tpu.game import rules as R
+    from katago_tpu.models import config as MC
+    from katago_tpu.models.model import KataGoModel
+    from katago_tpu.models.sgfmetadata import get_profile
+    from katago_tpu.search import mcts
+    from katago_tpu.search.params import SearchParams
+
+    size = 5
+    cfg = dataclasses.replace(MC.get_config("b1c6"),
+                              metadata_encoder=True,
+                              metadata_encoder_channels=8)
+    model = KataGoModel(cfg, pos_len=size, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, size, size, 22)),
+                        jnp.zeros((1, 19)),
+                        metadata=jnp.zeros((1, 192)))
+
+    def apply_fn(p, sp_, gl_, metadata=None):
+        if metadata is None:
+            metadata = jnp.zeros((sp_.shape[0], 192))
+        return model.apply(params, sp_, gl_, metadata=metadata)
+
+    gs = H.new_game(size, H.RulesArr.from_rules(R.Rules.tromp_taylorish()),
+                    max_hist=32)
+    roots = jax.tree.map(lambda x: jnp.broadcast_to(x, (1,) + x.shape),
+                         gs)
+    sp = SearchParams(root_noise_enabled=False).to_arr()
+
+    def run_prof(profile):
+        return mcts.run_search(
+            apply_fn, None, roots, sp, jax.random.PRNGKey(2), size=size,
+            num_sims=8, max_nodes=12,
+            sgf_meta=get_profile(profile) if profile else None)
+
+    r_none = run_prof(None)
+    r_5d = run_prof("rank_5d")
+    r_20k = run_prof("rank_20k")
+    for r in (r_none, r_5d, r_20k):
+        assert (np.asarray(r.root_visits) == 9).all()
+    # conditioning changes the evaluation (random net: any difference)
+    assert not np.allclose(np.asarray(r_5d.root_winloss),
+                           np.asarray(r_20k.root_winloss))
