@@ -246,14 +246,21 @@ class AnalysisEngine:
             )(starts)
             pv_moves = np.asarray(pv_moves)
             pv_lens = np.asarray(pv_lens)
+        # hoist whole arrays to the host once: per-scalar reads cost a
+        # device round trip each (painful over a tunneled accelerator)
+        children_h = np.asarray(tree.children[0, 0, :])
+        weight_h = np.asarray(tree.weight_sum[0])
+        winloss_h = np.asarray(tree.winloss_sum[0])
+        score_h = np.asarray(tree.score_mean_sum[0])
+        util_h = np.asarray(tree.utility_sum[0])
         for rank, a in enumerate(order):
             if cv[a] <= 0 or rank >= 15:
                 break
-            child = int(np.asarray(tree.children[0, 0, a]))
-            w = max(float(np.asarray(tree.weight_sum[0, child])), 1e-9)
-            winloss = sign * float(np.asarray(tree.winloss_sum[0, child])) / w
-            score = sign * float(np.asarray(tree.score_mean_sum[0, child])) / w
-            util = sign * float(np.asarray(tree.utility_sum[0, child])) / w
+            child = int(children_h[a])
+            w = max(float(weight_h[child]), 1e-9)
+            winloss = sign * float(winloss_h[child]) / w
+            score = sign * float(score_h[child]) / w
+            util = sign * float(util_h[child]) / w
             move_infos.append({
                 "move": loc_to_gtp(int(a), size, xs, ys),
                 "visits": int(cv[a]),
