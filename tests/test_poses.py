@@ -111,3 +111,30 @@ def test_play_games_from_start_positions():
     # sample's stones (turn numbers offset by initialTurnNumber)
     rows0 = np.flatnonzero(np.asarray(data.game_idx) == 0)
     assert rows0.size > 0
+
+
+def test_genposes_cmd(tmp_path, capsys):
+    """Random/clumpy pose generation (genrandomposes.py role): legal
+    batched positions, fairness-filtered, PositionSample output."""
+    from katago_tpu.cli.genposes_cmd import main
+    out = str(tmp_path / "poses.jsonl")
+    main(["-out", out, "-n", "6", "-size", "5", "-mode", "clumpy",
+          "-min-moves", "4", "-max-moves", "10", "-config", "b1c6",
+          "-max-score", "1000", "-score-rejection-pickiness", "0.0"])
+    res = json.loads(capsys.readouterr().out)
+    assert res["generated"] == 6 and res["kept"] == 6
+    from katago_tpu.dataio.poses import load_poses
+    poses = load_poses(out)
+    assert len(poses) == 6
+    for p in poses:
+        stones = np.asarray(p.stones)
+        n_stones = (stones > 0).sum()
+        assert 1 <= n_stones <= 10
+        # no zero-liberty chains survive a legal game
+        import jax.numpy as jnp
+
+        from katago_tpu.game import board as GB
+        lab = GB.connected_labels(jnp.asarray(stones, jnp.int32), 5)
+        libs = GB.chain_liberties(jnp.asarray(stones, jnp.int32), lab, 5)
+        occ = stones > 0
+        assert (np.asarray(libs)[occ] > 0).all()
