@@ -101,6 +101,58 @@ def run_benchmark(*, size: int, visits: int, batch_sizes: list[int],
             "device": jax.devices()[0].platform}
 
 
+def run_train_benchmark(*, size: int, batch_sizes: list[int],
+                        config_name: str = "b6c96", steps: int = 8,
+                        log=print) -> dict:
+    """Training-step throughput on synthetic reference-schema batches
+    (the benchmark_fresh_model.py role): rows/s per batch size."""
+    import optax
+
+    from katago_tpu.models import config as MC
+    from katago_tpu.models.model import KataGoModel
+    from katago_tpu.train.train_step import (init_train_state,
+                                             make_optimizer,
+                                             make_train_step)
+
+    cfg = MC.get_config(config_name)
+    model = KataGoModel(cfg, pos_len=size, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, size, size, 22)),
+                        jnp.zeros((1, 19)))
+    tx = make_optimizer()
+    train_step = jax.jit(make_train_step(model.apply, tx))
+    nn = size * size
+    sb = cfg.scorebelief_len(size)
+    rng = np.random.default_rng(0)
+    results = []
+    for b in batch_sizes:
+        state = init_train_state(params, tx)
+        batch = {
+            "binaryInputNCHW": np.ones((b, 22, size, size), np.float32),
+            "globalInputNC": np.zeros((b, 19), np.float32),
+            "globalTargetsNC": rng.random((b, 80)).astype(np.float32),
+            "policyTargetsNCMove": np.ones((b, 2, nn + 1), np.float32),
+            "scoreDistrN": np.ones((b, sb), np.float32),
+            "valueTargetsNCHW": np.zeros((b, 5, size, size), np.float32),
+            "qValueTargetsNCMove": np.zeros((b, 3, nn + 1), np.float32),
+        }
+        batch["globalTargetsNC"][:, 25] = 1.0
+        batch["globalTargetsNC"][:, 26] = 1.0
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        state, _ = train_step(state, batch)   # compile + warmup
+        jax.block_until_ready(state.params)
+        t0 = time.time()
+        for _ in range(steps):
+            state, metrics = train_step(state, batch)
+        jax.block_until_ready(state.params)
+        dt = (time.time() - t0) / steps
+        results.append({"batch_size": b, "steps_per_s": round(1.0 / dt, 2),
+                        "rows_per_s": round(b / dt, 1)})
+        log(f"  train bench b={b}: {b / dt:.1f} rows/s")
+    return {"train_results": results,
+            "device": jax.devices()[0].platform}
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("-model", default=None)
@@ -110,12 +162,22 @@ def main(argv=None):
     ap.add_argument("-batches", default="1,8,32,64")
     ap.add_argument("-iters", type=int, default=3)
     ap.add_argument("-no-ladders", action="store_true")
+    ap.add_argument("-train", action="store_true",
+                    help="benchmark the training step instead of search "
+                         "(benchmark_fresh_model.py)")
     args = ap.parse_args(argv)
-    out = run_benchmark(
-        size=args.size, visits=args.visits,
-        batch_sizes=[int(x) for x in args.batches.split(",")],
-        config_name=args.config, model_path=args.model, iters=args.iters,
-        with_ladders=not args.no_ladders)
+    if args.train:
+        out = run_train_benchmark(
+            size=args.size,
+            batch_sizes=[int(x) for x in args.batches.split(",")],
+            config_name=args.config)
+    else:
+        out = run_benchmark(
+            size=args.size, visits=args.visits,
+            batch_sizes=[int(x) for x in args.batches.split(",")],
+            config_name=args.config, model_path=args.model,
+            iters=args.iters,
+            with_ladders=not args.no_ladders)
     print(json.dumps(out))
 
 

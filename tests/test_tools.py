@@ -176,3 +176,40 @@ def test_genboard_fill_and_train(tmp_path, capsys):
     boards = [b for b in text.split("\n\n") if b.strip()]
     assert len(boards) == 2
     assert boards[0].split()[0] == "X"   # known stone preserved
+
+
+def test_npz_tools(tmp_path, capsys):
+    """add-meta stamps metadataInputNC; summarize header-scans rows
+    (add_kata_selfplay_meta_to_npzs.py / summarize_old_selfplay_files.py)."""
+    import numpy as np
+
+    from katago_tpu.cli.npz_tools_cmd import main, npz_row_count
+    d = tmp_path / "data"
+    d.mkdir()
+    f = str(d / "a.npz")
+    np.savez_compressed(
+        f,
+        binaryInputNCHWPacked=np.zeros((4, 22, 4), np.uint8),
+        globalInputNC=np.zeros((4, 19), np.float32))
+    assert npz_row_count(f) == 4
+    main(["summarize", str(d)])
+    out = json.loads(capsys.readouterr().out)
+    assert out[0]["files"] == 1 and out[0]["rows"] == 4
+    main(["add-meta", "-dir", str(d), "-profile", "rank_5d",
+          "-board-area", "25"])
+    res = json.loads(capsys.readouterr().out)
+    assert res["stamped"] == 1
+    with np.load(f) as z:
+        assert z["metadataInputNC"].shape == (4, 192)
+        assert z["metadataInputNC"].any()
+    # idempotent unless forced
+    main(["add-meta", "-dir", str(d)])
+    assert json.loads(capsys.readouterr().out)["skipped"] == 1
+
+
+def test_train_benchmark(capsys):
+    """Training-step rows/s benchmark (benchmark_fresh_model.py role)."""
+    from katago_tpu.cli.benchmark_cmd import main
+    main(["-train", "-config", "b1c6", "-size", "5", "-batches", "4"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["train_results"][0]["rows_per_s"] > 0
