@@ -592,8 +592,8 @@ def run_gtp(engine: GTPEngine, infile=sys.stdin, outfile=sys.stdout,
                 out_locs = []
                 for loc in range(engine.size * engine.size):
                     s = stones[loc]
-                    if s == B.EMPTY:
-                        continue
+                    if s != B.BLACK and s != B.WHITE:
+                        continue   # empty or off-board WALL
                     mine = 1 if s == B.BLACK else -1
                     status = ("alive" if own[loc] == mine else
                               "dead" if own[loc] == -mine else "seki")
