@@ -309,9 +309,9 @@ class GTPEngine:
         max_time = None
         time_rec = time_max = None
         if tc is not None and not tc.is_effectively_unlimited():
-            stones = int(np.asarray(
-                (self.gs.pos.board.stones != B.EMPTY).sum()))
-            _, rec, max_t = tc.get_time(self.size * self.size, stones,
+            st = np.asarray(self.gs.pos.board.stones)
+            stones = int(((st == B.BLACK) | (st == B.WHITE)).sum())
+            _, rec, max_t = tc.get_time(self.x_size * self.y_size, stones,
                                         lag_buffer=self.lag_buffer)
             # dynamic time management (recomputeSearchTimeLimit): the
             # driver refines the planned limit between chunks
