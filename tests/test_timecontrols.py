@@ -129,7 +129,9 @@ def test_driver_dynamic_time_smoke():
     gs = H.new_game(size, H.RulesArr.from_rules(R.Rules.tromp_taylorish()),
                     max_hist=32)
     roots = jax.tree.map(lambda x: jnp.broadcast_to(x, (1,) + x.shape), gs)
+    # generous budget: chunk COMPILE time counts against the clock, so a
+    # small time_rec can legitimately stop after one chunk on a loaded box
     res = driver.search(roots, jax.random.PRNGKey(1), max_visits=16,
-                        time_rec=30.0, time_max=60.0, turn_number=5,
+                        time_rec=600.0, time_max=1200.0, turn_number=5,
                         host_params=sp)
     assert int(res.root_visits[0]) == 16
