@@ -42,6 +42,7 @@ class AnalysisEngine:
             self.model_apply = D.make_desc_apply(self.desc)
             self.model_name = self.desc.name
         else:
+            self.desc = None
             self.model_apply = None
             self.model_name = "none"
         self._search_cache: dict = {}
@@ -113,7 +114,9 @@ class AnalysisEngine:
                 root_prune_useless_moves=True).to_arr()
             self._search_cache[key] = SearchDriver(
                 self.model_apply, None, sp, size=size,
-                max_nodes=visits + 3, chunk_size=max(visits // 8, 4))
+                max_nodes=visits + 3, chunk_size=max(visits // 8, 4),
+                feature_version=(self.desc.input_version
+                                 if self.desc is not None else 7))
         d = self._search_cache[key]
         if d.max_nodes < visits + 3:   # bigger budget: rebuild
             del self._search_cache[key]

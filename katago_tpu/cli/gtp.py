@@ -152,6 +152,7 @@ class GTPEngine:
                                 jnp.zeros((1, 19)))
             self.model_apply = lambda p, s, g: model.apply(params, s, g)
             self.model_name = "random-init-b2c16"
+            self.desc = None
         self.clear_board()
 
     # -- game state -------------------------------------------------------
@@ -223,7 +224,9 @@ class GTPEngine:
                 size=self.size, max_nodes=max_nodes,
                 chunk_size=max(4, min(32, self.visits // 4)),
                 sgf_meta=self.sgf_meta,
-                root_num_symmetries=self.search_params.root_num_symmetries)
+                root_num_symmetries=self.search_params.root_num_symmetries,
+                feature_version=(self.desc.input_version
+                                 if self.desc is not None else 7))
         return self._drivers[key]
 
     def _mirror_arrs(self, root_pla: int):

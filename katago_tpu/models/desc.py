@@ -11,13 +11,17 @@ Format (defined by the reference's exporter, python/export_model_pytorch.py
 tokens; weight blobs either as text floats (.txt.gz) or as "@BIN@" followed
 by little-endian f32s (.bin.gz). Conv weights are stored y,x,ic,oc (exactly
 JAX's HWIO layout for NHWC convs); matmuls are ic,oc. Supported here:
-model versions 8..17 — conv families (ordinary / gpool / nested-bottleneck
-blocks), v17 transformer blocks (GQA attention with fixed or learnable 2-D
-RoPE, SwiGLU FFN, rmsnorm trunk tip; desc.cpp:1176-1414,1658-1770) and the
-v15+ SGF-metadata encoder (desc.cpp:1567-1614).
+model versions 3..17 (the reference's full supported range,
+modelversion.cpp:30-33) — conv families (ordinary / gpool /
+nested-bottleneck blocks), v17 transformer blocks (GQA attention with
+fixed or learnable 2-D RoPE, SwiGLU FFN, rmsnorm trunk tip;
+desc.cpp:1176-1414,1658-1770) and the v15+ SGF-metadata encoder
+(desc.cpp:1567-1614). Pre-v8 files differ only in value-head channel
+counts and output semantics, normalized below.
 
-All v8..v17 models consume V7 input features (modelversion.cpp:36-38),
-which katago_tpu.models.features provides.
+Input features follow modelversion.cpp getInputsVersion: model v3/v4 ->
+V3, v5 -> V4, v6 -> V5, v7 -> V6, v8..v17 -> V7 — all provided by
+katago_tpu.models.features (ModelDesc.input_version picks the row).
 """
 
 from __future__ import annotations
@@ -355,6 +359,14 @@ class ModelDesc:
     def num_policy_channels(self) -> int:
         return self.policy_head["p2_conv"].out_ch
 
+    @property
+    def input_version(self) -> int:
+        """Input-feature version for this model (modelversion.cpp:35-48)."""
+        v = self.version
+        if v >= 8:
+            return 7
+        return {3: 3, 4: 3, 5: 4, 6: 5, 7: 6}[v]
+
 
 def load_model(path: str) -> ModelDesc:
     """Parse a reference-format model file (.bin.gz / .txt.gz / raw)."""
@@ -366,8 +378,8 @@ def load_model(path: str) -> ModelDesc:
 
     name = r.token()
     version = r.int()
-    if not (8 <= version <= 17):
-        raise ModelParseError(f"model version {version} unsupported (want 8..17)")
+    if not (3 <= version <= 17):
+        raise ModelParseError(f"model version {version} unsupported (want 3..17)")
     num_spatial = r.int()
     num_global = r.int()
 
@@ -645,6 +657,70 @@ def _apply_block(x, blk, mask, mask_sum_hw):
     raise ValueError(blk["kind"])
 
 
+def _inv_softplus(t):
+    """Inverse of softplus for t > 0: log(expm1(t)) = t + log1p(-exp(-t))."""
+    t = jnp.maximum(t, 1e-6)
+    return t + jnp.log1p(-jnp.exp(-t))
+
+
+def _normalize_value_channels(desc: ModelDesc, sv, mask_sum_hw):
+    """Map a version's sv3 outputs onto the v14-native raw channels the
+    engine postprocess expects (see apply_desc_model). Returns
+    ([mv0..mv3], [mmv0, mmv1]) lists of [B] arrays.
+
+    Version semantics (nneval.cpp:1059-1199):
+      v3: one pre-atan scoreValue; whiteScoreMean =
+          tan(atan(sv0))*2*sqrt(boardArea) = sv0*2*sqrtArea exactly, with
+          scoreStdev 0 and lead = scoreMean (nneval.cpp:1063-1094)
+      v4-7: (scoreMean, scoreStdev); lead falls back to scoreMean,
+          varianceTime unavailable -> 0 (reference reports -1)
+      v8: + (lead, varianceTime)
+      v9: + shortterm errors, engine-side plain softplus (x, x*10)
+      v10-13: errors sqrt(softplus(x)*mult)
+      v14+: errors softplus(x/2)*sqrt(mult) — the native convention
+    Non-default v13+ postprocess multipliers are folded in (linear
+    channels by ratio; softplus channels through an exact
+    inverse-softplus rebase), so custom-scaled models stay bit-honest."""
+    b = sv.shape[0]
+    v = desc.version
+    pp = desc.post_process
+    zero = jnp.zeros((b,), sv.dtype)
+    neg = jnp.full((b,), -1e4, sv.dtype)   # softplus -> 0
+
+    def rebase_softplus(x, mult, default):
+        if mult == default:
+            return x
+        return _inv_softplus(jax.nn.softplus(x) * (mult / default))
+
+    if v == 3:
+        sqrt_area = jnp.sqrt(mask_sum_hw[:, 0, 0, 0])
+        mean_raw = sv[:, 0] * 2.0 * sqrt_area / 20.0
+        return [mean_raw, neg, mean_raw, neg], [zero, zero]
+    if v <= 7:
+        return [sv[:, 0], sv[:, 1], sv[:, 0], neg], [zero, zero]
+    mv = [sv[:, 0] * (pp["scoremean_mult"] / 20.0),
+          rebase_softplus(sv[:, 1], pp["scorestdev_mult"], 20.0),
+          sv[:, 2] * (pp["lead_mult"] / 20.0),
+          rebase_softplus(sv[:, 3], pp["variance_time_mult"], 40.0)]
+    if v == 8:
+        return mv, [zero, zero]
+    wl_mult = pp["shortterm_value_error_mult"]
+    sc_mult = pp["shortterm_score_error_mult"]
+    if v >= 14:
+        if wl_mult == 0.25 and sc_mult == 30.0:
+            return mv, [sv[:, 4], sv[:, 5]]
+        err_wl = jax.nn.softplus(sv[:, 4] * 0.5) * np.sqrt(wl_mult)
+        err_sc = jax.nn.softplus(sv[:, 5] * 0.5) * np.sqrt(sc_mult)
+    elif v >= 10:
+        err_wl = jnp.sqrt(jax.nn.softplus(sv[:, 4]) * wl_mult)
+        err_sc = jnp.sqrt(jax.nn.softplus(sv[:, 5]) * sc_mult)
+    else:  # v9: engine-side plain softplus, score error x10
+        err_wl = jax.nn.softplus(sv[:, 4])
+        err_sc = jax.nn.softplus(sv[:, 5]) * 10.0
+    return mv, [2.0 * _inv_softplus(err_wl * 2.0),
+                2.0 * _inv_softplus(err_sc / np.sqrt(30.0))]
+
+
 def apply_desc_model(desc: ModelDesc, spatial, global_in, mask=None,
                      metadata=None) -> dict:
     """Forward a parsed reference model. spatial [B,H,W,22] NHWC, global
@@ -727,14 +803,20 @@ def apply_desc_model(desc: ModelDesc, spatial, global_in, mask=None,
     # sv3 rows map to (scoremean, scorestdev, lead, vtime, shortterm value
     # err, shortterm score err) — the first 4 are miscvalue channels 0-3,
     # the last 2 are moremiscvalue channels 0-1 (export_model_pytorch.py
-    # write_value_head)
-    sv_misc = sv[:, :4]
-    sv_more = sv[:, 4:6]
+    # write_value_head). Older versions carry fewer channels with
+    # different activations (nneval.cpp:1059-1199, desc.cpp:2305-2330);
+    # everything is normalized here to the engine's v14-native channel
+    # conventions so nn_leaf_eval needs no version knowledge:
+    #   mv0*20=scoreMean  softplus(mv1)*20=scoreStdev  mv2*20=lead
+    #   softplus(mv3)*40=varTime  softplus(mmv/2)*sqrt(mult)=st errors
+    mv, mmv01 = _normalize_value_channels(desc, sv, mask_sum_hw)
     miscvalue = jnp.concatenate(
-        [sv_misc, jnp.zeros((b, 10 - sv_misc.shape[-1]), sv.dtype)], axis=-1)
+        [jnp.stack(mv, axis=-1), jnp.zeros((b, 6), sv.dtype)], axis=-1)
     moremiscvalue = jnp.concatenate(
-        [sv_more, jnp.zeros((b, 8 - sv_more.shape[-1]), sv.dtype)], axis=-1)
+        [jnp.stack(mmv01, axis=-1), jnp.zeros((b, 6), sv.dtype)], axis=-1)
     return {
+        **({} if desc.version >= 9 else
+           {"supports_shortterm_error": False}),
         "policy_logits": policy,
         "value_logits": value,
         "miscvalue": miscvalue,

@@ -625,8 +625,12 @@ def postprocess_outputs(raw: dict, to_move_is_white=None) -> dict:
         "score_stdev": jax.nn.softplus(mv[:, 1]) * 20.0,
         "lead": mv[:, 2] * 20.0,
         "variance_time": jax.nn.softplus(mv[:, 3]) * 40.0,
-        "shortterm_value_error": jax.nn.softplus(mmv[:, 0]) * 0.25,
-        "shortterm_score_error": jax.nn.softplus(mmv[:, 1]) * 30.0,
+        # v14+ convention: raw channel x encodes predicted squared error
+        # softplus(x/2)^2 * mult; these entries are the error stdevs the
+        # engine consumes, softplus(x/2)*sqrt(mult) (nneval.cpp:1163-1168)
+        "shortterm_value_error": jax.nn.softplus(mmv[:, 0] * 0.5) * 0.5,
+        "shortterm_score_error":
+            jax.nn.softplus(mmv[:, 1] * 0.5) * 5.4772256,
         "ownership": jnp.tanh(raw["ownership_pretanh"]),
     }
     return out

@@ -36,7 +36,8 @@ class SearchDriver:
                  chunk_size: int = 16, max_depth: int = 64,
                  with_ladders: bool = True,
                  root_num_symmetries: int = 1,
-                 sgf_meta=None):
+                 sgf_meta=None,
+                 feature_version: int = 7):
         self.sp = sp
         self.size = size
         self.max_nodes = max_nodes
@@ -48,6 +49,7 @@ class SearchDriver:
         self._with_ladders = with_ladders
         self.root_num_symmetries = root_num_symmetries
         self._sgf_meta = sgf_meta
+        self._feature_version = feature_version
 
     # -- compiled pieces --------------------------------------------------
 
@@ -69,7 +71,8 @@ class SearchDriver:
                     prev_actions=pa, mirror=mirror,
                     root_allowed_mask=mask,
                     sgf_meta=self._sgf_meta,
-                    root_num_symmetries=self.root_num_symmetries)
+                    root_num_symmetries=self.root_num_symmetries,
+                    feature_version=self._feature_version)
             if masked:
                 return jax.jit(f)
             return jax.jit(lambda roots, rng, mirror, *prev: f(
@@ -87,7 +90,8 @@ class SearchDriver:
                     with_ladders=self._with_ladders,
                     sgf_meta=self._sgf_meta,
                     max_visits=max_visits, active_mask=active_mask,
-                    mirror=mirror, pattern_bonus=pattern_bonus)
+                    mirror=mirror, pattern_bonus=pattern_bonus,
+                    feature_version=self._feature_version)
             return jax.jit(f)
         return self._get(("chunk",), build)
 

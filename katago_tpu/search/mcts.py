@@ -870,14 +870,18 @@ def extract_subtree(tree: Tree, action: jax.Array) -> Tree:
 
 
 def make_nn_evaluator(model_apply: Callable, model_params: Any, size: int,
-                      with_ladders: bool = True, sgf_meta=None):
+                      with_ladders: bool = True, sgf_meta=None,
+                      feature_version: int = 7):
     """Returns batched_eval(leaf_gs_batch, feat_params, rng) -> per-game NN
     outputs dict; the only cross-game-batched piece of the search.
 
     with_ladders: static toggle for featurizer planes 14-17 — the ladder
     solver is the single most expensive feature (~4x total featurizer
     cost), so throughput-critical searches may disable it (the reference
-    always pays it, nninputs.cpp:2548)."""
+    always pays it, nninputs.cpp:2548).
+
+    feature_version: input-feature version 3..7 matching the model
+    (ModelDesc.input_version for reference nets; modelversion.cpp)."""
 
     def batched_eval(leaf_gs, feat_params, sym=None):
         """sym: optional int32[G] dihedral symmetry per game (nnRandomize,
@@ -888,15 +892,17 @@ def make_nn_evaluator(model_apply: Callable, model_params: Any, size: int,
         board."""
         legal = jax.vmap(H.legal_moves, in_axes=(0, None))(leaf_gs, size)
         sp_feat, gl_feat = jax.vmap(
-            lambda g_, l_: F.fill_features_v7(g_, size, feat_params, l_,
-                                              with_ladders=with_ladders)
+            lambda g_, l_: F.fill_features(g_, size, feat_params, l_,
+                                           version=feature_version,
+                                           with_ladders=with_ladders)
         )(leaf_gs, legal)
         g = sp_feat.shape[0]
         if sym is not None:
             sp_feat = jax.vmap(
                 lambda f_, s_: SYM.transform_spatial(f_, s_, size)
             )(sp_feat, sym)
-        sp_feat = sp_feat.reshape(g, size, size, F.NUM_SPATIAL_V7)
+        sp_feat = sp_feat.reshape(
+            g, size, size, F.NUM_SPATIAL_BY_VERSION[feature_version])
         if sgf_meta is not None:
             # humanSL profile conditioning: the 192-float metadata row
             # depends on the mover (fillMetadataRow nextPlayerIsWhite),
@@ -914,6 +920,12 @@ def make_nn_evaluator(model_apply: Callable, model_params: Any, size: int,
                               metadata=rows)
         else:
             raw = model_apply(model_params, sp_feat, gl_feat)
+        if "supports_shortterm_error" in raw:
+            # static no-error-head flag (pre-v9 desc nets): broadcast to a
+            # per-game array so downstream jax.vmap over raw stays valid
+            raw = dict(raw)
+            raw["supports_shortterm_error"] = jnp.broadcast_to(
+                jnp.asarray(raw["supports_shortterm_error"]), (g,))
         if sym is not None:
             raw = dict(raw)
             raw["policy_logits"] = jax.vmap(
@@ -949,8 +961,13 @@ def nn_leaf_eval(raw: dict, legal: jax.Array, gs_to_move: jax.Array,
     stdev = jax.nn.softplus(mv[1]) * 20.0
     lead_mover = mv[2] * 20.0
     mmv = raw["moremiscvalue"]
-    st_wl_err = jax.nn.softplus(mmv[0]) * 0.25
-    st_score_err = jax.nn.softplus(mmv[1]) * 30.0
+    # v14+ error semantics (nneval.cpp:1163-1168): the net's raw channel x
+    # parameterizes the predicted squared error as softplus(x/2)^2 * mult,
+    # and the search consumes the square root — the error stdev —
+    # softplus(x/2) * sqrt(mult). desc.py normalizes older format
+    # versions' channels to this convention.
+    st_wl_err = jax.nn.softplus(mmv[0] * 0.5) * 0.5          # sqrt(0.25)
+    st_score_err = jax.nn.softplus(mmv[1] * 0.5) * 5.4772256  # sqrt(30)
 
     winloss_w = _white_persp(winloss_mover, gs_to_move)
     score_w = _white_persp(score_mover, gs_to_move)
@@ -959,6 +976,10 @@ def nn_leaf_eval(raw: dict, legal: jax.Array, gs_to_move: jax.Array,
     util = utility_of(winloss_w, score_w, meansq_w, sp, dyn_center, sqrt_area)
     weight = uncertainty_weight(st_wl_err, st_score_err, score_w, sp,
                                 dyn_center, sqrt_area)
+    # pre-v9 nets have no error heads: weight 1.0 like the reference's
+    # supportsShorttermError() guard (searchupdatehelpers.cpp:117)
+    weight = jnp.where(
+        jnp.asarray(raw.get("supports_shortterm_error", True)), weight, 1.0)
 
     pl = raw["policy_logits"]
     logits = pl[0]                                   # [A] channel 0
@@ -1004,7 +1025,8 @@ def init_search(model_apply: Callable, model_params: Any,
                 root_allowed_mask: jax.Array | None = None,
                 root_num_symmetries: int = 1,
                 sgf_meta=None,
-                mirror=None) -> SearchState:
+                mirror=None,
+                feature_version: int = 7) -> SearchState:
     """Build the initial SearchState for a batch of games: root NN eval,
     Dirichlet noise, dynamic score center, optional tree reuse
     (Search::beginSearch + makeMove, search.cpp:650/search.h:253-257).
@@ -1021,7 +1043,8 @@ def init_search(model_apply: Callable, model_params: Any,
     g = roots.hist_len.shape[0]
     evaluator = make_nn_evaluator(model_apply, model_params, size,
                                   with_ladders=with_ladders,
-                                  sgf_meta=sgf_meta)
+                                  sgf_meta=sgf_meta,
+                                  feature_version=feature_version)
 
     feat_params = F.FeatureParams(
         draw_equiv_wins_for_white=sp.draw_equivalent_wins_for_white,
@@ -1305,7 +1328,8 @@ def run_playouts(model_apply: Callable, model_params: Any,
                  max_superko_retries: int = 3,
                  sgf_meta=None,
                  mirror=None,
-                 pattern_bonus=None) -> SearchState:
+                 pattern_bonus=None,
+                 feature_version: int = 7) -> SearchState:
     """Advance the search by num_sims playouts (the chunked analogue of the
     reference's runWholeSearch playout threads, search.cpp:473-607).
 
@@ -1327,7 +1351,8 @@ def run_playouts(model_apply: Callable, model_params: Any,
     g = ss.root_hist_len.shape[0]
     evaluator = make_nn_evaluator(model_apply, model_params, size,
                                   with_ladders=with_ladders,
-                                  sgf_meta=sgf_meta)
+                                  sgf_meta=sgf_meta,
+                                  feature_version=feature_version)
     feat_params = F.FeatureParams(
         draw_equiv_wins_for_white=sp.draw_equivalent_wins_for_white,
         playout_doubling_advantage=sp.playout_doubling_advantage,
@@ -1590,7 +1615,8 @@ def run_search(model_apply: Callable, model_params: Any,
                root_num_symmetries: int = 1,
                sgf_meta=None,
                mirror=None,
-               pattern_bonus=None) -> SearchResult:
+               pattern_bonus=None,
+               feature_version: int = 7) -> SearchResult:
     """One-shot search: init + num_sims playouts + results. roots:
     GameState[G]. See init_search/run_playouts for the chunked API used by
     time-managed and streaming searches. mirror: optional anti-mirror
@@ -1603,12 +1629,14 @@ def run_search(model_apply: Callable, model_params: Any,
                      prev_actions=prev_actions,
                      root_allowed_mask=root_allowed_mask,
                      root_num_symmetries=root_num_symmetries,
-                     sgf_meta=sgf_meta, mirror=mirror)
+                     sgf_meta=sgf_meta, mirror=mirror,
+                     feature_version=feature_version)
     ss = run_playouts(model_apply, model_params, ss, sp, r_play, size=size,
                       num_sims=num_sims, max_depth=max_depth,
                       with_ladders=with_ladders, max_visits=max_visits,
                       active_mask=active_mask, sgf_meta=sgf_meta,
-                      mirror=mirror, pattern_bonus=pattern_bonus)
+                      mirror=mirror, pattern_bonus=pattern_bonus,
+                      feature_version=feature_version)
     return collect_results(ss)
 
 

@@ -60,11 +60,18 @@ def _cross_entropy(pred_logits, target_probs, axis):
                     axis=axis)
 
 
-def softplus_with_floor(x, grad_floor=0.05):
-    """SoftPlusWithGradientFloorFunction forward (model_pytorch.py): the
-    gradient-floor trick only changes backward in torch; here the forward
-    matches and JAX's autodiff of this composite is close enough in
-    practice (the floor guards against dead units early in training)."""
+def softplus_with_floor(x, grad_floor=0.05, square=False):
+    """SoftPlusWithGradientFloorFunction forward (model_pytorch.py:118-142):
+    the gradient-floor trick only changes backward in torch; here the
+    forward matches and JAX's autodiff of this composite is close enough in
+    practice (the floor guards against dead units early in training).
+
+    square: the v14+ variant — softplus(x/2)^2, used for the shortterm
+    error heads so the engine-side error stdev is softplus(x/2)*sqrt(mult)
+    (model_pytorch.py:4113-4114, nneval.cpp:1163-1168)."""
+    if square:
+        return jnp.square((1.0 - grad_floor) * jax.nn.softplus(0.5 * x)
+                          + grad_floor * 0.5 * x)
     return (1.0 - grad_floor) * jax.nn.softplus(x) + grad_floor * x
 
 
@@ -99,9 +106,11 @@ def postprocess(raw: dict) -> dict:
         "lead": misc[:, 2] * LEAD_MULT,
         "variance_time": softplus_with_floor(misc[:, 3]) * VARIANCE_TIME_MULT,
         "shortterm_value_error":
-            softplus_with_floor(more[:, 0]) * SHORTTERM_VALUE_ERROR_MULT,
+            softplus_with_floor(more[:, 0], square=True)
+            * SHORTTERM_VALUE_ERROR_MULT,
         "shortterm_score_error":
-            softplus_with_floor(more[:, 1]) * SHORTTERM_SCORE_ERROR_MULT,
+            softplus_with_floor(more[:, 1], square=True)
+            * SHORTTERM_SCORE_ERROR_MULT,
         "scorebelief_logits": raw["scorebelief_logprobs"],  # [B,SB]
     }
 
