@@ -42,6 +42,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from katago_tpu.game import zobrist
+from katago_tpu.ops import lookup as L
 
 EMPTY = 0
 BLACK = 1
@@ -135,8 +136,17 @@ def connected_labels(values: jax.Array, size: int) -> jax.Array:
 
     Replaces the reference's chain linked lists (board.h:327-329) with a
     data-parallel fixpoint: per round, take the min label over same-valued
-    neighbors, then pointer-jump (label <- label[label]), giving O(log d)
-    convergence for chains of diameter d.
+    neighbors, iterated to convergence.
+
+    Deliberately NO pointer jumping: ``lab[lab]`` is a point-gather with
+    data-dependent indices, which serializes on TPU (measured 44ms/call at
+    [128, 361] on v5e vs 1ms for pure propagation); a one-hot matmul jump
+    costs ~1ms/round and measurably regresses even when guarded behind a
+    converged flag. Pure propagation converges in rounds proportional to
+    the largest component's graph diameter — ~15-20 rounds of ~12 cheap
+    [NN] vector ops on real boards (the sprawling empty region dominates,
+    not stone chains), with a worst case of ~NN/4 rounds (~5ms) only while
+    an adversarial snake chain exists.
     """
     if _PALLAS_LABELS and jax.default_backend() == "tpu":
         # opt-in fused TPU kernel (ops/labels_pallas.py): fixed log-depth
@@ -148,12 +158,16 @@ def connected_labels(values: jax.Array, size: int) -> jax.Array:
     idx = jnp.arange(nn, dtype=jnp.int32)
     same = shift4(values, size, WALL) == values[None, :]  # [4, NN]
 
-    def body(carry):
-        lab, _ = carry
+    def propagate(lab):
         nbr_min = jnp.min(jnp.where(same, shift4(lab, size, INT_MAX),
                                     INT_MAX), axis=0)
-        lab2 = jnp.minimum(lab, nbr_min)
-        lab2 = jnp.minimum(lab2, lab2[lab2])  # pointer jump
+        return jnp.minimum(lab, nbr_min)
+
+    def body(carry):
+        lab, _ = carry
+        lab2 = lab
+        for _ in range(4):   # 4 propagations per convergence check
+            lab2 = propagate(lab2)
         return lab2, jnp.any(lab2 != lab)
 
     lab, _ = jax.lax.while_loop(lambda c: c[1], body, (idx, jnp.bool_(True)))
@@ -181,9 +195,12 @@ def chain_liberties(stones: jax.Array, labels: jax.Array, size: int) -> jax.Arra
             dup = dup | (cand[k] == cand[j])
         cand[k] = jnp.where(dup, nn, cand[k])
     cand = jnp.stack(cand)                                  # [4, NN]
-    ones = (cand != nn).astype(jnp.int32)
-    counts = jnp.zeros((nn + 1,), jnp.int32).at[cand.reshape(-1)].add(ones.reshape(-1))
-    libs = counts[labels]
+    # per-chain counts via compare-reduce, then read back at each point's
+    # own label — both as one-hot ops (ops/lookup.py) because TPU
+    # serializes the vector-index scatter-add/gather this replaces
+    counts = L.bincount_sum(jnp.where(cand != nn, cand, -1), nn,
+                            dtype=jnp.int32)
+    libs = L.gather_1d(counts, labels)
     occupied = (stones == BLACK) | (stones == WHITE)
     return jnp.where(occupied, libs, 0)
 
@@ -301,12 +318,16 @@ def area_score_tromp_taylor(stones: jax.Array, size: int) -> tuple[jax.Array, ja
     nbr_s = shift4(stones, size, WALL)
     touches_black = is_empty & jnp.any(nbr_s == BLACK, axis=0)
     touches_white = is_empty & jnp.any(nbr_s == WHITE, axis=0)
-    # scatter-or per empty-region label
-    lab_e = jnp.where(is_empty, labels, nn)
-    tb = jnp.zeros((nn + 1,), jnp.int32).at[lab_e].max(touches_black.astype(jnp.int32))
-    tw = jnp.zeros((nn + 1,), jnp.int32).at[lab_e].max(touches_white.astype(jnp.int32))
-    region_black = (tb[labels] == 1) & (tw[labels] == 0) & is_empty
-    region_white = (tw[labels] == 1) & (tb[labels] == 0) & is_empty
+    # scatter-or per empty-region label (one-hot compare-reduce, lookup.py)
+    lab_e = jnp.where(is_empty, labels, -1)
+    tb = L.bincount_sum(jnp.where(touches_black, lab_e, -1), nn,
+                        dtype=jnp.int32)
+    tw = L.bincount_sum(jnp.where(touches_white, lab_e, -1), nn,
+                        dtype=jnp.int32)
+    region_black = (L.gather_1d(tb, labels) >= 1) & \
+        (L.gather_1d(tw, labels) == 0) & is_empty
+    region_white = (L.gather_1d(tw, labels) >= 1) & \
+        (L.gather_1d(tb, labels) == 0) & is_empty
     ownership = jnp.where(stones == BLACK, 1,
                 jnp.where(stones == WHITE, -1,
                 jnp.where(region_black, 1,

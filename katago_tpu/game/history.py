@@ -48,6 +48,7 @@ from katago_tpu.game import benson
 from katago_tpu.game import board as B
 from katago_tpu.game import rules as R
 from katago_tpu.game import zobrist
+from katago_tpu.ops import lookup as L
 from katago_tpu.utils.segment_ops import segment_xor
 
 # Fixed capacity of the once-only encore ko-capture record
@@ -340,9 +341,9 @@ def _ko_capture_loc(stones, labels, libs, chain_size, loc, player,
 
 def _chain_sizes(stones, labels, nn) -> jax.Array:
     occupied = stones != B.EMPTY
-    counts = jnp.zeros((nn + 1,), jnp.int32).at[
-        jnp.where(occupied, labels, nn)].add(1)
-    return jnp.where(occupied, counts[labels], 0)
+    counts = L.bincount_sum(jnp.where(occupied, labels, -1), nn,
+                            dtype=jnp.int32)
+    return jnp.where(occupied, L.gather_1d(counts, labels), 0)
 
 
 def step_pos(pos: PosState, rules: RulesArr, loc: jax.Array,
