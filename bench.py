@@ -4,9 +4,8 @@ Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
 Config matches BASELINE.md's target and the reference's production
 selfplay settings (cpp/configs/training/selfplay1.cfg:84,115,120):
-19x19, b18c384nbt, 600 visits/move, 128 parallel games (= NN batch 128),
-ladder features ON (the reference featurizer always pays them,
-nninputs.cpp:2548).
+19x19, b18c384nbt, 600 visits/move, ladder features per the reference
+featurizer (nninputs.cpp:2548) when the runtime can execute them.
 
 Baseline: the reference publishes no GPU playouts/s figure
 (BASELINE.md). The strongest widely-reported number for its best GPU
@@ -15,18 +14,23 @@ with TensorRT (README.md "OpenCL vs CUDA vs TensorRT vs Eigen" ranks
 TensorRT fastest). vs_baseline is playouts/s divided by that figure;
 the BASELINE.json target is >= 5x.
 
-Robustness: when run as the top-level driver entry, the ladders-on
-attempt executes in a child process with a hard timeout — the known
-failure mode on the tunneled TPU runtime is the remote compiler
-stalling on the combined ladder+search graph, which hangs rather than
-raising. On timeout/crash the bench re-runs ladders-off so a round
-always records a real number (the metric name flags the downgrade).
+Execution is CHUNKED (search/driver.py): the playout scan runs in
+slices of BENCH_CHUNK sims per device call, exactly as the production
+GTP/selfplay paths drive it. A single monolithic 600-sim invocation
+exceeds the tunneled runtime's execution deadline and kills the worker
+(the round-2 failure mode); chunking also matches how time-managed
+search executes, so the bench measures the real serving shape.
+
+Robustness: as the top-level driver entry, each configuration attempt
+runs in a child process with a hard timeout, falling back
+ladders-on -> ladders-off so a round always records a real number (the
+metric name flags the downgrade).
 
 Environment knobs:
   BENCH_QUICK=1   small config (9x9 b6c96, 64 games, 64 visits) for CI
-  BENCH_VISITS/BENCH_GAMES/BENCH_NO_LADDERS   overrides for bisection
+  BENCH_VISITS/BENCH_GAMES/BENCH_NO_LADDERS/BENCH_CHUNK   overrides
   BENCH_CHILD=1   (internal) run the measurement directly, no fallback
-  BENCH_ATTEMPT_TIMEOUT   seconds for the ladders-on attempt (1800)
+  BENCH_ATTEMPT_TIMEOUT   seconds per configuration attempt (1500)
 """
 
 import json
@@ -35,18 +39,19 @@ import subprocess
 import sys
 import time
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 
 def main():
+    import jax
+    import jax.numpy as jnp
+
     from katago_tpu.game import history as H
     from katago_tpu.game import rules as R
     from katago_tpu.models import config as MC
     from katago_tpu.models.model import KataGoModel
     from katago_tpu.parallel.mesh import setup_accelerator_dispatch
-    from katago_tpu.search import mcts
+    from katago_tpu.search.driver import SearchDriver
     from katago_tpu.search.params import SearchParams
 
     accel = setup_accelerator_dispatch()
@@ -59,6 +64,7 @@ def main():
     visits = int(os.environ.get("BENCH_VISITS", visits))
     num_games = int(os.environ.get("BENCH_GAMES", num_games))
     with_ladders = os.environ.get("BENCH_NO_LADDERS", "") in ("", "0")
+    chunk = int(os.environ.get("BENCH_CHUNK", min(50, visits)))
 
     cfg = MC.get_config(cfg_name)
     # bf16 trunk: MXU-native matmul/conv precision for inference
@@ -78,37 +84,33 @@ def main():
     params = jax.device_put(params, accel)
 
     sp = SearchParams.for_selfplay().to_arr()
-    search_fn = jax.jit(lambda r, k: mcts.run_search(
-        model.apply, params, r, sp, k, size=size, num_sims=visits,
-        max_nodes=visits + 3, with_ladders=with_ladders))
+    driver = SearchDriver(model.apply, params, sp, size=size,
+                          max_nodes=visits + 3, chunk_size=chunk,
+                          with_ladders=with_ladders)
 
-    # compile + warmup
+    def run_one(seed):
+        # cap at visits+1: the root's own eval at init counts one visit,
+        # so `visits` playouts run after it (the reference counts
+        # maxVisits the same way, searchparams.h:131)
+        res = driver.search(roots, jax.device_put(
+            jax.random.PRNGKey(seed), accel), max_visits=visits + 1)
+        return res
+
+    # compile + warmup (also absorbs the first-program device tax)
     t0 = time.time()
-    res = search_fn(roots, jax.device_put(jax.random.PRNGKey(1), accel))
-    jax.block_until_ready(res.root_visits)
+    res = run_one(1)
+    rv = np.asarray(res.root_visits)
     compile_s = time.time() - t0
 
-    keys = [jax.device_put(jax.random.PRNGKey(2 + i), accel)
-            for i in range(40)]
-
-    def measure(iters, key_off):
-        t0 = time.time()
-        for i in range(iters):
-            r = search_fn(roots, keys[key_off + i])
-            jax.block_until_ready(r.root_visits)
-        return (time.time() - t0) / iters, r
-
-    iters = 5 if quick or visits <= 64 else 2
-    dt, res = measure(iters, 0)
-    # result sanity: every game must have run all its playouts (guards
-    # against a flaky tunneled runtime returning without executing)
-    rv = np.asarray(res.root_visits)
-    assert (rv == visits + 1).all(), f"bad search result, visits={rv[:4]}"
-    if dt < 0.05:
-        # implausibly fast for this config: re-measure with a longer run
-        dt, res = measure(30, 5)
+    iters = 3 if quick or visits <= 64 else 2
+    t0 = time.time()
+    for i in range(iters):
+        res = run_one(2 + i)
         rv = np.asarray(res.root_visits)
-        assert (rv == visits + 1).all()
+        # result sanity: every game ran all its playouts (guards against
+        # a flaky tunneled runtime returning without executing)
+        assert (rv == visits + 1).all(), f"bad search result, visits={rv[:4]}"
+    dt = (time.time() - t0) / iters
 
     playouts_per_s = num_games * visits / dt
     if quick:
@@ -124,40 +126,41 @@ def main():
         "unit": "playouts/s",
         "vs_baseline": round(playouts_per_s / baseline, 2),
         "compile_s": round(compile_s, 1),
+        "games": num_games,
+        "visits": visits,
     }))
 
 
 def main_with_fallback():
-    """Attempt the full config in a child; fall back to ladders-off."""
+    """Attempt configurations in a child; fall back ladders-on -> off."""
     if (os.environ.get("BENCH_CHILD") or os.environ.get("BENCH_QUICK")
             or os.environ.get("BENCH_NO_LADDERS")):
         main()
         return
-    env = dict(os.environ, BENCH_CHILD="1")
-    budget = int(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "1800"))
-    try:
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)], env=env,
-            capture_output=True, text=True, timeout=budget)
-        lines = [ln for ln in out.stdout.splitlines()
-                 if ln.startswith("{")]
+    budget = int(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "1500"))
+
+    def attempt(extra_env):
+        env = dict(os.environ, BENCH_CHILD="1", **extra_env)
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                capture_output=True, text=True, timeout=budget)
+        except subprocess.TimeoutExpired:
+            return None, "timeout"
+        lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
         if out.returncode == 0 and lines:
-            print(lines[-1])
-            return
-    except subprocess.TimeoutExpired:
-        pass
-    # ladders-on stalled or failed: measure ladders-off so the round
-    # still records a genuine number, flagged in the metric name
-    env["BENCH_NO_LADDERS"] = "1"
-    out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__)], env=env,
-        capture_output=True, text=True, timeout=budget)
-    lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
-    if lines:
-        print(lines[-1])
-    else:
-        sys.stderr.write(out.stderr[-2000:])
-        raise SystemExit(1)
+            return lines[-1], ""
+        return None, out.stderr[-2000:]
+
+    line, err1 = attempt({})
+    if line is None:
+        # ladders-on stalled or failed: measure ladders-off so the round
+        # still records a genuine number, flagged in the metric name
+        line, err2 = attempt({"BENCH_NO_LADDERS": "1"})
+        if line is None:
+            sys.stderr.write(err1[-1000:] + "\n---\n" + err2[-1000:])
+            raise SystemExit(1)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -14,10 +14,13 @@ pass-alive chains; unsafeBigTerritories marks remaining empty points of
 opp-free regions.
 
 Vectorized realization: region/chain component labels from the board
-engine's label propagation, per-point adjacent-chain label sets (≤4,
-deduped), unique (region, chain) pairs resolved by sorting the ≤4·NN pair
-keys, then the Benson fixpoint as a while_loop whose body is two segment
-reductions (vital counts per chain, killed-neighbor flags per region).
+engine's label propagation, then DENSE region-x-chain adjacency matrices
+built as one-hot matmuls (MXU work): cnt[r, c] = how many counting points
+of region r touch chain c, any[r, c] = region-to-chain adjacency. The
+Benson fixpoint is a while_loop of two batched matvecs (vital counts per
+chain, killed-neighbor flags per region). The earlier sort-based unique-
+pair formulation cost ~58ms/call at [128, 361] on v5e (TPU sorts and
+vector-index scatters serialize); the dense form is MXU-native.
 No data-dependent shapes; vmap-able over the game batch.
 """
 
@@ -28,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from katago_tpu.game import board as B
+from katago_tpu.ops import lookup as L
 
 
 def _adjacent_chain_labels(labels: jax.Array, stones: jax.Array,
@@ -74,86 +78,67 @@ def pass_alive_area_for(stones: jax.Array, pla: jax.Array,
 
     adj = _adjacent_chain_labels(chain_lab, stones, pla, size)  # [NN,4]
 
-    # pair keys (region, chain) from region points; two families:
-    #   any-pairs:  adjacency of the region to the chain (any region point)
-    #   cnt-pairs:  counting-point adjacency (for vitality counting)
-    rkey = region_lab[:, None]                                   # [NN,1]
-    valid_any = region_mask[:, None] & (adj != nn)
-    pair_key = jnp.where(valid_any, rkey * (nn + 1) + adj, nn * (nn + 1) + nn)
-    is_cnt = counting[:, None] & (adj != nn)
-
-    flat_key = pair_key.reshape(-1)                              # [4NN]
-    flat_cnt = is_cnt.reshape(-1)
-
-    order = jnp.argsort(flat_key)
-    skey = flat_key[order]
-    scnt = flat_cnt[order].astype(jnp.int32)
-
-    # unique representative = first occurrence of each key
-    is_rep = jnp.concatenate([jnp.ones((1,), bool), skey[1:] != skey[:-1]])
-    # count of counting-point adjacencies per unique pair: segmented sum via
-    # cumsum differencing
-    # segmented sum of counting-adjacencies per unique pair
-    def combine(a, b):
-        fa, va = a
-        fb, vb = b
-        return fa | fb, jnp.where(fb, vb, va + vb)
-
-    _, seg_inclusive = jax.lax.associative_scan(combine, (is_rep, scnt))
-    is_last = jnp.concatenate([skey[:-1] != skey[1:], jnp.ones((1,), bool)])
-
-    pr = skey // (nn + 1)   # region label per sorted pair
-    pc = skey % (nn + 1)    # chain label per sorted pair
-    pair_valid = is_last & (pr < nn) & (pc < nn)
+    # dense region-x-chain adjacency via one-hot matmuls (MXU):
+    #   ohr[p, r] = point p belongs to region r
+    #   adjm[p, c] = point p is adjacent to pla chain c (deduped over dirs)
+    #   cnt[r, c] = counting points of r adjacent to c      = ohr^T @ adjm
+    #   any[r, c] = region r touches chain c                = ohr^T @ adjm
+    bins = jnp.arange(nn, dtype=jnp.int32)
+    ohr = (region_lab[:, None] == bins).astype(jnp.float32)     # [NN, NN]
+    adjm = jnp.zeros((nn, nn), jnp.float32)
+    for d in range(4):
+        adjm = adjm + (adj[:, d, None] == bins).astype(jnp.float32)
+    cnt_rc = jnp.einsum("pr,pc->rc", ohr * counting[:, None].astype(
+        jnp.float32), adjm)                                     # [NN, NN]
+    any_rc = jnp.einsum("pr,pc->rc", ohr, adjm) > 0.5           # [NN, NN]
 
     # counting points per region
-    n_count = jnp.zeros((nn + 1,), jnp.int32).at[region_lab].add(
-        counting.astype(jnp.int32))[:nn]
+    n_count = L.bincount_sum(jnp.where(region_mask, region_lab, -1), nn,
+                             counting.astype(jnp.float32))
 
-    pair_vital = pair_valid & (seg_inclusive == n_count[jnp.minimum(pr, nn - 1)]) \
-        & (n_count[jnp.minimum(pr, nn - 1)] > 0)
+    vital_rc = any_rc & (cnt_rc >= n_count[:, None] - 0.5) & \
+        (n_count[:, None] > 0.5)                                # [NN, NN]
+    vital_f = vital_rc.astype(jnp.float32)
+    any_f = any_rc.astype(jnp.float32)
 
-    # Benson fixpoint over (chain_alive[NN], region_valid[NN])
-    chain_is_root = (chain_lab == jnp.arange(nn)) & is_pla
-
+    # Benson fixpoint over (chain_alive[NN], region_valid[NN]): two batched
+    # matvecs per round instead of scatter/gather segment reductions
     def body(carry):
         chain_alive, _, _ = carry
+        dead = 1.0 - chain_alive.astype(jnp.float32)
         # region invalid if adjacent (any-pair) to a dead pla chain
-        dead_adj = jnp.zeros((nn + 1,), jnp.int32).at[
-            jnp.where(pair_valid, pr, nn)].add(
-            (pair_valid & ~chain_alive[jnp.minimum(pc, nn - 1)]).astype(jnp.int32))
-        region_valid = dead_adj[:nn] == 0
+        region_valid = (any_f @ dead) < 0.5
         # vital count per chain over still-valid regions
-        vital_ct = jnp.zeros((nn + 1,), jnp.int32).at[
-            jnp.where(pair_vital, pc, nn)].add(
-            (pair_vital & region_valid[jnp.minimum(pr, nn - 1)]).astype(jnp.int32))
-        new_alive = chain_alive & (vital_ct[:nn] >= 2)
+        vital_ct = region_valid.astype(jnp.float32) @ vital_f
+        new_alive = chain_alive & (vital_ct >= 1.5)
         changed = jnp.any(new_alive != chain_alive)
         return new_alive, region_valid, changed
 
     init_alive = jnp.ones((nn,), bool)  # per-root aliveness, indexed by label
     alive, region_valid, _ = jax.lax.while_loop(
         lambda c: c[2], body, body((init_alive, jnp.ones((nn,), bool), True)))
-    del chain_is_root
 
     # pass-alive stones
-    pass_alive_stone = is_pla & alive[chain_lab]
+    pass_alive_stone = is_pla & (L.gather_1d(alive.astype(jnp.int32),
+                                             chain_lab) > 0)
 
     # region marking
     at_least_one_pla = jnp.any(is_pla)
     adj_to_pla = jnp.any(B.shift4(stones, size, B.WALL) == pla, axis=0)
     internal = region_mask & ~adj_to_pla
-    n_internal = jnp.zeros((nn + 1,), jnp.int32).at[region_lab].add(
-        internal.astype(jnp.int32))[:nn]
-    contains_opp = (jnp.zeros((nn + 1,), jnp.int32).at[region_lab].add(
-        is_opp.astype(jnp.int32))[:nn]) > 0
+    n_internal = L.bincount_sum(jnp.where(region_mask, region_lab, -1), nn,
+                                internal.astype(jnp.float32))
+    contains_opp = L.bincount_sum(jnp.where(region_mask, region_lab, -1),
+                                  nn, is_opp.astype(jnp.float32)) > 0.5
 
     borders_dead = ~region_valid  # region adjacent to a non-pass-alive pla chain
-    small = (n_internal <= 1) & ~borders_dead & at_least_one_pla
+    small = (n_internal <= 1.5) & ~borders_dead & at_least_one_pla
     safe_big = safe_big_territories & ~contains_opp & ~borders_dead & at_least_one_pla
-    region_marked = (small | safe_big)[jnp.minimum(region_lab, nn - 1)] & region_mask
+    region_marked = (L.gather_1d((small | safe_big).astype(jnp.int32),
+                                 region_lab) > 0) & region_mask
 
-    unsafe = unsafe_big_territories & ~contains_opp[jnp.minimum(region_lab, nn - 1)] \
+    unsafe = unsafe_big_territories & \
+        ~(L.gather_1d(contains_opp.astype(jnp.int32), region_lab) > 0) \
         & at_least_one_pla & region_mask & is_empty & ~region_marked
 
     mark_all = pass_alive_stone | region_marked
@@ -227,9 +212,9 @@ def calculate_independent_life_area(
     # flood seki through same-color basic-area components
     comp_vals = jnp.where(owned, basic, jnp.arange(nn, dtype=jnp.int32) + 8)
     comp = B.connected_labels(comp_vals, size)
-    seki_c = jnp.zeros((nn + 1,), jnp.int32).at[
-        jnp.where(owned, comp, nn)].max(seed.astype(jnp.int32))
-    seki = owned & (seki_c[comp] == 1)
+    seki_c = L.bincount_sum(jnp.where(owned & seed, comp, -1), nn,
+                            dtype=jnp.int32)
+    seki = owned & (L.gather_1d(seki_c, comp) >= 1)
 
     result = jnp.where(owned & ~seki, basic, B.EMPTY)
 

@@ -50,6 +50,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from katago_tpu.game import board as B
+from katago_tpu.ops import lookup as L
 
 
 class LadderResult(NamedTuple):
@@ -108,10 +109,14 @@ def _stone_labels(stones, size):
 
     def body(carry):
         lab, _ = carry
-        nbr_min = jnp.min(jnp.where(same, _shift4(lab, size, B.INT_MAX),
-                                    B.INT_MAX), axis=0)
-        lab2 = jnp.minimum(lab, nbr_min)
-        lab2 = jnp.minimum(lab2, lab2[lab2])  # pointer jump
+        # no pointer jump: lab[lab] point-gathers serialize on TPU
+        # (board.connected_labels docstring); stone-chain diameters are
+        # small so pure propagation converges in a few rounds
+        lab2 = lab
+        for _ in range(2):
+            nbr_min = jnp.min(jnp.where(same, _shift4(lab2, size, B.INT_MAX),
+                                        B.INT_MAX), axis=0)
+            lab2 = jnp.minimum(lab2, nbr_min)
         return lab2, jnp.any(lab2 != lab)
 
     lab, _ = jax.lax.while_loop(lambda c: c[1], body, (idx, jnp.bool_(True)))
@@ -204,8 +209,20 @@ def _chain_lib_points(stones, labels, rep, size):
 
 def _lowest_k(mask, k, nn):
     """Indices of the k lowest set positions of bool[NN] (nn where unset).
-    k chained min-reductions — ~200x cheaper than lax.top_k on TPU at
-    search lane widths (top_k lowers to a full sort)."""
+
+    Small k (move candidates): chained min-reductions — ~200x cheaper
+    than lax.top_k on TPU at search lane widths (top_k lowers to a full
+    sort). Large k (head selection): one rank-compare one-hot reduction
+    instead of k sequential mins."""
+    if k > 8:
+        rank = jnp.cumsum(mask.astype(jnp.int32)) - 1          # [NN]
+        idx = jnp.arange(nn, dtype=jnp.int32)
+        slot = jnp.where(mask, rank, -1)
+        # out[j] = min index with rank j (unique), nn if none
+        hit = slot[:, None] == jnp.arange(k, dtype=jnp.int32)  # [NN, k]
+        out = jnp.sum(jnp.where(hit, idx[:, None], 0), axis=0)
+        return jnp.where(jnp.any(hit, axis=0), out,
+                         jnp.int32(nn)).astype(jnp.int32)
     vals = jnp.where(mask, jnp.arange(nn, dtype=jnp.int32), _BIG)
     outs = []
     for _ in range(k):
@@ -231,12 +248,12 @@ def _defender_candidates(stones, labels, libs, rep, defender, size,
     chain = (labels == _extract(labels, rep)) & (stones != B.EMPTY)
     adj_chain = _dilate(chain, size)
     opp_atari_adj = (stones == attacker) & (libs == 1) & adj_chain
-    # whole chains containing a touching point: mark labels (scatter is
-    # cheap; it is the [NN,4] neighbor gather that TPU serializes), then
-    # one label-indexed gather back to points
-    lab_mark = jnp.zeros((nn + 1,), jnp.int32).at[
-        jnp.where(opp_atari_adj, labels, nn)].max(1)
-    marked_pts = (stones == attacker) & (lab_mark[labels] == 1)
+    # whole chains containing a touching point: mark labels then read the
+    # marks back per point — both as one-hot forms (ops/lookup.py);
+    # label-vector scatters AND gathers serialize on TPU
+    lab_mark = L.bincount_sum(jnp.where(opp_atari_adj, labels, -1), nn,
+                              dtype=jnp.int32)
+    marked_pts = (stones == attacker) & (L.gather_1d(lab_mark, labels) >= 1)
     cap_moves = (stones == B.EMPTY) & _dilate(marked_pts, size)
     caps = _lowest_k(cap_moves, num_caps, nn)
 
@@ -263,10 +280,11 @@ def _would_be_ko_capture(stones, labels, libs, size, defender):
                               axis=0)
     cap_nbr = (nbr_s == defender) & (nbr_libs == 1)
     cap_count = jnp.sum(cap_nbr.astype(jnp.int32), axis=0)
-    sizes = jnp.zeros((nn + 1,), jnp.int32).at[
-        jnp.where(stones != B.EMPTY, labels, nn)].add(1)
-    nbr_size1 = _shift4(sizes[labels] * (stones != B.EMPTY), size,
-                        jnp.int32(0)) == 1
+    sizes = L.bincount_sum(jnp.where(stones != B.EMPTY, labels, -1), nn,
+                           dtype=jnp.int32)
+    nbr_size1 = _shift4(
+        L.gather_1d(sizes, labels) * (stones != B.EMPTY), size,
+        jnp.int32(0)) == 1
     one_single = jnp.sum((cap_nbr & nbr_size1).astype(jnp.int32),
                          axis=0) == 1
     return ((stones == B.EMPTY) & all_def_or_wall & (cap_count == 1)
@@ -573,8 +591,8 @@ def ladder_map(stones: jax.Array, size: int, max_chains: int | None = None,
     heads = _lowest_k(is_head, max_chains, nn)                 # [K]
     head_ok = heads < nn
     h = jnp.minimum(heads, nn - 1)
-    hdef = stones[h]
-    hlibs = libs[h]
+    hdef = L.gather_1d(stones, h)
+    hlibs = L.gather_1d(libs, h)
 
     # liberty points for 2-lib premoves
     def two_libs(rep):
@@ -607,19 +625,18 @@ def ladder_map(stones: jax.Array, size: int, max_chains: int | None = None,
     lad2a, lad2b = results[k:2 * k], results[2 * k:]
     chain_laddered = lad1 | lad2a | lad2b                      # per head
 
-    mark = jnp.zeros((nn + 1,), jnp.int32).at[
-        jnp.where(head_ok & chain_laddered, h, nn)].max(1)
-    laddered_mask = (mark[labels] == 1) & occupied
+    mark = L.bincount_sum(jnp.where(head_ok & chain_laddered, h, -1), nn,
+                          dtype=jnp.int32)
+    laddered_mask = (L.gather_1d(mark, labels) >= 1) & occupied
 
     def working_mask(color):
-        m = jnp.zeros((nn + 1,), bool)
         sel_a = head_ok & lad2a & (hdef == color)
         sel_b = head_ok & lad2b & (hdef == color)
-        m = m.at[jnp.where(sel_a, jnp.minimum(libpts[:, 0], nn), nn)].max(
-            sel_a)
-        m = m.at[jnp.where(sel_b, jnp.minimum(libpts[:, 1], nn), nn)].max(
-            sel_b)
-        return m[:nn]
+        m = L.bincount_sum(jnp.where(sel_a, libpts[:, 0], -1), nn,
+                           dtype=jnp.int32)
+        m = m + L.bincount_sum(jnp.where(sel_b, libpts[:, 1], -1), nn,
+                               dtype=jnp.int32)
+        return m >= 1
 
     return LadderResult(
         laddered=laddered_mask,

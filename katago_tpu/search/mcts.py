@@ -51,8 +51,38 @@ TOTALCHILDWEIGHT_PUCT_OFFSET = 0.01
 ILLEGAL = -1e30
 
 
+# Column layout of Tree.stats — the per-node float statistics live in ONE
+# stacked f32[N, NUM_STATS] array so the hot paths (PUCT select, node
+# recompute, leaf insertion) touch the pool with a single gather/scatter
+# instead of ~18 per-field ops: on TPU every [G, N]-shaped op costs
+# roughly the same regardless of width, so op COUNT is the cost model.
+C_WEIGHT_SUM = 0          # total backup weight
+C_UTILITY_SUM = 1         # white-perspective utility * weight
+C_UTILITY_SQ_SUM = 2
+C_WINLOSS_SUM = 3         # white-perspective
+C_SCORE_MEAN_SUM = 4
+C_SCORE_MEANSQ_SUM = 5    # for variance-aware score utility
+C_LEAD_SUM = 6
+C_WEIGHT_SQ_SUM = 7       # for LCB effective sample size
+C_NN_UTILITY = 8          # this node's own NN eval
+C_NN_WINLOSS = 9
+C_NN_SCORE_MEAN = 10
+C_NN_SCORE_MEANSQ = 11
+C_NN_SCORE_STDEV = 12
+C_NN_LEAD = 13
+C_NN_WEIGHT = 14          # uncertainty weight of own eval
+C_LAST_BIAS_DELTA = 15    # node's last subtree-value-bias contribution
+C_LAST_BIAS_WEIGHT = 16
+C_PATTERN_BONUS = 17      # avoid-repeated-shapes white-utility bonus of
+                          # the node's move (searchnode.h:183)
+NUM_STATS = 18
+
+
 class Tree(NamedTuple):
-    """Single-game node pool; every array's leading dim is max_nodes."""
+    """Single-game node pool; every array's leading dim is max_nodes.
+
+    Float per-node statistics are stacked in `stats` (see C_* columns);
+    the named accessors below keep read sites source-compatible."""
     pos: H.PosState              # per-node position ([N, ...] leaves)
     ko_hash: jax.Array           # uint32[N, 2] node's superko hash
     graph_hash: jax.Array        # uint32[N, 2] MCGS transposition key
@@ -64,28 +94,81 @@ class Tree(NamedTuple):
     children: jax.Array          # int32[N, A], -1 = none
     policy: jax.Array            # float32[N, A], -1 = illegal
     visits: jax.Array            # int32[N]
-    weight_sum: jax.Array        # float32[N]
-    utility_sum: jax.Array       # float32[N] (white's perspective)
-    utility_sq_sum: jax.Array    # float32[N]
-    winloss_sum: jax.Array      # float32[N] (white's perspective)
-    score_mean_sum: jax.Array    # float32[N]
-    score_meansq_sum: jax.Array  # float32[N] (for variance-aware score utility)
-    lead_sum: jax.Array          # float32[N]
-    weight_sq_sum: jax.Array     # float32[N] (for LCB effective sample size)
-    nn_utility: jax.Array        # float32[N] utility from this node's NN eval
-    nn_winloss: jax.Array        # float32[N]
-    nn_score_mean: jax.Array     # float32[N]
-    nn_score_meansq: jax.Array   # float32[N]
-    nn_score_stdev: jax.Array    # float32[N]
-    nn_lead: jax.Array           # float32[N]
-    nn_weight: jax.Array         # float32[N] uncertainty weight of own eval
+    stats: jax.Array             # float32[N, NUM_STATS] (C_* columns)
     bias_key: jax.Array          # int32[N] subtree-value-bias table slot (-1)
-    last_bias_delta: jax.Array   # float32[N] node's last table contribution
-    last_bias_weight: jax.Array  # float32[N]
-    pattern_bonus: jax.Array     # f32[N] avoid-repeated-shapes white-utility
-                                 # bonus of the node's move (searchnode.h:183
-                                 # patternBonusHash, resolved at insertion)
     num_nodes: jax.Array         # int32 scalar
+
+    @property
+    def weight_sum(self):
+        return self.stats[..., C_WEIGHT_SUM]
+
+    @property
+    def utility_sum(self):
+        return self.stats[..., C_UTILITY_SUM]
+
+    @property
+    def utility_sq_sum(self):
+        return self.stats[..., C_UTILITY_SQ_SUM]
+
+    @property
+    def winloss_sum(self):
+        return self.stats[..., C_WINLOSS_SUM]
+
+    @property
+    def score_mean_sum(self):
+        return self.stats[..., C_SCORE_MEAN_SUM]
+
+    @property
+    def score_meansq_sum(self):
+        return self.stats[..., C_SCORE_MEANSQ_SUM]
+
+    @property
+    def lead_sum(self):
+        return self.stats[..., C_LEAD_SUM]
+
+    @property
+    def weight_sq_sum(self):
+        return self.stats[..., C_WEIGHT_SQ_SUM]
+
+    @property
+    def nn_utility(self):
+        return self.stats[..., C_NN_UTILITY]
+
+    @property
+    def nn_winloss(self):
+        return self.stats[..., C_NN_WINLOSS]
+
+    @property
+    def nn_score_mean(self):
+        return self.stats[..., C_NN_SCORE_MEAN]
+
+    @property
+    def nn_score_meansq(self):
+        return self.stats[..., C_NN_SCORE_MEANSQ]
+
+    @property
+    def nn_score_stdev(self):
+        return self.stats[..., C_NN_SCORE_STDEV]
+
+    @property
+    def nn_lead(self):
+        return self.stats[..., C_NN_LEAD]
+
+    @property
+    def nn_weight(self):
+        return self.stats[..., C_NN_WEIGHT]
+
+    @property
+    def last_bias_delta(self):
+        return self.stats[..., C_LAST_BIAS_DELTA]
+
+    @property
+    def last_bias_weight(self):
+        return self.stats[..., C_LAST_BIAS_WEIGHT]
+
+    @property
+    def pattern_bonus(self):
+        return self.stats[..., C_PATTERN_BONUS]
 
 
 BIAS_TABLE_SIZE = 2048  # subtree-value-bias slots per game (65536 shards
@@ -142,25 +225,8 @@ def empty_tree(size: int, max_nodes: int) -> Tree:
         children=jnp.full((n, a), -1, jnp.int32),
         policy=jnp.full((n, a), -1.0, jnp.float32),
         visits=jnp.zeros((n,), jnp.int32),
-        weight_sum=jnp.zeros((n,), jnp.float32),
-        utility_sum=jnp.zeros((n,), jnp.float32),
-        utility_sq_sum=jnp.zeros((n,), jnp.float32),
-        winloss_sum=jnp.zeros((n,), jnp.float32),
-        score_mean_sum=jnp.zeros((n,), jnp.float32),
-        score_meansq_sum=jnp.zeros((n,), jnp.float32),
-        lead_sum=jnp.zeros((n,), jnp.float32),
-        weight_sq_sum=jnp.zeros((n,), jnp.float32),
-        nn_utility=jnp.zeros((n,), jnp.float32),
-        nn_winloss=jnp.zeros((n,), jnp.float32),
-        nn_score_mean=jnp.zeros((n,), jnp.float32),
-        nn_score_meansq=jnp.zeros((n,), jnp.float32),
-        nn_score_stdev=jnp.zeros((n,), jnp.float32),
-        nn_lead=jnp.zeros((n,), jnp.float32),
-        nn_weight=jnp.zeros((n,), jnp.float32),
+        stats=jnp.zeros((n, NUM_STATS), jnp.float32),
         bias_key=jnp.full((n,), -1, jnp.int32),
-        last_bias_delta=jnp.zeros((n,), jnp.float32),
-        last_bias_weight=jnp.zeros((n,), jnp.float32),
-        pattern_bonus=jnp.zeros((n,), jnp.float32),
         num_nodes=jnp.int32(0),
     )
 
@@ -259,15 +325,21 @@ def select_path(ss: SearchState, sp: SearchParamsArr, max_depth: int,
         pol = tree.policy[node]                            # [A]
         has_child = children >= 0
         cidx = jnp.maximum(children, 0)
-        cw = jnp.where(has_child, tree.weight_sum[cidx], 0.0)
+        # ONE stacked gather for all child stats (see Tree.stats): on TPU
+        # each pool gather costs the same whether it reads 1 or 18
+        # columns, so the stacked layout turns ~4 gathers into 1
+        cstats = tree.stats[cidx]                          # [A, NUM_STATS]
+        nstats = tree.stats[node]                          # [NUM_STATS]
+        cw = jnp.where(has_child, cstats[:, C_WEIGHT_SUM], 0.0)
         cu = jnp.where(has_child,
-                       tree.utility_sum[cidx] / jnp.maximum(cw, 1e-10), 0.0)
+                       cstats[:, C_UTILITY_SUM] / jnp.maximum(cw, 1e-10),
+                       0.0)
         total_cw = jnp.sum(cw)
         visited_mass = jnp.sum(jnp.where(has_child & (pol >= 0), pol, 0.0))
 
-        w = jnp.maximum(tree.weight_sum[node], 1e-10)
-        parent_utility = tree.utility_sum[node] / w
-        utility_sq_avg = tree.utility_sq_sum[node] / w
+        w = jnp.maximum(nstats[C_WEIGHT_SUM], 1e-10)
+        parent_utility = nstats[C_UTILITY_SUM] / w
+        utility_sq_avg = nstats[C_UTILITY_SQ_SUM] / w
         # parent utility stdev factor (searchexplorehelpers.cpp:265-300)
         var_prior = sp.cpuct_utility_stdev_prior ** 2
         var_prior_w = sp.cpuct_utility_stdev_prior_weight
@@ -284,7 +356,7 @@ def select_path(ss: SearchState, sp: SearchParamsArr, max_depth: int,
         fpu_red = jnp.where(is_root, sp.root_fpu_reduction_max,
                             sp.fpu_reduction_max)
         fpu_loss = jnp.where(is_root, sp.root_fpu_loss_prop, sp.fpu_loss_prop)
-        parent_u_fpu = (sp.fpu_parent_weight * tree.nn_utility[node]
+        parent_u_fpu = (sp.fpu_parent_weight * nstats[C_NN_UTILITY]
                         + (1.0 - sp.fpu_parent_weight) * parent_utility)
         utility_radius = (sp.win_loss_utility_factor
                           + sp.static_score_utility_factor
@@ -305,7 +377,7 @@ def select_path(ss: SearchState, sp: SearchParamsArr, max_depth: int,
         child_util = jnp.where(has_child, cu, fpu)
         # root ending bonus -> utility via the score-utility derivative
         # at the parent's average score (searchhelpers.cpp:587-589)
-        parent_score = tree.score_mean_sum[node] / w
+        parent_score = nstats[C_SCORE_MEAN_SUM] / w
         deriv = score_utility_derivative(parent_score, sp,
                                          ss.dyn_score_center,
                                          ss.sqrt_board_area)
@@ -507,6 +579,33 @@ def terminal_eval(ss: SearchState, node: jax.Array, sp: SearchParamsArr,
                     ownership=ownership)
 
 
+def leaf_stats_row(ev: LeafEval, pattern_bonus: jax.Array) -> jax.Array:
+    """f32[NUM_STATS] stats row of a freshly-evaluated leaf (its sums are
+    just its own uncertainty-weighted evaluation). Column order = C_*."""
+    w0 = ev.weight
+    z = jnp.zeros((), jnp.float32)
+    return jnp.stack([
+        w0,                              # C_WEIGHT_SUM
+        w0 * ev.utility,                 # C_UTILITY_SUM
+        w0 * ev.utility * ev.utility,    # C_UTILITY_SQ_SUM
+        w0 * ev.winloss,                 # C_WINLOSS_SUM
+        w0 * ev.score_mean,              # C_SCORE_MEAN_SUM
+        w0 * ev.score_meansq,            # C_SCORE_MEANSQ_SUM
+        w0 * ev.lead,                    # C_LEAD_SUM
+        w0 * w0,                         # C_WEIGHT_SQ_SUM
+        ev.utility,                      # C_NN_UTILITY
+        ev.winloss,                      # C_NN_WINLOSS
+        ev.score_mean,                   # C_NN_SCORE_MEAN
+        ev.score_meansq,                 # C_NN_SCORE_MEANSQ
+        ev.score_stdev,                  # C_NN_SCORE_STDEV
+        ev.lead,                         # C_NN_LEAD
+        w0,                              # C_NN_WEIGHT
+        z,                               # C_LAST_BIAS_DELTA
+        z,                               # C_LAST_BIAS_WEIGHT
+        jnp.asarray(pattern_bonus, jnp.float32),  # C_PATTERN_BONUS
+    ])
+
+
 def insert_and_backup(ss: SearchState, sel: PathSel, leaf_pos: H.PosState,
                       leaf_ko_hash: jax.Array, ev: LeafEval,
                       superko_illegal: jax.Array, active: jax.Array,
@@ -560,6 +659,10 @@ def insert_and_backup(ss: SearchState, sel: PathSel, leaf_pos: H.PosState,
         lambda store, v: store.at[new_idx].set(
             jnp.where(can_alloc, v, store[new_idx])), tree.pos, leaf_pos)
     w0 = ev.weight
+    # fresh leaf stats = its own evaluation only — ONE stacked row write
+    # (see Tree.stats: per-field scatters each cost a full pool op on TPU)
+    leaf_row = leaf_stats_row(
+        ev, jnp.float32(0.0) if pat_bonus is None else pat_bonus)
     tree = tree._replace(
         pos=pos,
         ko_hash=set_at(tree.ko_hash, new_idx, leaf_ko_hash),
@@ -568,24 +671,7 @@ def insert_and_backup(ss: SearchState, sel: PathSel, leaf_pos: H.PosState,
         parent_action=set_at(tree.parent_action, new_idx, sel.leaf_action),
         depth=set_at(tree.depth, new_idx, tree.depth[sel.leaf_parent] + 1),
         policy=set_at(tree.policy, new_idx, ev.policy),
-        # fresh leaf stats = its own evaluation only
-        weight_sum=set_at(tree.weight_sum, new_idx, w0),
-        weight_sq_sum=set_at(tree.weight_sq_sum, new_idx, w0 * w0),
-        utility_sum=set_at(tree.utility_sum, new_idx, w0 * ev.utility),
-        utility_sq_sum=set_at(tree.utility_sq_sum, new_idx,
-                              w0 * ev.utility * ev.utility),
-        winloss_sum=set_at(tree.winloss_sum, new_idx, w0 * ev.winloss),
-        score_mean_sum=set_at(tree.score_mean_sum, new_idx, w0 * ev.score_mean),
-        score_meansq_sum=set_at(tree.score_meansq_sum, new_idx,
-                                w0 * ev.score_meansq),
-        lead_sum=set_at(tree.lead_sum, new_idx, w0 * ev.lead),
-        nn_utility=set_at(tree.nn_utility, new_idx, ev.utility),
-        nn_winloss=set_at(tree.nn_winloss, new_idx, ev.winloss),
-        nn_score_mean=set_at(tree.nn_score_mean, new_idx, ev.score_mean),
-        nn_score_meansq=set_at(tree.nn_score_meansq, new_idx, ev.score_meansq),
-        nn_score_stdev=set_at(tree.nn_score_stdev, new_idx, ev.score_stdev),
-        nn_lead=set_at(tree.nn_lead, new_idx, ev.lead),
-        nn_weight=set_at(tree.nn_weight, new_idx, w0),
+        stats=set_at(tree.stats, new_idx, leaf_row),
         bias_key=set_at(
             tree.bias_key, new_idx,
             _bias_key(tree.pos.board.stones[sel.leaf_parent],
@@ -593,13 +679,6 @@ def insert_and_backup(ss: SearchState, sel: PathSel, leaf_pos: H.PosState,
                       sel.leaf_action, tree.pos.to_move[sel.leaf_parent],
                       tree.pos.simple_ko_loc[sel.leaf_parent],
                       int(np.sqrt(tree.policy.shape[1] - 1)))),
-        last_bias_delta=set_at(tree.last_bias_delta, new_idx,
-                               jnp.float32(0.0)),
-        last_bias_weight=set_at(tree.last_bias_weight, new_idx,
-                                jnp.float32(0.0)),
-        pattern_bonus=set_at(
-            tree.pattern_bonus, new_idx,
-            jnp.float32(0.0) if pat_bonus is None else pat_bonus),
         num_nodes=tree.num_nodes + can_alloc.astype(jnp.int32),
     )
     # link parent -> child (fresh node, or the transposed existing node)
@@ -634,7 +713,8 @@ def insert_and_backup(ss: SearchState, sel: PathSel, leaf_pos: H.PosState,
     bump = sel.is_terminal & ~superko_illegal & active
     tnode = jnp.where(bump, sel.terminal_node, pad)
     wb = jnp.where(bump, ev.weight, 0.0)
-    tree = tree._replace(nn_weight=tree.nn_weight.at[tnode].add(wb))
+    tree = tree._replace(
+        stats=tree.stats.at[tnode, C_NN_WEIGHT].add(wb))
 
     # recompute stats bottom-up along the path (Search::recomputeNodeStats):
     # each node's stats become the value-weighted average of its children
@@ -667,10 +747,13 @@ def recompute_node(tree: Tree, node: jax.Array, sp: SearchParamsArr,
     children = tree.children[node]                      # [A]
     exists = children >= 0
     c = jnp.maximum(children, 0)
-    w = jnp.where(exists, tree.weight_sum[c], 0.0)
+    # ONE stacked gather of every child stat (Tree.stats docstring)
+    cstats = tree.stats[c]                              # [A, NUM_STATS]
+    nstats = tree.stats[node]                           # [NUM_STATS]
+    w = jnp.where(exists, cstats[:, C_WEIGHT_SUM], 0.0)
     good = exists & (w > 0)
     winv = 1.0 / jnp.maximum(w, 1e-10)
-    u_avg = tree.utility_sum[c] * winv
+    u_avg = cstats[:, C_UTILITY_SUM] * winv
     pla = tree.pos.to_move[node]
     self_u = jnp.where(pla == B.WHITE, u_avg, -u_avg)
     total_w = jnp.sum(jnp.where(good, w, 0.0))
@@ -686,22 +769,24 @@ def recompute_node(tree: Tree, node: jax.Array, sp: SearchParamsArr,
     w_adj = jnp.where(sp.value_weight_exponent > 0, w_adj * renorm,
                       jnp.where(good, w, 0.0))
 
-    def wsum(field_sum):
-        avg = field_sum[c] * winv
+    def wsum(col):
+        avg = cstats[:, col] * winv
         return jnp.sum(jnp.where(good, w_adj * avg, 0.0))
 
     scaling = jnp.where(good, w_adj * winv, 0.0)
-    child_wsq = jnp.sum(scaling * scaling * tree.weight_sq_sum[c])
+    child_wsq = jnp.sum(scaling * scaling * cstats[:, C_WEIGHT_SQ_SUM])
 
-    sw = tree.nn_weight[node]                            # self weight
-    nn_util = tree.nn_utility[node]
+    sw = nstats[C_NN_WEIGHT]                             # self weight
+    nn_util = nstats[C_NN_UTILITY]
+    new_last_delta = nstats[C_LAST_BIAS_DELTA]
+    new_last_weight = nstats[C_LAST_BIAS_WEIGHT]
     if bias_sum is not None:
         use_bias = (sp.subtree_value_bias_factor != 0.0) & \
             (tree.bias_key[node] >= 0) & active
         key = jnp.maximum(tree.bias_key[node], 0)
         # publish this node's delta (children-utility minus own-NN utility),
         # replacing its previous contribution
-        children_util = wsum(tree.utility_sum) / jnp.maximum(total_w, 1e-10)
+        children_util = wsum(C_UTILITY_SUM) / jnp.maximum(total_w, 1e-10)
         bias_w_new = jnp.power(jnp.maximum(total_w, 0.0),
                                sp.subtree_value_bias_weight_exponent)
         has_children = total_w > 1e-10
@@ -709,18 +794,13 @@ def recompute_node(tree: Tree, node: jax.Array, sp: SearchParamsArr,
                               (children_util - nn_util) * bias_w_new, 0.0)
         bias_w_new = jnp.where(has_children, bias_w_new, 0.0)
         d_delta = jnp.where(use_bias,
-                            delta_new - tree.last_bias_delta[node], 0.0)
+                            delta_new - nstats[C_LAST_BIAS_DELTA], 0.0)
         d_w = jnp.where(use_bias,
-                        bias_w_new - tree.last_bias_weight[node], 0.0)
+                        bias_w_new - nstats[C_LAST_BIAS_WEIGHT], 0.0)
         bias_sum = bias_sum.at[key].add(d_delta)
         bias_weight = bias_weight.at[key].add(d_w)
-        tree = tree._replace(
-            last_bias_delta=tree.last_bias_delta.at[node].set(
-                jnp.where(use_bias, delta_new,
-                          tree.last_bias_delta[node])),
-            last_bias_weight=tree.last_bias_weight.at[node].set(
-                jnp.where(use_bias, bias_w_new,
-                          tree.last_bias_weight[node])))
+        new_last_delta = jnp.where(use_bias, delta_new, new_last_delta)
+        new_last_weight = jnp.where(use_bias, bias_w_new, new_last_weight)
         # bias the node's own evaluation toward the table average
         entry_w = bias_weight[key]
         entry_avg = jnp.where(entry_w > 0.001,
@@ -731,28 +811,36 @@ def recompute_node(tree: Tree, node: jax.Array, sp: SearchParamsArr,
                             entry_avg, nn_util)
     # avoid-repeated-shapes: the node's pattern bonus raises/lowers its
     # recomputed white-utility average (search.cpp:1073)
-    pat = tree.pattern_bonus[node]
-    new = {
-        "weight_sum": total_w + sw,
-        "weight_sq_sum": child_wsq + sw * sw,
-        "utility_sum": wsum(tree.utility_sum) + sw * nn_util
-            + pat * (total_w + sw),
-        "utility_sq_sum": wsum(tree.utility_sq_sum)
-            + sw * nn_util * nn_util,
-        "winloss_sum": wsum(tree.winloss_sum) + sw * tree.nn_winloss[node],
-        "score_mean_sum": wsum(tree.score_mean_sum)
-            + sw * tree.nn_score_mean[node],
-        "score_meansq_sum": wsum(tree.score_meansq_sum)
-            + sw * tree.nn_score_meansq[node],
-        "lead_sum": wsum(tree.lead_sum) + sw * tree.nn_lead[node],
-    }
-    upd = {}
-    for k, v in new.items():
-        arr = getattr(tree, k)
-        upd[k] = arr.at[node].set(jnp.where(active, v, arr[node]))
+    pat = nstats[C_PATTERN_BONUS]
+    # ONE stacked row write: recomputed sums + carried-through own-eval
+    # columns (column order = C_*)
+    new_row = jnp.stack([
+        total_w + sw,                                     # C_WEIGHT_SUM
+        wsum(C_UTILITY_SUM) + sw * nn_util
+            + pat * (total_w + sw),                       # C_UTILITY_SUM
+        wsum(C_UTILITY_SQ_SUM) + sw * nn_util * nn_util,  # C_UTILITY_SQ_SUM
+        wsum(C_WINLOSS_SUM) + sw * nstats[C_NN_WINLOSS],  # C_WINLOSS_SUM
+        wsum(C_SCORE_MEAN_SUM) + sw * nstats[C_NN_SCORE_MEAN],
+        wsum(C_SCORE_MEANSQ_SUM) + sw * nstats[C_NN_SCORE_MEANSQ],
+        wsum(C_LEAD_SUM) + sw * nstats[C_NN_LEAD],        # C_LEAD_SUM
+        child_wsq + sw * sw,                              # C_WEIGHT_SQ_SUM
+        nstats[C_NN_UTILITY],
+        nstats[C_NN_WINLOSS],
+        nstats[C_NN_SCORE_MEAN],
+        nstats[C_NN_SCORE_MEANSQ],
+        nstats[C_NN_SCORE_STDEV],
+        nstats[C_NN_LEAD],
+        nstats[C_NN_WEIGHT],
+        new_last_delta,                                   # C_LAST_BIAS_DELTA
+        new_last_weight,                                  # C_LAST_BIAS_WEIGHT
+        nstats[C_PATTERN_BONUS],
+    ])
+    stats = tree.stats.at[node].set(
+        jnp.where(active, new_row, nstats))
+    tree = tree._replace(stats=stats)
     if bias_sum is not None:
-        return tree._replace(**upd), bias_sum, bias_weight
-    return tree._replace(**upd)
+        return tree, bias_sum, bias_weight
+    return tree
 
 
 def backprop_path(ss: SearchState, sel: PathSel, sp: SearchParamsArr,
@@ -834,6 +922,10 @@ def extract_subtree(tree: Tree, action: jax.Array) -> Tree:
                           new_idx_pad[jnp.clip(tree.parent, 0, n - 1)], -1)
 
     new_pos = jax.tree.map(scatter, tree.pos)
+    # last-bias-contribution columns reset: the bias table is fresh per
+    # search; pattern keys and every other stat survive re-rooting
+    stats_kept = tree.stats.at[:, C_LAST_BIAS_DELTA].set(0.0)
+    stats_kept = stats_kept.at[:, C_LAST_BIAS_WEIGHT].set(0.0)
     return Tree(
         pos=new_pos,
         ko_hash=scatter(tree.ko_hash),
@@ -844,27 +936,8 @@ def extract_subtree(tree: Tree, action: jax.Array) -> Tree:
         children=scatter(children_rm, -1),
         policy=scatter(tree.policy),
         visits=scatter(tree.visits),
-        weight_sum=scatter(tree.weight_sum),
-        utility_sum=scatter(tree.utility_sum),
-        utility_sq_sum=scatter(tree.utility_sq_sum),
-        winloss_sum=scatter(tree.winloss_sum),
-        score_mean_sum=scatter(tree.score_mean_sum),
-        score_meansq_sum=scatter(tree.score_meansq_sum),
-        lead_sum=scatter(tree.lead_sum),
-        weight_sq_sum=scatter(tree.weight_sq_sum),
-        nn_utility=scatter(tree.nn_utility),
-        nn_winloss=scatter(tree.nn_winloss),
-        nn_score_mean=scatter(tree.nn_score_mean),
-        nn_score_meansq=scatter(tree.nn_score_meansq),
-        nn_score_stdev=scatter(tree.nn_score_stdev),
-        nn_lead=scatter(tree.nn_lead),
-        nn_weight=scatter(tree.nn_weight),
-        # pattern keys survive re-rooting; last-contribution trackers reset
-        # because the bias table is fresh per search
+        stats=scatter(stats_kept),
         bias_key=scatter(tree.bias_key, -1),
-        last_bias_delta=scatter(jnp.zeros_like(tree.last_bias_delta)),
-        last_bias_weight=scatter(jnp.zeros_like(tree.last_bias_weight)),
-        pattern_bonus=scatter(tree.pattern_bonus),
         num_nodes=count,
     )
 
@@ -1233,23 +1306,8 @@ def init_search(model_apply: Callable, model_params: Any,
                 kh, gs.pos.game_over, gs.pos.consec_passes)),
             policy=tree.policy.at[0].set(ev.policy),
             visits=tree.visits.at[0].set(1),
-            weight_sum=tree.weight_sum.at[0].set(ev.weight),
-            utility_sum=tree.utility_sum.at[0].set(ev.weight * ev.utility),
-            utility_sq_sum=tree.utility_sq_sum.at[0].set(
-                ev.weight * ev.utility * ev.utility),
-            winloss_sum=tree.winloss_sum.at[0].set(ev.weight * ev.winloss),
-            score_mean_sum=tree.score_mean_sum.at[0].set(ev.weight * ev.score_mean),
-            score_meansq_sum=tree.score_meansq_sum.at[0].set(
-                ev.weight * ev.score_meansq),
-            lead_sum=tree.lead_sum.at[0].set(ev.weight * ev.lead),
-            weight_sq_sum=tree.weight_sq_sum.at[0].set(ev.weight * ev.weight),
-            nn_utility=tree.nn_utility.at[0].set(ev.utility),
-            nn_winloss=tree.nn_winloss.at[0].set(ev.winloss),
-            nn_score_mean=tree.nn_score_mean.at[0].set(ev.score_mean),
-            nn_score_meansq=tree.nn_score_meansq.at[0].set(ev.score_meansq),
-            nn_score_stdev=tree.nn_score_stdev.at[0].set(ev.score_stdev),
-            nn_lead=tree.nn_lead.at[0].set(ev.lead),
-            nn_weight=tree.nn_weight.at[0].set(ev.weight),
+            stats=tree.stats.at[0].set(
+                leaf_stats_row(ev, jnp.float32(0.0))),
             num_nodes=jnp.int32(1),
         )
         return tree
@@ -1299,7 +1357,7 @@ def init_search(model_apply: Callable, model_params: Any,
         reused = reused._replace(
             policy=reused.policy.at[:, 0, :].set(reroot_pol),
             # no pattern bonus on the root itself (search.cpp:726)
-            pattern_bonus=reused.pattern_bonus.at[:, 0].set(0.0),
+            stats=reused.stats.at[:, 0, C_PATTERN_BONUS].set(0.0),
             # the live game state is authoritative for the root position
             pos=jax.tree.map(lambda store, v: store.at[:, 0].set(v),
                              reused.pos, roots.pos))
