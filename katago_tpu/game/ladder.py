@@ -291,16 +291,58 @@ def _would_be_ko_capture(stones, labels, libs, size, defender):
             & one_single)
 
 
+def _pack2(stones, width):
+    """int32[NN] stones (values 0-2) -> uint32[width] 2-bit packed."""
+    nn = stones.shape[0]
+    v = jnp.pad(stones.astype(jnp.uint32), (0, width * 16 - nn))
+    sh = jnp.arange(16, dtype=jnp.uint32) * 2
+    # disjoint bit positions: sum == bitwise or
+    return jnp.sum(v.reshape(width, 16) << sh, axis=1, dtype=jnp.uint32)
+
+
+def _unpack2(words, nn):
+    """uint32[W] -> int32[NN] stones."""
+    sh = jnp.arange(16, dtype=jnp.uint32) * 2
+    v = (words[:, None] >> sh) & jnp.uint32(3)
+    return v.reshape(-1)[:nn].astype(jnp.int32)
+
+
+def _row_read(stack, lvl):
+    """stack[lvl] via a one-hot reduction over the level axis. Batched
+    dynamic_index with per-lane levels lowers to a serialized gather on
+    TPU (measured ~210ms/iteration for the whole body at 19x19 lane
+    widths); the one-hot form is pure vector work."""
+    d = stack.shape[0]
+    oh = (jnp.arange(d, dtype=jnp.int32) == lvl)
+    ohb = oh.reshape((d,) + (1,) * (stack.ndim - 1))
+    return jnp.sum(jnp.where(ohb, stack, jnp.zeros_like(stack)), axis=0,
+                   dtype=stack.dtype)
+
+
+def _row_write(stack, lvl, row, pred):
+    """stack with stack[lvl] <- row where pred (one-hot select form)."""
+    d = stack.shape[0]
+    oh = (jnp.arange(d, dtype=jnp.int32) == lvl) & pred
+    ohb = oh.reshape((d,) + (1,) * (stack.ndim - 1))
+    return jnp.where(ohb, jnp.broadcast_to(row, stack.shape), stack)
+
+
 class _Stk(NamedTuple):
     """Explicit-stack state of one ladder search lane
     (Board::searchIsLadderCaptured's stack machine, board.cpp:1628-1851,
-    as a branchless lax.while_loop)."""
+    as a branchless lax.while_loop).
+
+    The stack stores only the 2-bit-packed pre-move BOARD per level
+    (uint32[D, ceil(NN/16)]): labels are maintained incrementally through
+    pushes by _move_effects and recomputed by the _stone_labels fixpoint
+    on restore. Storing label rows (int16[D, NN]) or unpacked boards
+    makes the while carry ~25x larger and the per-iteration one-hot
+    writes HBM-bound."""
     stones: jax.Array      # int32[NN] current board
     labels: jax.Array      # int32[NN] exact stone-chain labels
     libs: jax.Array        # int32[NN] per-chain liberty counts
     ko: jax.Array          # int32 simple-ko point or -1
-    stk_stones: jax.Array  # int8[D, NN] pre-move board per level
-    stk_labels: jax.Array  # int16[D, NN]
+    stk_stones: jax.Array  # uint32[D, W] packed pre-move board per level
     stk_ko: jax.Array      # int32[D]
     stk_moves: jax.Array   # int32[D, M] candidate moves per level
     stk_len: jax.Array     # int32[D]
@@ -309,10 +351,12 @@ class _Stk(NamedTuple):
     ret: jax.Array         # bool value being returned
     from_deeper: jax.Array  # bool: board must be restored on re-entry
     nodes: jax.Array       # int32 moves played (node budget)
+    iters: jax.Array       # int32 loop iterations (hard wall-clock cap)
 
 
 def _search_captured(stones0, labels0, libs0, ko0, rep, defender, active,
-                     size: int, depth: int, num_caps: int, budget: int):
+                     size: int, depth: int, num_caps: int, budget: int,
+                     max_iters: int | None = None):
     """Is the defender chain at `rep` ladder-captured, defender to move?
 
     The reference's exact backtracking search (searchIsLadderCaptured with
@@ -323,52 +367,49 @@ def _search_captured(stones0, labels0, libs0, ko0, rep, defender, active,
     the attacker wins on <=1 liberty, the double-ko-death pattern, or
     depth exhaustion (the reference's stack-limit bias); node-budget
     exhaustion means not-captured. Implemented as one lax.while_loop over
-    an explicit stack of (board, labels, ko, move-list) levels so a whole
-    batch of lanes runs in lockstep vector ops; the only fixpoint anywhere
-    is the caller's initial labeling ( _move_effects maintains labels
-    exactly through each push).
+    an explicit stack of (packed board, ko, move-list) levels so a whole
+    batch of lanes runs in lockstep vector ops. max_iters hard-caps loop
+    iterations (exhaustion counts as not-captured, like the node budget);
+    it bounds device wall-clock when this runs inside a jitted search.
     """
     nn = size * size
+    width = (nn + 15) // 16
     attacker = B.opponent(defender)
     m_moves = num_caps + 1
+    if max_iters is None:
+        max_iters = 4 * budget + 64
 
     init = _Stk(
         stones=stones0, labels=labels0, libs=libs0, ko=ko0,
-        stk_stones=jnp.zeros((depth, nn), jnp.int8),
-        stk_labels=jnp.zeros((depth, nn), jnp.int16),
+        stk_stones=jnp.zeros((depth, width), jnp.uint32),
         stk_ko=jnp.zeros((depth,), jnp.int32),
         stk_moves=jnp.zeros((depth, m_moves), jnp.int32),
         stk_len=jnp.zeros((depth,), jnp.int32),
         stk_cur=jnp.full((depth,), -1, jnp.int32),
         idx=jnp.int32(0), ret=jnp.bool_(False),
-        from_deeper=jnp.bool_(False), nodes=jnp.int32(0))
+        from_deeper=jnp.bool_(False), nodes=jnp.int32(0),
+        iters=jnp.int32(0))
 
     def cond(s: _Stk):
-        return (s.idx >= 0) & (s.nodes < budget)
+        return (s.idx >= 0) & (s.nodes < budget) & (s.iters < max_iters)
 
     def body(s: _Stk) -> _Stk:
         lvl = jnp.clip(s.idx, 0, depth - 1)
         is_def = (s.idx % 2) == 0
         mover = jnp.where(is_def, defender, attacker)
-        cur = jax.lax.dynamic_index_in_dim(s.stk_cur, lvl, keepdims=False)
+        cur = _row_read(s.stk_cur, lvl)
         entering = cur == -1
 
         # ---- re-entry: restore the pre-move board of this level --------
+        # labels are NOT stored per level: feed the restored board (or an
+        # empty board for lanes not restoring, which converges in one
+        # round) back through the _stone_labels fixpoint
         restore = ~entering & s.from_deeper
-        stones = jnp.where(restore,
-                           jax.lax.dynamic_index_in_dim(
-                               s.stk_stones, lvl,
-                               keepdims=False).astype(jnp.int32),
-                           s.stones)
-        labels = jnp.where(restore,
-                           jax.lax.dynamic_index_in_dim(
-                               s.stk_labels, lvl,
-                               keepdims=False).astype(jnp.int32),
-                           s.labels)
-        ko = jnp.where(restore,
-                       jax.lax.dynamic_index_in_dim(s.stk_ko, lvl,
-                                                    keepdims=False),
-                       s.ko)
+        rst_stones = _unpack2(_row_read(s.stk_stones, lvl), nn)
+        stones = jnp.where(restore, rst_stones, s.stones)
+        rst_labels = _stone_labels(jnp.where(restore, rst_stones, 0), size)
+        labels = jnp.where(restore, rst_labels, s.labels)
+        ko = jnp.where(restore, _row_read(s.stk_ko, lvl), s.ko)
         libs = jnp.where(restore, B.chain_liberties(stones, labels, size),
                          s.libs)
 
@@ -435,15 +476,9 @@ def _search_captured(stones0, labels0, libs0, ko0, rep, defender, active,
         n_moves = jnp.sum(moves_valid.astype(jnp.int32))
 
         gen = entering & ~base
-        stk_moves = jnp.where(
-            gen,
-            jax.lax.dynamic_update_index_in_dim(
-                s.stk_moves, moves[None, :], lvl, 0),
-            s.stk_moves)
-        stk_len = jnp.where(gen,
-                            jax.lax.dynamic_update_index_in_dim(
-                                s.stk_len, n_moves, lvl, 0),
-                            s.stk_len)
+        stk_moves = _row_write(s.stk_moves, lvl, moves, gen)
+        old_len = _row_read(s.stk_len, lvl)
+        stk_len = _row_write(s.stk_len, lvl, n_moves, gen)
         cur2 = jnp.where(gen, 0, cur)
 
         # ---- re-entry: child returned (or same-level illegal move) ------
@@ -451,9 +486,7 @@ def _search_captured(stones0, labels0, libs0, ko0, rep, defender, active,
         cur2 = jnp.where(~entering & ~child_cut, cur2 + 1, cur2)
 
         # ---- list exhausted -> lose for the side to move ----------------
-        llen = jnp.where(gen, n_moves,
-                         jax.lax.dynamic_index_in_dim(s.stk_len, lvl,
-                                                      keepdims=False))
+        llen = jnp.where(gen, n_moves, old_len)
         exhausted = ~base & ~child_cut & (cur2 >= llen)
 
         popping = base | child_cut | exhausted
@@ -462,11 +495,8 @@ def _search_captured(stones0, labels0, libs0, ko0, rep, defender, active,
 
         # ---- try the next move ------------------------------------------
         trying = ~popping
-        move_row = jnp.where(gen, moves,
-                             jax.lax.dynamic_index_in_dim(s.stk_moves, lvl,
-                                                          keepdims=False))
-        move = jax.lax.dynamic_index_in_dim(
-            move_row, jnp.clip(cur2, 0, m_moves - 1), keepdims=False)
+        move_row = jnp.where(gen, moves, _row_read(s.stk_moves, lvl))
+        move = _row_read(move_row, jnp.clip(cur2, 0, m_moves - 1))
         move_c = jnp.clip(move, 0, nn - 1)
         eff = _move_effects(stones, labels, libs, move_c, mover, size)
         legal = trying & (move < nn) & eff.legal & (move_c != ko)
@@ -479,21 +509,10 @@ def _search_captured(stones0, labels0, libs0, ko0, rep, defender, active,
         ret_stay = jnp.where(depth_hit, jnp.bool_(True),  # stack-limit bias
                              is_def)
 
-        # push: save this level's pre-move board, apply the move
-        stk_stones = jnp.where(
-            push,
-            jax.lax.dynamic_update_index_in_dim(
-                s.stk_stones, stones.astype(jnp.int8)[None, :], lvl, 0),
-            s.stk_stones)
-        stk_labels = jnp.where(
-            push,
-            jax.lax.dynamic_update_index_in_dim(
-                s.stk_labels, labels.astype(jnp.int16)[None, :], lvl, 0),
-            s.stk_labels)
-        stk_ko = jnp.where(push,
-                           jax.lax.dynamic_update_index_in_dim(
-                               s.stk_ko, ko, lvl, 0),
-                           s.stk_ko)
+        # push: save this level's pre-move board (packed), apply the move
+        stk_stones = _row_write(s.stk_stones, lvl, _pack2(stones, width),
+                                push)
+        stk_ko = _row_write(s.stk_ko, lvl, ko, push)
 
         new_stones = jnp.where(push, eff.new_stones, stones)
         new_labels = jnp.where(push, eff.new_labels, labels)
@@ -504,13 +523,9 @@ def _search_captured(stones0, labels0, libs0, ko0, rep, defender, active,
         new_ko = jnp.where(push, eff.ko_loc, ko)
 
         # write back cur for this level; reset the child level's cur
-        stk_cur = jax.lax.dynamic_update_index_in_dim(s.stk_cur, cur2, lvl, 0)
+        stk_cur = _row_write(s.stk_cur, lvl, cur2, jnp.bool_(True))
         child = jnp.clip(lvl + 1, 0, depth - 1)
-        stk_cur = jnp.where(
-            push,
-            jax.lax.dynamic_update_index_in_dim(stk_cur, jnp.int32(-1),
-                                                child, 0),
-            stk_cur)
+        stk_cur = _row_write(stk_cur, child, jnp.int32(-1), push)
 
         new_idx = jnp.where(popping, s.idx - 1,
                             jnp.where(push, s.idx + 1, s.idx))
@@ -519,21 +534,24 @@ def _search_captured(stones0, labels0, libs0, ko0, rep, defender, active,
         new_from_deeper = popping  # pushes/illegal stays don't need restore
 
         return _Stk(stones=new_stones, labels=new_labels, libs=new_libs,
-                    ko=new_ko, stk_stones=stk_stones, stk_labels=stk_labels,
+                    ko=new_ko, stk_stones=stk_stones,
                     stk_ko=stk_ko, stk_moves=stk_moves, stk_len=stk_len,
                     stk_cur=stk_cur, idx=new_idx, ret=new_ret,
                     from_deeper=new_from_deeper,
-                    nodes=s.nodes + push.astype(jnp.int32))
+                    nodes=s.nodes + push.astype(jnp.int32),
+                    iters=s.iters + 1)
 
     init = init._replace(idx=jnp.where(active, 0, -1))
     out = jax.lax.while_loop(cond, body, init)
-    # node-budget exhaustion: assume not captured (board.cpp:1680-1688)
-    return out.ret & (out.nodes < budget) & active
+    # node-budget / iteration-cap exhaustion: assume not captured
+    # (board.cpp:1680-1688)
+    return (out.ret & (out.nodes < budget) & (out.iters < max_iters)
+            & active)
 
 
 def _run_sim(stones0, labels0, libs0, rep, defender, premove, active,
              size: int, depth: int, num_caps: int = 4,
-             budget: int = 25000):
+             budget: int = 25000, max_iters: int | None = None):
     """One ladder query: optional attacker premove (the 2-liberty
     attacker-first form, board.cpp:1581-1625), then the defender-first
     backtracking search. Returns bool: chain is ladder-captured."""
@@ -551,14 +569,16 @@ def _run_sim(stones0, labels0, libs0, rep, defender, premove, active,
     # left by the premove
     ko1 = jnp.int32(-1)
     return _search_captured(st1, labels1, libs1, ko1, rep, defender,
-                            active & pre_ok, size, depth, num_caps, budget)
+                            active & pre_ok, size, depth, num_caps, budget,
+                            max_iters)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 7))
 def ladder_map(stones: jax.Array, size: int, max_chains: int | None = None,
                max_depth: int | None = None, num_caps: int = 4,
                budget: int = 25000,
-               ko_loc: jax.Array | int = -1) -> LadderResult:
+               ko_loc: jax.Array | int = -1,
+               max_iters: int | None = None) -> LadderResult:
     """Solve all 1-2 liberty chains on one board.
 
     max_chains bounds how many distinct low-liberty chains are analyzed
@@ -618,7 +638,7 @@ def ladder_map(stones: jax.Array, size: int, max_chains: int | None = None,
 
     results = jax.vmap(
         lambda r, d, p, a: _run_sim(stones, labels, libs, r, d, p, a, size,
-                                    max_depth, num_caps, budget)
+                                    max_depth, num_caps, budget, max_iters)
     )(reps, defenders, premoves, active)                       # [3K] bool
 
     lad1 = results[:k]
@@ -632,6 +652,411 @@ def ladder_map(stones: jax.Array, size: int, max_chains: int | None = None,
     def working_mask(color):
         sel_a = head_ok & lad2a & (hdef == color)
         sel_b = head_ok & lad2b & (hdef == color)
+        m = L.bincount_sum(jnp.where(sel_a, libpts[:, 0], -1), nn,
+                           dtype=jnp.int32)
+        m = m + L.bincount_sum(jnp.where(sel_b, libpts[:, 1], -1), nn,
+                               dtype=jnp.int32)
+        return m >= 1
+
+    return LadderResult(
+        laddered=laddered_mask,
+        working_vs_black=working_mask(jnp.int32(B.BLACK)),
+        working_vs_white=working_mask(jnp.int32(B.WHITE)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chase solver: the per-leaf, in-search variant.
+# ---------------------------------------------------------------------------
+#
+# The backtracking solver above is exact but its lockstep while_loop costs
+# O(node-count) iterations of heavy bodies — fine amortized once per move
+# (root featurization, training-data writing) but ~two orders of magnitude
+# over budget when every playout's leaf evaluation re-featurizes (the
+# reference pays iterLadders per NN query too, nninputs.cpp:815, but a
+# scalar CPU pays ~us where a lockstep vector lane batch pays ms).
+#
+# The chase is the TPU answer for the hot path: a FORWARD-ONLY greedy
+# ladder chase (no stacks, no undo) whose board mechanics are exact —
+# labels are maintained incrementally by `_chase_apply`, and chain liberty
+# counts live in a head-indexed array `hlibs` where every read is at a
+# scalar point (one-hot reductions; no [NN^2] histograms, no chain-wide
+# spreads). Only the SEARCH POLICY is approximate versus the reference
+# backtracking search:
+#   - the defender commits greedily to the candidate (liberty-gaining
+#     captures, then the extension — the reference's move order,
+#     board.cpp:1717-1719) with the best statically-estimated liberty
+#     count instead of trying each in turn;
+#   - the attacker refutes its two liberty moves with a 2-ply static
+#     lookahead and commits to the surviving one (both surviving — a
+#     genuinely branching double ladder — picks the tighter side);
+#   - defender capture candidates are capped at _K_ADJ adjacent chains
+#     and bookkeeping bails (as "escaped") past _C_CAP captured stones.
+# On clean ladders and standard broken-ladder shapes the chase and the
+# backtracking search agree exactly (tests/test_ladder.py cross-checks);
+# divergence is confined to branchy multi-ladder positions.
+
+
+_K_ADJ = 3   # defender capture candidates examined per ply
+_C_CAP = 4   # captured stones tracked exactly per move
+
+
+class _ChaseState(NamedTuple):
+    stones: jax.Array    # int32[NN]
+    labels: jax.Array    # int32[NN] exact min-index stone-chain labels
+    hlibs: jax.Array     # int32[NN]: exact chain liberty count at each
+    #                      chain's head (label) index; garbage elsewhere
+    ko: jax.Array        # int32: simple-ko ban left by the LAST move
+    done: jax.Array      # bool
+    captured: jax.Array  # bool (valid when done)
+    ply: jax.Array       # int32; even = defender to move
+
+
+def _onehot_nn(loc, nn):
+    return jnp.arange(nn, dtype=jnp.int32) == loc
+
+
+def _chase_apply(stones, labels, hlibs, m, player, size):
+    """Play `player` at scalar point m, maintaining labels and the
+    head-indexed liberty counts exactly (the incremental equivalent of
+    Board::playMoveAssumeLegal's linked-list surgery, board.cpp, with
+    liberty counts updated by the move's exact local effects: adjacent
+    chains lose the point m, chains bordering captured stones gain those
+    points, the mover's merged chain is recounted from its mask)."""
+    nn = size * size
+    idx = jnp.arange(nn, dtype=jnp.int32)
+    opp = B.opponent(player)
+    s_sh = _shift4(stones, size, B.WALL)
+    l_sh = _shift4(labels, size, jnp.int32(nn))
+    nbr_s = jnp.stack([_extract(s_sh[d], m) for d in range(4)])
+    nbr_l = jnp.stack([_extract(l_sh[d], m) for d in range(4)])
+    nbr_libs = jnp.stack([_extract(hlibs, jnp.clip(nbr_l[d], 0, nn - 1))
+                          for d in range(4)])
+    nbr_stone = (nbr_s == B.BLACK) | (nbr_s == B.WHITE)
+    own_sel = nbr_s == player
+    cap_sel = (nbr_s == opp) & (nbr_libs == 1)
+
+    own_mask = jnp.zeros((nn,), bool)
+    cap_mask = jnp.zeros((nn,), bool)
+    merged_label = m
+    for i in range(4):
+        own_mask = own_mask | (own_sel[i] & (labels == nbr_l[i]))
+        cap_mask = cap_mask | (cap_sel[i] & (labels == nbr_l[i]))
+        merged_label = jnp.minimum(merged_label,
+                                   jnp.where(own_sel[i], nbr_l[i], m))
+    own_mask = own_mask & (stones == player)
+    cap_mask = cap_mask & (stones == opp)
+
+    target_empty = _extract(stones, m) == B.EMPTY
+    at_m = idx == m
+    new_stones = jnp.where(at_m, player,
+                           jnp.where(cap_mask, B.EMPTY, stones))
+    my_mask = own_mask | at_m
+    new_labels = jnp.where(my_mask, merged_label,
+                           jnp.where(cap_mask, idx, labels))
+    adj = _dilate(my_mask, size)
+    my_libs = jnp.sum(((new_stones == B.EMPTY) & adj).astype(jnp.int32))
+    num_captured = jnp.sum(cap_mask.astype(jnp.int32))
+
+    # ---- head-liberty maintenance ------------------------------------
+    h = hlibs
+    # (a) surviving chains adjacent to m lose the liberty m (dedup the
+    # directions; merged own chains and captured chains are rewritten or
+    # garbage below)
+    for i in range(4):
+        dup = jnp.bool_(False)
+        for j in range(i):
+            dup = dup | ((nbr_l[j] == nbr_l[i]) & nbr_stone[j])
+        sel = nbr_stone[i] & ~dup & ~own_sel[i] & ~cap_sel[i]
+        h = h - jnp.where(sel & (idx == nbr_l[i]), 1, 0)
+    # (b) chains bordering captured points gain those liberties (exact up
+    # to _C_CAP captured stones; the caller bails the lane past that)
+    cap_pts = _lowest_k(cap_mask, _C_CAP, nn)
+    nl_sh = _shift4(new_labels, size, jnp.int32(nn))
+    ns_sh = _shift4(new_stones, size, B.WALL)
+    for t in range(_C_CAP):
+        c = jnp.clip(cap_pts[t], 0, nn - 1)
+        cvalid = cap_pts[t] < nn
+        cl = jnp.stack([_extract(nl_sh[d], c) for d in range(4)])
+        cs = jnp.stack([_extract(ns_sh[d], c) for d in range(4)])
+        cstone = (cs == B.BLACK) | (cs == B.WHITE)
+        for i in range(4):
+            dup = jnp.bool_(False)
+            for j in range(i):
+                dup = dup | ((cl[j] == cl[i]) & cstone[j])
+            sel = (cvalid & cstone[i] & ~dup & (cl[i] != merged_label))
+            h = h + jnp.where(sel & (idx == cl[i]), 1, 0)
+    # (c) the mover's merged chain, recounted exactly from its mask
+    h = jnp.where(idx == merged_label, my_libs, h)
+
+    own_any = jnp.any(own_sel)
+    is_ko = (num_captured == 1) & ~own_any & (my_libs == 1)
+    ko_loc = jnp.where(is_ko, jnp.argmax(cap_mask).astype(jnp.int32),
+                       jnp.int32(-1))
+    legal = target_empty & (my_libs > 0)
+    overflow = num_captured > _C_CAP
+    return new_stones, new_labels, h, ko_loc, legal, overflow
+
+
+def _chase_one(stones0, labels0, hlibs0, rep, defender, premove, active,
+               size: int, max_steps: int):
+    """One greedy chase lane: optional attacker premove, then alternating
+    defender/attacker plies until a terminal state or the step cap
+    (exhaustion counts as not-captured, like the node budget)."""
+    nn = size * size
+    attacker = B.opponent(defender)
+
+    has_pre = premove >= 0
+    ps, pl, ph, _, plegal, pov = _chase_apply(
+        stones0, labels0, hlibs0, jnp.clip(premove, 0, nn - 1), attacker,
+        size)
+    stones1 = jnp.where(has_pre, ps, stones0)
+    labels1 = jnp.where(has_pre, pl, labels0)
+    hlibs1 = jnp.where(has_pre, ph, hlibs0)
+    live = active & (~has_pre | (plegal & ~pov))
+
+    init = _ChaseState(
+        stones=stones1, labels=labels1, hlibs=hlibs1,
+        ko=jnp.int32(-1),                 # defender wins kos at the root
+        done=~live, captured=jnp.bool_(False), ply=jnp.int32(0))
+
+    def cond(s: _ChaseState):
+        return ~s.done & (s.ply < max_steps)
+
+    def body(s: _ChaseState) -> _ChaseState:
+        is_def = (s.ply % 2) == 0
+        empty = s.stones == B.EMPTY
+        lrep = _extract(s.labels, rep)
+        gone = _extract(s.stones, rep) != defender
+        def_mask = (s.labels == lrep) & (s.stones == defender)
+        dlibs = jnp.where(gone, 0, _extract(s.hlibs, lrep))
+        libpts = empty & _dilate(def_mask, size)
+
+        # ---- terminal checks at ply entry ---------------------------
+        term_cap = gone | (~is_def & (dlibs <= 1))
+        term_esc = ~gone & ((is_def & ((s.ko >= 0) | (dlibs >= 2)))
+                            | (~is_def & (dlibs >= 3)))
+
+        # ---- defender move choice ------------------------------------
+        # extension at the lone liberty (exactly one when dlibs == 1)
+        ext = jnp.argmax(libpts).astype(jnp.int32)
+        ext_oh = _onehot_nn(ext, nn)
+        est_ext = jnp.sum(((empty & ~ext_oh)
+                           & _dilate(def_mask | ext_oh, size))
+                          .astype(jnp.int32))
+        best_est = jnp.where(jnp.any(libpts), est_ext, -1)
+        best_move = ext
+        # liberty-gaining captures: up to _K_ADJ adjacent attacker
+        # chains in atari; their lone liberty is the capture move
+        # (findLibertyGainingCaptures, board.cpp:1522). Captures are
+        # preferred on ties (the reference explores them first).
+        rem = (s.stones == attacker) & _dilate(def_mask, size)
+        for _t in range(_K_ADJ):
+            p = jnp.argmax(rem).astype(jnp.int32)
+            any_rem = jnp.any(rem)
+            lp = _extract(s.labels, p)
+            chain_t = (s.labels == lp) & (s.stones == attacker)
+            atari = _extract(s.hlibs, lp) == 1
+            lone = empty & _dilate(chain_t, size)
+            ci = jnp.argmax(lone).astype(jnp.int32)
+            ci_oh = _onehot_nn(ci, nn)
+            valid_t = any_rem & atari & jnp.any(lone) & (ci != s.ko)
+            joins = jnp.sum((_dilate(def_mask, size) & ci_oh)
+                            .astype(jnp.int32)) > 0
+            defm_t = def_mask | (ci_oh & joins)
+            est_t = jnp.sum((((empty | chain_t) & ~ci_oh)
+                             & _dilate(defm_t, size)).astype(jnp.int32))
+            better = valid_t & (est_t >= best_est)
+            best_est = jnp.where(better, est_t, best_est)
+            best_move = jnp.where(better, ci, best_move)
+            rem = rem & ~chain_t
+        def_move = best_move
+        def_has = best_est >= 0
+
+        # ---- attacker move choice ------------------------------------
+        l2 = _lowest_k(libpts, 2, nn)
+        att_sh = _shift4(s.stones, size, B.WALL)
+        atl_sh = _shift4(s.labels, size, jnp.int32(nn))
+
+        def refute(li_raw, lo_raw):
+            li = jnp.clip(li_raw, 0, nn - 1)
+            lo = jnp.clip(lo_raw, 0, nn - 1)
+            valid = (li_raw < nn) & (li_raw != s.ko)
+            # attacker stone at li merges its adjacent attacker chains
+            als = jnp.stack([_extract(att_sh[d], li) for d in range(4)])
+            all_ = jnp.stack([_extract(atl_sh[d], li) for d in range(4)])
+            li_oh = _onehot_nn(li, nn)
+            amask = li_oh
+            for i in range(4):
+                amask = amask | ((als[i] == attacker)
+                                 & (s.labels == all_[i]))
+            amask = amask & ((s.stones == attacker) | li_oh)
+            a_libs = jnp.sum(((empty & ~li_oh) & _dilate(amask, size))
+                             .astype(jnp.int32))
+            legal_est = a_libs >= 1
+            # 2-ply: defender extends at the other liberty
+            lo_oh = _onehot_nn(lo, nn)
+            est_ext2 = jnp.sum(((empty & ~li_oh & ~lo_oh)
+                                & _dilate(def_mask | lo_oh, size))
+                               .astype(jnp.int32))
+            # ... or captures the attacker's self-atari'd chain
+            lone_a = (empty & ~li_oh) & _dilate(amask, size)
+            ca = jnp.argmax(lone_a).astype(jnp.int32)
+            ca_oh = _onehot_nn(ca, nn)
+            joins_a = jnp.sum((_dilate(def_mask, size) & ca_oh)
+                              .astype(jnp.int32)) > 0
+            est_cap2 = jnp.sum((((empty | amask) & ~li_oh & ~ca_oh)
+                                & _dilate(def_mask | (ca_oh & joins_a),
+                                          size)).astype(jnp.int32))
+            est_def = jnp.maximum(est_ext2,
+                                  jnp.where(a_libs == 1, est_cap2, 0))
+            return (~valid) | (~legal_est) | (est_def >= 3), est_def
+
+        r0, e0 = refute(l2[0], l2[1])
+        r1, e1 = refute(l2[1], l2[0])
+        both_ref = r0 & r1
+        pick1 = (~r1) & (r0 | (e1 < e0))
+        att_move = jnp.where(pick1, l2[1], l2[0]).astype(jnp.int32)
+        att_move = jnp.clip(att_move, 0, nn - 1)
+
+        # double-ko death (board.cpp:1746-1756), scalar form at l0/l1:
+        # both liberties 0-immediate-liberty ko mouths and no defender
+        # captures available
+        imm = _empty_neighbor_count(s.stones, size)
+        kocap = _would_be_ko_capture_at(s.stones, s.labels, s.hlibs, size,
+                                        defender, l2, att_sh, atl_sh)
+        lib0 = jnp.clip(l2[0], 0, nn - 1)
+        lib1 = jnp.clip(l2[1], 0, nn - 1)
+        both_libs = (l2[0] < nn) & (l2[1] < nn)
+        double_ko = (both_libs & (_extract(imm, lib0) == 0)
+                     & (_extract(imm, lib1) == 0) & kocap[0] & kocap[1])
+
+        # ---- resolve the ply -----------------------------------------
+        mover = jnp.where(is_def, defender, attacker)
+        move = jnp.where(is_def, def_move, att_move)
+        ns, nl, nh, nko, legal, ov = _chase_apply(
+            s.stones, s.labels, s.hlibs, move, mover, size)
+
+        new_term_cap = term_cap | (is_def & (~def_has | ~legal))
+        new_term_esc = (term_esc
+                        | (~is_def & ~term_cap & (both_ref | ov))
+                        | (is_def & ~new_term_cap & ov))
+        new_term_cap = new_term_cap | (~is_def & ~new_term_esc & double_ko
+                                       & ~term_esc)
+        terminal = (new_term_cap | new_term_esc) & ~s.done
+
+        advance = ~terminal & ~s.done
+        return _ChaseState(
+            stones=jnp.where(advance, ns, s.stones),
+            labels=jnp.where(advance, nl, s.labels),
+            hlibs=jnp.where(advance, nh, s.hlibs),
+            ko=jnp.where(advance, nko, s.ko),
+            done=s.done | terminal,
+            captured=jnp.where(terminal, new_term_cap, s.captured),
+            ply=s.ply + 1)
+
+    out = jax.lax.while_loop(cond, body, init)
+    return out.captured & out.done & active
+
+
+def _would_be_ko_capture_at(stones, labels, hlibs, size, defender, l2,
+                            s_sh, l_sh):
+    """wouldBeKoCapture(loc, attacker) (board.cpp:518-545) evaluated only
+    at the two scalar liberty points: all 4 neighbors defender-or-wall and
+    exactly one adjacent single-stone defender chain in atari."""
+    nn = size * size
+    outs = []
+    for t in range(2):
+        loc = jnp.clip(l2[t], 0, nn - 1)
+        ns = jnp.stack([_extract(s_sh[d], loc) for d in range(4)])
+        nl = jnp.stack([_extract(l_sh[d], loc) for d in range(4)])
+        all_def = jnp.all((ns == defender) | (ns == B.WALL))
+        cap_cnt = jnp.int32(0)
+        single_cnt = jnp.int32(0)
+        for i in range(4):
+            dup = jnp.bool_(False)
+            for j in range(i):
+                dup = dup | (nl[j] == nl[i]) & (ns[j] == defender)
+            isdef = (ns[i] == defender) & ~dup
+            in_atari = _extract(hlibs, jnp.clip(nl[i], 0, nn - 1)) == 1
+            chain_sz = jnp.sum(((labels == nl[i])
+                                & (stones == defender)).astype(jnp.int32))
+            cap_cnt = cap_cnt + jnp.where(isdef & in_atari, 1, 0)
+            single_cnt = single_cnt + jnp.where(
+                isdef & in_atari & (chain_sz == 1), 1, 0)
+        outs.append((l2[t] < nn) & all_def & (cap_cnt == 1)
+                    & (single_cnt == 1))
+    return outs
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def ladder_map_chase(stones: jax.Array, size: int,
+                     max_chains: int = 16, max_steps: int | None = None,
+                     ko_loc: jax.Array | int = -1) -> LadderResult:
+    """Chase-solver ladder planes for one board (the in-search variant).
+
+    Same interface and result semantics as `ladder_map`; see the module
+    section comment for the policy approximations. max_chains bounds the
+    low-liberty chains analyzed per board (lowest flat index first;
+    overflow chains are marked not-laddered) — in-search featurization
+    wants this small, the action concentrates in few chains. max_steps
+    bounds chase plies (default covers a corner-to-corner ladder at ~4
+    plies per diagonal cell; exhaustion counts as not-captured)."""
+    nn = size * size
+    if max_steps is None:
+        # a corner-to-corner ladder consumes ~4 plies per diagonal cell
+        max_steps = 4 * size + 14
+    labels = _stone_labels(stones, size)
+    libs = B.chain_liberties(stones, labels, size)
+    occupied = (stones == B.BLACK) | (stones == B.WHITE)
+    idx = jnp.arange(nn, dtype=jnp.int32)
+    is_head = occupied & (labels == idx) & (libs >= 1) & (libs <= 2)
+    heads = _lowest_k(is_head, max_chains, nn)                 # [K]
+    head_ok = heads < nn
+    h = jnp.minimum(heads, nn - 1)
+    hdef = L.gather_1d(stones, h)
+    hlibcnt = L.gather_1d(libs, h)
+
+    def two_libs(rep):
+        pts = _chain_lib_points(stones, labels, rep, size)
+        return _lowest_k(pts, 2, nn)
+
+    libpts = jax.vmap(two_libs)(h)                             # [K, 2]
+
+    k = max_chains
+    ko = jnp.asarray(ko_loc, jnp.int32)
+    # two lanes per chain: lane A = defender-first (1 lib) or
+    # attacker-first at liberty 0 (2 libs); lane B = attacker-first at
+    # liberty 1 (2 libs only)
+    reps = jnp.concatenate([h, h])
+    defenders = jnp.concatenate([hdef, hdef])
+    pre_a = jnp.where(hlibcnt == 2,
+                      jnp.where(libpts[:, 0] < nn, libpts[:, 0], -1),
+                      jnp.full((k,), -1, jnp.int32))
+    pre_b = jnp.where(libpts[:, 1] < nn, libpts[:, 1], -1)
+    premoves = jnp.concatenate([pre_a, pre_b])
+    act_a = head_ok & ((hlibcnt == 1)
+                       | ((hlibcnt == 2) & (libpts[:, 0] < nn)
+                          & (libpts[:, 0] != ko)))
+    act_b = head_ok & (hlibcnt == 2) & (libpts[:, 1] < nn) \
+        & (libpts[:, 1] != ko)
+    active = jnp.concatenate([act_a, act_b])
+
+    results = jax.vmap(
+        lambda r, d, p, a: _chase_one(stones, labels, libs, r, d, p, a,
+                                      size, max_steps)
+    )(reps, defenders, premoves, active)                       # [2K] bool
+
+    lad_a, lad_b = results[:k], results[k:]
+    chain_laddered = lad_a | lad_b
+
+    mark = L.bincount_sum(jnp.where(head_ok & chain_laddered, h, -1), nn,
+                          dtype=jnp.int32)
+    laddered_mask = (L.gather_1d(mark, labels) >= 1) & occupied
+
+    def working_mask(color):
+        sel_a = head_ok & lad_a & (hdef == color) & (hlibcnt == 2)
+        sel_b = head_ok & lad_b & (hdef == color)
         m = L.bincount_sum(jnp.where(sel_a, libpts[:, 0], -1), nn,
                            dtype=jnp.int32)
         m = m + L.bincount_sum(jnp.where(sel_b, libpts[:, 1], -1), nn,

@@ -90,7 +90,8 @@ def self_komi(gs: H.GameState, params: FeatureParams) -> jax.Array:
 def fill_features_v7(gs: H.GameState, size: int,
                      params: FeatureParams,
                      legal_full: jax.Array | None = None,
-                     with_ladders: bool = True
+                     with_ladders: bool = True,
+                     ladder_mode: str = "exact"
                      ) -> tuple[jax.Array, jax.Array]:
     """Returns (spatial f32[NN, 22], global f32[19]) for the player to move.
 
@@ -100,7 +101,12 @@ def fill_features_v7(gs: H.GameState, size: int,
 
     with_ladders: static switch for planes 14-17 (the ladder solver is by
     far the most expensive feature; inner-search evaluators may trade it
-    off for throughput via SearchParams)."""
+    off for throughput via SearchParams).
+
+    ladder_mode: "exact" runs the reference-semantics backtracking solver
+    (per-move and data-writing paths); "chase" runs the greedy forward
+    chase (ladder.py section comment) — the per-playout in-search
+    variant, ~2 orders of magnitude cheaper at search lane widths."""
     nn = size * size
     stones = gs.board.stones
     pla = gs.to_move
@@ -200,10 +206,13 @@ def fill_features_v7(gs: H.GameState, size: int,
         pp_ko = jnp.where(amount >= 2, gs.pos.prev_prev_ko_loc, prev_ko)
         # one vmapped solve over {current, prev, prevprev}: the solver
         # compiles once and the three boards batch onto the device
-        lad3 = jax.vmap(
-            lambda s, k: ladder.ladder_map(s, size, ko_loc=k)
-        )(jnp.stack([stones, prev, pp]),
-          jnp.stack([gs.pos.simple_ko_loc, prev_ko, pp_ko]))
+        if ladder_mode == "chase":
+            solve = lambda s, k: ladder.ladder_map_chase(s, size, ko_loc=k)
+        else:
+            solve = lambda s, k: ladder.ladder_map(s, size, ko_loc=k)
+        lad3 = jax.vmap(solve)(
+            jnp.stack([stones, prev, pp]),
+            jnp.stack([gs.pos.simple_ko_loc, prev_ko, pp_ko]))
         lad = jax.tree.map(lambda x: x[0], lad3)
         sp = sp.at[:, 14].set(lad.laddered.astype(jnp.float32))
         sp = sp.at[:, 15].set(lad3.laddered[1].astype(jnp.float32))
@@ -310,15 +319,17 @@ NUM_GLOBAL_BY_VERSION = {3: 14, 4: 14, 5: 12, 6: 16, 7: NUM_GLOBAL_V7}
 
 def fill_features(gs: H.GameState, size: int, params: FeatureParams,
                   legal: jax.Array, *, version: int = 7,
-                  with_ladders: bool = True):
+                  with_ladders: bool = True, ladder_mode: str = "exact"):
     """Versioned featurizer: V3..V7 spatial/global rows."""
     if version == 7:
         return fill_features_v7(gs, size, params, legal,
-                                with_ladders=with_ladders)
+                                with_ladders=with_ladders,
+                                ladder_mode=ladder_mode)
     if version not in NUM_SPATIAL_BY_VERSION:
         raise ValueError(f"unsupported input-features version {version}")
     sp, gl = fill_features_v7(gs, size, params, legal,
-                              with_ladders=(with_ladders and version != 5))
+                              with_ladders=(with_ladders and version != 5),
+                              ladder_mode=ladder_mode)
 
     if version in (3, 4):
         # planes 18/19: V3 = scoring-dependent plain area

@@ -35,6 +35,7 @@ class SearchDriver:
                  sp: SearchParamsArr, *, size: int, max_nodes: int,
                  chunk_size: int = 16, max_depth: int = 64,
                  with_ladders: bool = True,
+                 ladder_mode: str = "chase",
                  root_num_symmetries: int = 1,
                  sgf_meta=None,
                  feature_version: int = 7):
@@ -47,6 +48,7 @@ class SearchDriver:
         self._model_params = model_params
         self._max_depth = max_depth
         self._with_ladders = with_ladders
+        self._ladder_mode = ladder_mode
         self.root_num_symmetries = root_num_symmetries
         self._sgf_meta = sgf_meta
         self._feature_version = feature_version
@@ -67,7 +69,8 @@ class SearchDriver:
                 return mcts.init_search(
                     self._model_apply, self._model_params, roots, self.sp,
                     rng, size=self.size, max_nodes=self.max_nodes,
-                    with_ladders=self._with_ladders, prev_tree=pt,
+                    with_ladders=self._with_ladders,
+                    ladder_mode=self._ladder_mode, prev_tree=pt,
                     prev_actions=pa, mirror=mirror,
                     root_allowed_mask=mask,
                     sgf_meta=self._sgf_meta,
@@ -88,6 +91,7 @@ class SearchDriver:
                     size=self.size, num_sims=self.chunk_size,
                     max_depth=self._max_depth,
                     with_ladders=self._with_ladders,
+                    ladder_mode=self._ladder_mode,
                     sgf_meta=self._sgf_meta,
                     max_visits=max_visits, active_mask=active_mask,
                     mirror=mirror, pattern_bonus=pattern_bonus,

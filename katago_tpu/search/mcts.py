@@ -944,7 +944,8 @@ def extract_subtree(tree: Tree, action: jax.Array) -> Tree:
 
 def make_nn_evaluator(model_apply: Callable, model_params: Any, size: int,
                       with_ladders: bool = True, sgf_meta=None,
-                      feature_version: int = 7):
+                      feature_version: int = 7,
+                      ladder_mode: str = "chase"):
     """Returns batched_eval(leaf_gs_batch, feat_params, rng) -> per-game NN
     outputs dict; the only cross-game-batched piece of the search.
 
@@ -952,6 +953,12 @@ def make_nn_evaluator(model_apply: Callable, model_params: Any, size: int,
     solver is the single most expensive feature (~4x total featurizer
     cost), so throughput-critical searches may disable it (the reference
     always pays it, nninputs.cpp:2548).
+
+    ladder_mode: in-search leaf evaluation defaults to the greedy chase
+    solver — exact board mechanics, greedy search policy (ladder.py) —
+    because the backtracking solver costs ~2 orders of magnitude more
+    than the forward pass at search lane widths on TPU; per-move and
+    data-writing featurization stays "exact".
 
     feature_version: input-feature version 3..7 matching the model
     (ModelDesc.input_version for reference nets; modelversion.cpp)."""
@@ -967,7 +974,8 @@ def make_nn_evaluator(model_apply: Callable, model_params: Any, size: int,
         sp_feat, gl_feat = jax.vmap(
             lambda g_, l_: F.fill_features(g_, size, feat_params, l_,
                                            version=feature_version,
-                                           with_ladders=with_ladders)
+                                           with_ladders=with_ladders,
+                                           ladder_mode=ladder_mode)
         )(leaf_gs, legal)
         g = sp_feat.shape[0]
         if sym is not None:
@@ -1093,6 +1101,7 @@ def init_search(model_apply: Callable, model_params: Any,
                 roots: H.GameState, sp: SearchParamsArr,
                 rng: jax.Array, *, size: int, max_nodes: int,
                 with_ladders: bool = True,
+                ladder_mode: str = "chase",
                 prev_tree: Tree | None = None,
                 prev_actions: jax.Array | None = None,
                 root_allowed_mask: jax.Array | None = None,
@@ -1117,7 +1126,8 @@ def init_search(model_apply: Callable, model_params: Any,
     evaluator = make_nn_evaluator(model_apply, model_params, size,
                                   with_ladders=with_ladders,
                                   sgf_meta=sgf_meta,
-                                  feature_version=feature_version)
+                                  feature_version=feature_version,
+                                  ladder_mode=ladder_mode)
 
     feat_params = F.FeatureParams(
         draw_equiv_wins_for_white=sp.draw_equivalent_wins_for_white,
@@ -1381,6 +1391,7 @@ def run_playouts(model_apply: Callable, model_params: Any,
                  ss: SearchState, sp: SearchParamsArr, rng: jax.Array, *,
                  size: int, num_sims: int, max_depth: int = 64,
                  with_ladders: bool = True,
+                 ladder_mode: str = "chase",
                  max_visits: int | None = None,
                  active_mask: jax.Array | None = None,
                  max_superko_retries: int = 3,
@@ -1410,7 +1421,8 @@ def run_playouts(model_apply: Callable, model_params: Any,
     evaluator = make_nn_evaluator(model_apply, model_params, size,
                                   with_ladders=with_ladders,
                                   sgf_meta=sgf_meta,
-                                  feature_version=feature_version)
+                                  feature_version=feature_version,
+                                  ladder_mode=ladder_mode)
     feat_params = F.FeatureParams(
         draw_equiv_wins_for_white=sp.draw_equivalent_wins_for_white,
         playout_doubling_advantage=sp.playout_doubling_advantage,
@@ -1665,6 +1677,7 @@ def run_search(model_apply: Callable, model_params: Any,
                rng: jax.Array, *, size: int, num_sims: int,
                max_nodes: int, max_depth: int = 64,
                with_ladders: bool = True,
+               ladder_mode: str = "chase",
                prev_tree: Tree | None = None,
                prev_actions: jax.Array | None = None,
                root_allowed_mask: jax.Array | None = None,
@@ -1683,7 +1696,8 @@ def run_search(model_apply: Callable, model_params: Any,
     rng, r_init, r_play = jax.random.split(rng, 3)
     ss = init_search(model_apply, model_params, roots, sp, r_init,
                      size=size, max_nodes=max_nodes,
-                     with_ladders=with_ladders, prev_tree=prev_tree,
+                     with_ladders=with_ladders, ladder_mode=ladder_mode,
+                     prev_tree=prev_tree,
                      prev_actions=prev_actions,
                      root_allowed_mask=root_allowed_mask,
                      root_num_symmetries=root_num_symmetries,
@@ -1691,7 +1705,8 @@ def run_search(model_apply: Callable, model_params: Any,
                      feature_version=feature_version)
     ss = run_playouts(model_apply, model_params, ss, sp, r_play, size=size,
                       num_sims=num_sims, max_depth=max_depth,
-                      with_ladders=with_ladders, max_visits=max_visits,
+                      with_ladders=with_ladders, ladder_mode=ladder_mode,
+                      max_visits=max_visits,
                       active_mask=active_mask, sgf_meta=sgf_meta,
                       mirror=mirror, pattern_bonus=pattern_bonus,
                       feature_version=feature_version)
