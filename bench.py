@@ -21,6 +21,11 @@ exceeds the tunneled runtime's execution deadline and kills the worker
 (the round-2 failure mode); chunking also matches how time-managed
 search executes, so the bench measures the real serving shape.
 
+In-search leaf featurization solves ladders with the chase solver
+(game/ladder.py ladder_map_chase — exact board mechanics, greedy
+search policy), the production default for every search path; the
+backtracking exact solver runs on the per-move data-writing paths.
+
 Robustness: as the top-level driver entry, each configuration attempt
 runs in a child process with a hard timeout, falling back
 ladders-on -> ladders-off so a round always records a real number (the

@@ -38,14 +38,22 @@ GTP_COLS = "ABCDEFGHJKLMNOPQRSTUVWXYZ"  # no I
 KNOWN_COMMANDS = [
     "protocol_version", "name", "version", "known_command", "list_commands",
     "quit", "boardsize", "rectangular_boardsize", "clear_board", "komi",
-    "kata-get-komi", "play", "genmove", "undo", "showboard", "final_score",
-    "final_status_list", "fixed_handicap", "time_settings", "time_left",
+    "get_komi", "kata-get-komi", "play", "genmove", "undo", "showboard",
+    "final_score",
+    "final_status_list", "fixed_handicap", "place_free_handicap",
+    "set_free_handicap", "time_settings", "time_left",
+    "kgs-time_settings", "kgs-rules", "cputime", "gomill-cpu_time",
     "kata-get-rules", "kata-set-rules", "kata-set-rule", "kata-get-param",
-    "kata-set-param", "kata-raw-nn", "kata-analyze", "lz-analyze",
+    "kata-set-param", "kata-get-params", "kata-set-params",
+    "kata-list-params", "kata-get-models",
+    "kata-raw-nn", "kata-analyze", "lz-analyze",
     "genmove_analyze", "lz-genmove_analyze", "kata-genmove_analyze",
+    "genmove_debug",
+    "kata-search", "kata-search_cancellable", "kata-search_debug",
+    "kata-search_analyze", "kata-search_analyze_cancellable",
     "clear_cache", "loadsgf", "printsgf", "showboard", "kata-benchmark",
     "kata-time_settings", "kata-list-time-settings", "kata-set-position",
-    "kata-search-cancellable", "stop",
+    "set_position", "stop",
 ]
 
 
@@ -447,6 +455,54 @@ class GTPEngine:
             out += " ownership " + " ".join(f"{v:.4f}" for v in own)
         return out
 
+    def param_table(self):
+        """kata-get/set-param surface: name -> (getter, setter). A small
+        live-tunable subset of the reference's kata-set-param params
+        (gtp.cpp kata-set-param; full config keys load at startup via
+        utils/setup.py)."""
+        def fset(name, conv):
+            def set_(v):
+                setattr(self, name, conv(v))
+            return set_
+
+        def as_bool(v):
+            return v if isinstance(v, bool) else str(v).lower() == "true"
+
+        return {
+            "maxVisits": (lambda: self.visits, fset("visits", int)),
+            "ponderingEnabled": (lambda: self.ponder_enabled,
+                                 fset("ponder_enabled", as_bool)),
+            "allowResignation": (lambda: self.allow_resignation,
+                                 fset("allow_resignation", as_bool)),
+            "resignThreshold": (lambda: self.resign_threshold,
+                                fset("resign_threshold", float)),
+            "resignConsecTurns": (lambda: self.resign_consec_turns,
+                                  fset("resign_consec_turns", int)),
+            "lagBuffer": (lambda: self.lag_buffer,
+                          fset("lag_buffer", float)),
+            "antiMirror": (lambda: self.anti_mirror,
+                           fset("anti_mirror", as_bool)),
+        }
+
+    def policy_top_move(self, player: int) -> int | None:
+        """Raw-policy argmax over legal moves for `player` (the
+        placeFreeHandicap placement policy, playutils.cpp)."""
+        from katago_tpu.models import features as F
+        gs = H.replace_pos(self.gs, to_move=jnp.int32(player))
+        legal = H.legal_moves(gs, self.size)
+        sp_feat, gl_feat = F.fill_features_v7(gs, self.size,
+                                              F.FeatureParams.default(),
+                                              legal)
+        sp_in = jnp.asarray(sp_feat).reshape(1, self.size, self.size, 22)
+        gl_in = jnp.asarray(gl_feat).reshape(1, 19)
+        raw = self.model_apply(None, sp_in, gl_in)
+        pol = np.asarray(jax.nn.softmax(raw["policy_logits"][0, 0]))
+        pol = np.where(np.asarray(legal), pol, -1.0)
+        loc = int(pol[:self.size * self.size].argmax())
+        if pol[loc] <= 0:
+            return None
+        return loc
+
     def raw_nn(self) -> str:
         from katago_tpu.models import features as F
         gs = self.gs
@@ -526,8 +582,33 @@ def run_gtp(engine: GTPEngine, infile=sys.stdin, outfile=sys.stdout,
                 engine.set_rules(R.Rules(**{**engine.rules.__dict__,
                                             "komi": float(args[0])}))
                 respond("", cmd_id)
-            elif cmd == "kata-get-komi":
+            elif cmd in ("kata-get-komi", "get_komi"):
                 respond(str(engine.rules.komi), cmd_id)
+            elif cmd in ("cputime", "gomill-cpu_time"):
+                respond(f"{time.process_time():.3f}", cmd_id)
+            elif cmd == "kgs-rules":
+                # chinese | japanese | aga | new_zealand (gtp.cpp kgs-rules)
+                name = args[0].lower().replace("_", "-")
+                engine.set_rules(R.Rules.parse(name))
+                respond("", cmd_id)
+            elif cmd == "kgs-time_settings":
+                kind = args[0].lower()
+                def mk_kgs():
+                    if kind == "none":
+                        return None
+                    if kind == "absolute":
+                        return TC.TimeControls.absolute_time(float(args[1]))
+                    if kind == "byoyomi":
+                        # main_time byo_yomi_time byo_yomi_periods
+                        return TC.TimeControls.canadian_or_byo_yomi_time(
+                            float(args[1]), float(args[2]), int(args[3]), 1)
+                    if kind == "canadian":
+                        return TC.TimeControls.canadian_or_byo_yomi_time(
+                            float(args[1]), float(args[2]), 1, int(args[3]))
+                    raise ValueError(f"unknown kgs time kind {kind}")
+                engine.time_controls[B.BLACK] = mk_kgs()
+                engine.time_controls[B.WHITE] = mk_kgs()
+                respond("", cmd_id)
             elif cmd == "play":
                 player = player_of[args[0].lower()]
                 loc = gtp_to_loc(args[1], engine.size, engine.x_size, engine.y_size)
@@ -542,7 +623,8 @@ def run_gtp(engine: GTPEngine, infile=sys.stdin, outfile=sys.stdout,
                 respond("resign" if loc is None
                         else loc_to_gtp(loc, engine.size, engine.x_size, engine.y_size), cmd_id)
             elif cmd in ("genmove_analyze", "lz-genmove_analyze",
-                         "kata-genmove_analyze"):
+                         "kata-genmove_analyze", "kata-search_analyze",
+                         "kata-search_analyze_cancellable"):
                 # stream info lines during the search, then the move
                 # (gtp.cpp:1748 genmove_analyze family)
                 player = int(engine.gs.pos.to_move)
@@ -560,8 +642,15 @@ def run_gtp(engine: GTPEngine, infile=sys.stdin, outfile=sys.stdout,
                     outfile.write(engine.analyze_info(res) + "\n")
                     outfile.flush()
 
-                loc = engine.genmove(player, callback=emit,
-                                     callback_interval=interval)
+                if cmd.startswith("kata-search"):
+                    # search_analyze variants report without playing
+                    res = engine.search_root(player, callback=emit,
+                                             callback_interval=interval)
+                    cv = np.asarray(res.child_visits[0])
+                    loc = int(cv.argmax())
+                else:
+                    loc = engine.genmove(player, callback=emit,
+                                         callback_interval=interval)
                 # final summary info line from the completed search's tree
                 final_res = engine.last_search_result
                 if final_res is not None:
@@ -603,7 +692,7 @@ def run_gtp(engine: GTPEngine, infile=sys.stdin, outfile=sys.stdout,
                     if status == kind:
                         out_locs.append(loc_to_gtp(loc, engine.size, engine.x_size, engine.y_size))
                 respond(" ".join(out_locs), cmd_id)
-            elif cmd == "kata-set-position":
+            elif cmd in ("kata-set-position", "set_position"):
                 # alternating color/vertex pairs on an empty board
                 # (gtp.cpp kata-set-position)
                 if len(args) % 2 != 0:
@@ -636,6 +725,49 @@ def run_gtp(engine: GTPEngine, infile=sys.stdin, outfile=sys.stdout,
                     engine.play(B.BLACK, l)
                 engine.gs = H.replace_pos(engine.gs, to_move=jnp.int32(B.WHITE))
                 respond(" ".join(loc_to_gtp(l, engine.size, engine.x_size, engine.y_size) for l in locs), cmd_id)
+            elif cmd == "place_free_handicap":
+                # policy-greedy placement (PlayUtils::placeFreeHandicap
+                # plays the net's top move repeatedly with black to move)
+                n = int(args[0])
+                locs = []
+                for _ in range(n):
+                    l = engine.policy_top_move(B.BLACK)
+                    if l is None or l >= engine.size * engine.size:
+                        break
+                    engine.play(B.BLACK, l)
+                    locs.append(l)
+                engine.gs = H.replace_pos(engine.gs,
+                                          to_move=jnp.int32(B.WHITE))
+                respond(" ".join(loc_to_gtp(l, engine.size, engine.x_size,
+                                            engine.y_size) for l in locs),
+                        cmd_id)
+            elif cmd == "set_free_handicap":
+                for v in args:
+                    engine.play(B.BLACK, gtp_to_loc(v, engine.size,
+                                                    engine.x_size,
+                                                    engine.y_size))
+                engine.gs = H.replace_pos(engine.gs,
+                                          to_move=jnp.int32(B.WHITE))
+                respond("", cmd_id)
+            elif cmd in ("kata-search", "kata-search_cancellable",
+                         "kata-search_debug", "genmove_debug"):
+                # search and report the move WITHOUT playing it
+                # (gtp.cpp kata-search family); _debug variants also dump
+                # the top analysis lines
+                player = player_of[args[0].lower()] if args \
+                    else int(engine.gs.pos.to_move)
+                res = engine.search_root(player)
+                cv = np.asarray(res.child_visits[0])
+                loc = int(cv.argmax())
+                move_s = loc_to_gtp(loc, engine.size, engine.x_size,
+                                    engine.y_size)
+                if cmd.endswith("_debug"):
+                    info = engine.analyze_info(res, player=player)
+                    respond(move_s + "\n" + info, cmd_id)
+                else:
+                    respond(move_s, cmd_id)
+                if cmd == "genmove_debug":
+                    engine.play(player, loc)
             elif cmd == "time_settings":
                 # GTP: main_time byo_yomi_time byo_yomi_stones
                 mt, byo_t, byo_s = float(args[0]), float(args[1]), int(args[2])
@@ -694,16 +826,42 @@ def run_gtp(engine: GTPEngine, infile=sys.stdin, outfile=sys.stdout,
                                                    default=engine.rules))
                 respond("", cmd_id)
             elif cmd == "kata-get-param":
-                if args[0] == "maxVisits":
-                    respond(str(engine.visits), cmd_id)
+                getter = engine.param_table().get(args[0])
+                if getter:
+                    respond(str(getter[0]()), cmd_id)
                 else:
                     respond(f"unknown param {args[0]}", cmd_id, ok=False)
             elif cmd == "kata-set-param":
-                if args[0] == "maxVisits":
-                    engine.visits = int(args[1])
+                setter = engine.param_table().get(args[0])
+                if setter:
+                    setter[1](args[1])
                     respond("", cmd_id)
                 else:
                     respond(f"unknown param {args[0]}", cmd_id, ok=False)
+            elif cmd == "kata-list-params":
+                respond(" ".join(sorted(engine.param_table())), cmd_id)
+            elif cmd == "kata-get-params":
+                import json as _json
+                respond(_json.dumps({k: g() for k, (g, _)
+                                     in engine.param_table().items()}),
+                        cmd_id)
+            elif cmd == "kata-set-params":
+                import json as _json
+                d = _json.loads(" ".join(args))
+                table = engine.param_table()
+                for k, v in d.items():
+                    if k not in table:
+                        raise ValueError(f"unknown param {k}")
+                    table[k][1](v)
+                respond("", cmd_id)
+            elif cmd == "kata-get-models":
+                import json as _json
+                respond(_json.dumps([{"name": engine.model_name,
+                                      "internalName": engine.model_name,
+                                      "maxBatchSize": 1,
+                                      "usesHumanSLProfile":
+                                          engine.sgf_meta is not None}]),
+                        cmd_id)
             elif cmd == "kata-raw-nn":
                 respond(engine.raw_nn(), cmd_id)
             elif cmd in ("kata-analyze", "lz-analyze"):
