@@ -904,7 +904,7 @@ def gen_book(model_apply, model_params, *, size: int, visits: int,
     def err_fn(batch):
         """Root shortterm error heads (BookValues winLossError /
         scoreError, book.h:73-76)."""
-        raw, _ = evaluator(batch, fp)
+        raw, _, _ = evaluator(batch, fp)
         mmv = raw.get("moremiscvalue")
         if mmv is None:
             z = jnp.zeros((batch.hist_len.shape[0],), jnp.float32)

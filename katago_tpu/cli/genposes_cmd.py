@@ -117,7 +117,7 @@ def main(argv=None):
 
     evaluator = _m.make_nn_evaluator(apply_fn, None, size,
                                      with_ladders=False)
-    raw, _ = jax.jit(lambda gs: evaluator(gs, F.FeatureParams.default()))(
+    raw, _, _ = jax.jit(lambda gs: evaluator(gs, F.FeatureParams.default()))(
         games)
     lead_mover = np.asarray(raw["miscvalue"][:, 2]) * 20.0
     to_move = np.asarray(games.pos.to_move)

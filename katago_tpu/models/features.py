@@ -91,7 +91,9 @@ def fill_features_v7(gs: H.GameState, size: int,
                      params: FeatureParams,
                      legal_full: jax.Array | None = None,
                      with_ladders: bool = True,
-                     ladder_mode: str = "exact"
+                     ladder_mode: str = "exact",
+                     prev_laddered: jax.Array | None = None,
+                     prev_prev_laddered: jax.Array | None = None,
                      ) -> tuple[jax.Array, jax.Array]:
     """Returns (spatial f32[NN, 22], global f32[19]) for the player to move.
 
@@ -106,7 +108,16 @@ def fill_features_v7(gs: H.GameState, size: int,
     ladder_mode: "exact" runs the reference-semantics backtracking solver
     (per-move and data-writing paths); "chase" runs the greedy forward
     chase (ladder.py section comment) — the per-playout in-search
-    variant, ~2 orders of magnitude cheaper at search lane widths."""
+    variant, ~2 orders of magnitude cheaper at search lane widths.
+
+    prev_laddered / prev_prev_laddered: optional precomputed laddered-stone
+    masks (bool[NN]) of the boards one and two moves ago. The search caches
+    each tree node's own plane-14 mask, so a leaf eval passes its parent's
+    and grandparent's masks here and only the CURRENT board is solved —
+    cutting the dominant featurizer cost 3x (the solver output for a given
+    board is position-deterministic, so the cache is exact). Both must be
+    given together; history suppression falls back to the nearest included
+    board exactly as in the 3-solve path."""
     nn = size * size
     stones = gs.board.stones
     pla = gs.to_move
@@ -197,26 +208,36 @@ def fill_features_v7(gs: H.GameState, size: int,
     # nninputs.cpp:1125-1143); history suppression falls back to the
     # nearest included board.
     if with_ladders:
-        prev = jnp.where(amount >= 1,
-                         gs.pos.prev_stones.astype(stones.dtype), stones)
-        prev_ko = jnp.where(amount >= 1, gs.pos.prev_ko_loc,
-                            gs.pos.simple_ko_loc)
-        pp = jnp.where(amount >= 2,
-                       gs.pos.prev_prev_stones.astype(stones.dtype), prev)
-        pp_ko = jnp.where(amount >= 2, gs.pos.prev_prev_ko_loc, prev_ko)
-        # one vmapped solve over {current, prev, prevprev}: the solver
-        # compiles once and the three boards batch onto the device
         if ladder_mode == "chase":
             solve = lambda s, k: ladder.ladder_map_chase(s, size, ko_loc=k)
         else:
             solve = lambda s, k: ladder.ladder_map(s, size, ko_loc=k)
-        lad3 = jax.vmap(solve)(
-            jnp.stack([stones, prev, pp]),
-            jnp.stack([gs.pos.simple_ko_loc, prev_ko, pp_ko]))
-        lad = jax.tree.map(lambda x: x[0], lad3)
+        if prev_laddered is not None:
+            # cached-prev path (in-search): solve only the current board;
+            # planes 15/16 come from the caller's cached masks with the
+            # same history-suppression fallback as the 3-solve path
+            lad = solve(stones, gs.pos.simple_ko_loc)
+            lad15 = jnp.where(amount >= 1, prev_laddered, lad.laddered)
+            lad16 = jnp.where(amount >= 2, prev_prev_laddered, lad15)
+        else:
+            prev = jnp.where(amount >= 1,
+                             gs.pos.prev_stones.astype(stones.dtype), stones)
+            prev_ko = jnp.where(amount >= 1, gs.pos.prev_ko_loc,
+                                gs.pos.simple_ko_loc)
+            pp = jnp.where(amount >= 2,
+                           gs.pos.prev_prev_stones.astype(stones.dtype), prev)
+            pp_ko = jnp.where(amount >= 2, gs.pos.prev_prev_ko_loc, prev_ko)
+            # one vmapped solve over {current, prev, prevprev}: the solver
+            # compiles once and the three boards batch onto the device
+            lad3 = jax.vmap(solve)(
+                jnp.stack([stones, prev, pp]),
+                jnp.stack([gs.pos.simple_ko_loc, prev_ko, pp_ko]))
+            lad = jax.tree.map(lambda x: x[0], lad3)
+            lad15 = lad3.laddered[1]
+            lad16 = lad3.laddered[2]
         sp = sp.at[:, 14].set(lad.laddered.astype(jnp.float32))
-        sp = sp.at[:, 15].set(lad3.laddered[1].astype(jnp.float32))
-        sp = sp.at[:, 16].set(lad3.laddered[2].astype(jnp.float32))
+        sp = sp.at[:, 15].set(lad15.astype(jnp.float32))
+        sp = sp.at[:, 16].set(lad16.astype(jnp.float32))
         working = jnp.where(opp == B.BLACK, lad.working_vs_black,
                             lad.working_vs_white)
         sp = sp.at[:, 17].set(working.astype(jnp.float32))
@@ -319,17 +340,23 @@ NUM_GLOBAL_BY_VERSION = {3: 14, 4: 14, 5: 12, 6: 16, 7: NUM_GLOBAL_V7}
 
 def fill_features(gs: H.GameState, size: int, params: FeatureParams,
                   legal: jax.Array, *, version: int = 7,
-                  with_ladders: bool = True, ladder_mode: str = "exact"):
+                  with_ladders: bool = True, ladder_mode: str = "exact",
+                  prev_laddered: jax.Array | None = None,
+                  prev_prev_laddered: jax.Array | None = None):
     """Versioned featurizer: V3..V7 spatial/global rows."""
     if version == 7:
         return fill_features_v7(gs, size, params, legal,
                                 with_ladders=with_ladders,
-                                ladder_mode=ladder_mode)
+                                ladder_mode=ladder_mode,
+                                prev_laddered=prev_laddered,
+                                prev_prev_laddered=prev_prev_laddered)
     if version not in NUM_SPATIAL_BY_VERSION:
         raise ValueError(f"unsupported input-features version {version}")
     sp, gl = fill_features_v7(gs, size, params, legal,
                               with_ladders=(with_ladders and version != 5),
-                              ladder_mode=ladder_mode)
+                              ladder_mode=ladder_mode,
+                              prev_laddered=prev_laddered,
+                              prev_prev_laddered=prev_prev_laddered)
 
     if version in (3, 4):
         # planes 18/19: V3 = scoring-dependent plain area

@@ -51,6 +51,16 @@ TOTALCHILDWEIGHT_PUCT_OFFSET = 0.01
 ILLEGAL = -1e30
 
 
+def ladder_map_chase_fn(stones, size, ko_loc):
+    from katago_tpu.game import ladder
+    return ladder.ladder_map_chase(stones, size, ko_loc=ko_loc).laddered
+
+
+def ladder_map_fn(stones, size, ko_loc):
+    from katago_tpu.game import ladder
+    return ladder.ladder_map(stones, size, ko_loc=ko_loc).laddered
+
+
 # Column layout of Tree.stats — the per-node float statistics live in ONE
 # stacked f32[N, NUM_STATS] array so the hot paths (PUCT select, node
 # recompute, leaf insertion) touch the pool with a single gather/scatter
@@ -96,6 +106,15 @@ class Tree(NamedTuple):
     visits: jax.Array            # int32[N]
     stats: jax.Array             # float32[N, NUM_STATS] (C_* columns)
     bias_key: jax.Array          # int32[N] subtree-value-bias table slot (-1)
+    laddered: jax.Array          # bool[N, NN] this node's plane-14 ladder
+                                 # mask — cached so child evals reuse it for
+                                 # planes 15/16 instead of re-solving the
+                                 # parent/grandparent boards (the dominant
+                                 # featurizer cost, 3 solves -> 1)
+    term_own: jax.Array          # int8[N, NN] exact final-area ownership of
+                                 # game-over nodes (white persp, +-1/0),
+                                 # cached at insertion so terminal revisits
+                                 # need no re-scoring; 0 for live nodes
     num_nodes: jax.Array         # int32 scalar
 
     @property
@@ -194,6 +213,10 @@ class SearchState(NamedTuple):
                                  # bonus (getEndingWhiteScoreBonus,
                                  # searchhelpers.cpp:351-420); zeros when
                                  # rootEndingBonusPoints is 0
+    root_prev_laddered: jax.Array  # bool[NN] ladder mask of the board one
+                                 # move BEFORE the root — the grandparent
+                                 # board of depth-1 leaves (tree.laddered
+                                 # covers every in-tree board)
 
 
 class LeafEval(NamedTuple):
@@ -227,6 +250,8 @@ def empty_tree(size: int, max_nodes: int) -> Tree:
         visits=jnp.zeros((n,), jnp.int32),
         stats=jnp.zeros((n, NUM_STATS), jnp.float32),
         bias_key=jnp.full((n,), -1, jnp.int32),
+        laddered=jnp.zeros((n, nn), bool),
+        term_own=jnp.zeros((n, nn), jnp.int8),
         num_nodes=jnp.int32(0),
     )
 
@@ -546,29 +571,34 @@ def terminal_eval(ss: SearchState, node: jax.Array, sp: SearchParamsArr,
                   size: int) -> LeafEval:
     """Utility backed up when a playout ends at an existing node.
 
-    Finished game -> exact final-score utility (the reference's terminal
-    values). Depth-capped playout on a live node -> the node's current
+    Finished game -> exact final-score values, read from the node's CACHED
+    insertion-time evaluation (its C_NN_* stats columns were written from
+    terminal_eval_of_pos when the node was created, and term_own holds the
+    exact area ownership) — re-scoring the position every sim cost a full
+    Benson + labels fixpoint chain per playout. Utility is recomputed from
+    the cached winloss/score so the current search's dynamic score center
+    applies. Depth-capped playout on a live node -> the node's current
     averaged stats (a weight-1 revisit, value-neutral).
     """
     tree = ss.tree
-    pos = jax.tree.map(lambda a: a[node], tree.pos)
-    own, white_minus_black = H.final_score_area_pos(pos, ss.rules, size)
-    winloss = jnp.sign(white_minus_black)  # draws -> 0
-    meansq = white_minus_black * white_minus_black
-    util = utility_of(winloss, white_minus_black, meansq, sp,
-                      ss.dyn_score_center, ss.sqrt_board_area)
-
-    w = jnp.maximum(tree.weight_sum[node], 1e-10)
+    nstats = tree.stats[node]
+    w = jnp.maximum(nstats[C_WEIGHT_SUM], 1e-10)
     is_over = tree.pos.game_over[node]
-    util = jnp.where(is_over, util, tree.utility_sum[node] / w)
-    winloss = jnp.where(is_over, winloss, tree.winloss_sum[node] / w)
-    score = jnp.where(is_over, white_minus_black, tree.score_mean_sum[node] / w)
-    meansq = jnp.where(is_over, meansq, tree.score_meansq_sum[node] / w)
-    lead = jnp.where(is_over, white_minus_black, tree.lead_sum[node] / w)
+    winloss = jnp.where(is_over, nstats[C_NN_WINLOSS],
+                        nstats[C_WINLOSS_SUM] / w)
+    score = jnp.where(is_over, nstats[C_NN_SCORE_MEAN],
+                      nstats[C_SCORE_MEAN_SUM] / w)
+    meansq = jnp.where(is_over, nstats[C_NN_SCORE_MEANSQ],
+                       nstats[C_SCORE_MEANSQ_SUM] / w)
+    lead = jnp.where(is_over, nstats[C_NN_LEAD], nstats[C_LEAD_SUM] / w)
+    term_util = utility_of(winloss, score, meansq, sp,
+                           ss.dyn_score_center, ss.sqrt_board_area)
+    util = jnp.where(is_over, term_util, nstats[C_UTILITY_SUM] / w)
     # depth-capped revisit of a live node: the running tree-average
     # ownership is value-neutral; a finished node contributes exact area
     own_avg = ss.own_sum / jnp.maximum(ss.own_weight, 1e-10)
-    ownership = jnp.where(is_over, -own.astype(jnp.float32), own_avg)
+    ownership = jnp.where(is_over, tree.term_own[node].astype(jnp.float32),
+                          own_avg)
     a = tree.policy.shape[1]
     return LeafEval(utility=util, winloss=winloss,
                     score_mean=score, score_meansq=meansq,
@@ -610,7 +640,8 @@ def insert_and_backup(ss: SearchState, sel: PathSel, leaf_pos: H.PosState,
                       leaf_ko_hash: jax.Array, ev: LeafEval,
                       superko_illegal: jax.Array, active: jax.Array,
                       sp: SearchParamsArr,
-                      pat_bonus: jax.Array | None = None) -> SearchState:
+                      pat_bonus: jax.Array | None = None,
+                      leaf_laddered: jax.Array | None = None) -> SearchState:
     """Allocate the leaf node (unless terminal/full/illegal) and back up.
 
     Graph search (MCGS-lite): if an allocated node at the SAME depth already
@@ -679,6 +710,12 @@ def insert_and_backup(ss: SearchState, sel: PathSel, leaf_pos: H.PosState,
                       sel.leaf_action, tree.pos.to_move[sel.leaf_parent],
                       tree.pos.simple_ko_loc[sel.leaf_parent],
                       int(np.sqrt(tree.policy.shape[1] - 1)))),
+        laddered=(tree.laddered if leaf_laddered is None else
+                  set_at(tree.laddered, new_idx, leaf_laddered)),
+        term_own=set_at(
+            tree.term_own, new_idx,
+            jnp.where(leaf_pos.game_over, jnp.round(ev.ownership),
+                      0.0).astype(jnp.int8)),
         num_nodes=tree.num_nodes + can_alloc.astype(jnp.int32),
     )
     # link parent -> child (fresh node, or the transposed existing node)
@@ -938,6 +975,8 @@ def extract_subtree(tree: Tree, action: jax.Array) -> Tree:
         visits=scatter(tree.visits),
         stats=scatter(stats_kept),
         bias_key=scatter(tree.bias_key, -1),
+        laddered=scatter(tree.laddered),
+        term_own=scatter(tree.term_own),
         num_nodes=count,
     )
 
@@ -963,21 +1002,42 @@ def make_nn_evaluator(model_apply: Callable, model_params: Any, size: int,
     feature_version: input-feature version 3..7 matching the model
     (ModelDesc.input_version for reference nets; modelversion.cpp)."""
 
-    def batched_eval(leaf_gs, feat_params, sym=None):
+    def batched_eval(leaf_gs, feat_params, sym=None, prev_lad=None):
         """sym: optional int32[G] dihedral symmetry per game (nnRandomize,
         nneval.h:169-179): the input planes are transformed before the
         forward pass and policy/ownership transformed back, so callers see
         canonical-orientation outputs either way. Features are equivariant,
         so permuting the featurized planes equals featurizing the permuted
-        board."""
+        board.
+
+        prev_lad: optional (prev_laddered, prev_prev_laddered) bool[G, NN]
+        cached ladder masks of the boards 1/2 moves ago (the search's
+        per-node cache); with them only the current board is solved.
+
+        Returns (raw, legal, laddered) — laddered bool[G, NN] is the
+        current board's plane-14 mask in canonical orientation, for the
+        caller to cache."""
         legal = jax.vmap(H.legal_moves, in_axes=(0, None))(leaf_gs, size)
-        sp_feat, gl_feat = jax.vmap(
-            lambda g_, l_: F.fill_features(g_, size, feat_params, l_,
-                                           version=feature_version,
-                                           with_ladders=with_ladders,
-                                           ladder_mode=ladder_mode)
-        )(leaf_gs, legal)
+        if prev_lad is not None and with_ladders:
+            sp_feat, gl_feat = jax.vmap(
+                lambda g_, l_, p_, pp_: F.fill_features(
+                    g_, size, feat_params, l_, version=feature_version,
+                    with_ladders=with_ladders, ladder_mode=ladder_mode,
+                    prev_laddered=p_, prev_prev_laddered=pp_)
+            )(leaf_gs, legal, prev_lad[0], prev_lad[1])
+        else:
+            sp_feat, gl_feat = jax.vmap(
+                lambda g_, l_: F.fill_features(g_, size, feat_params, l_,
+                                               version=feature_version,
+                                               with_ladders=with_ladders,
+                                               ladder_mode=ladder_mode)
+            )(leaf_gs, legal)
         g = sp_feat.shape[0]
+        if with_ladders and feature_version != 5:
+            laddered = sp_feat[:, :, 14] > 0.5
+        else:
+            laddered = jnp.zeros(
+                (g, leaf_gs.pos.board.stones.shape[1]), bool)
         if sym is not None:
             sp_feat = jax.vmap(
                 lambda f_, s_: SYM.transform_spatial(f_, s_, size)
@@ -1020,7 +1080,7 @@ def make_nn_evaluator(model_apply: Callable, model_params: Any, size: int,
                     lambda o_, s_: SYM.untransform_spatial(o_, s_, size)
                 )(own_flat, sym)
                 raw["ownership_pretanh"] = own_flat.reshape(own.shape)
-        return raw, legal
+        return raw, legal, laddered
 
     return batched_eval
 
@@ -1156,7 +1216,17 @@ def init_search(model_apply: Callable, model_params: Any,
         own_sum=jnp.zeros((g, nn), jnp.float32),
         own_weight=jnp.zeros((g,), jnp.float32),
         ending_bonus=jnp.zeros((g, nn + 1), jnp.float32),
+        root_prev_laddered=jnp.zeros((g, nn), bool),
     )
+    if with_ladders:
+        # ladder mask of the board one move before the root: depth-1
+        # leaves read it as their grandparent board's cached mask
+        solve = (ladder_map_chase_fn if ladder_mode == "chase"
+                 else ladder_map_fn)
+        prev_lad = jax.vmap(lambda s, k: solve(s, size, k))(
+            roots.pos.prev_stones.astype(jnp.int32),
+            roots.pos.prev_ko_loc)
+        ss = ss._replace(root_prev_laddered=prev_lad)
 
     # root NN eval, averaged over root_num_symmetries sampled dihedral
     # symmetries (rootNumSymmetriesToSample, searchparams.h:76; sampling
@@ -1168,18 +1238,18 @@ def init_search(model_apply: Callable, model_params: Any,
                             ptemp, optimism=sp.root_policy_optimism)
 
     def eval_with_sym(sym_or_none):
-        raw, legal = evaluator(roots, feat_params, sym=sym_or_none)
+        raw, legal, lad = evaluator(roots, feat_params, sym=sym_or_none)
         return jax.vmap(eval_root)(
             raw, legal, roots.pos.to_move, ss.dyn_score_center,
-            ss.sqrt_board_area, root_policy_temp), legal
+            ss.sqrt_board_area, root_policy_temp), legal, lad
 
     root_legal = None
     if root_num_symmetries <= 1:
-        root_ev, root_legal = eval_with_sym(None)
+        root_ev, root_legal, root_lad = eval_with_sym(None)
     else:
         rng, sym_key = jax.random.split(rng)
         syms = jax.random.randint(sym_key, (root_num_symmetries, g), 0, 8)
-        ev0, root_legal = eval_with_sym(syms[0])
+        ev0, root_legal, root_lad = eval_with_sym(syms[0])
         evs = [ev0] + [eval_with_sym(syms[i])[0]
                        for i in range(1, root_num_symmetries)]
         root_ev = jax.tree.map(
@@ -1305,8 +1375,26 @@ def init_search(model_apply: Callable, model_params: Any,
     root_pol = jnp.where(banned & any_left, -1.0, root_pol)
     root_ev = root_ev._replace(policy=root_pol)
 
+    # a finished root keeps exact terminal values in its cached eval
+    # columns + term_own (terminal_eval reads them on revisits)
+    root_term = jax.vmap(
+        lambda p, r, dc, sa: terminal_eval_of_pos(p, r, sp, size, dc, sa,
+                                                  nn + 1)
+    )(roots.pos, roots.rules, ss.dyn_score_center, ss.sqrt_board_area)
+
+    def _merge_root(t, n_):
+        sh = (-1,) + (1,) * (n_.ndim - 1)
+        return jnp.where(roots.pos.game_over.reshape(sh), t, n_)
+
+    root_ev = jax.tree.map(_merge_root,
+                           root_term._replace(policy=root_ev.policy),
+                           root_ev)
+    root_town = jnp.where(roots.pos.game_over[:, None],
+                          jnp.round(root_term.ownership),
+                          0.0).astype(jnp.int8)
+
     # install root node (index 0) per game
-    def install_root(ss_tree, gs, kh, ev):
+    def install_root(ss_tree, gs, kh, ev, lad0, town0):
         tree = ss_tree
         pos = jax.tree.map(lambda store, v: store.at[0].set(v), tree.pos, gs.pos)
         tree = tree._replace(
@@ -1318,11 +1406,14 @@ def init_search(model_apply: Callable, model_params: Any,
             visits=tree.visits.at[0].set(1),
             stats=tree.stats.at[0].set(
                 leaf_stats_row(ev, jnp.float32(0.0))),
+            laddered=tree.laddered.at[0].set(lad0),
+            term_own=tree.term_own.at[0].set(town0),
             num_nodes=jnp.int32(1),
         )
         return tree
 
-    fresh = jax.vmap(install_root)(ss.tree, roots, root_ko_hash, root_ev)
+    fresh = jax.vmap(install_root)(ss.tree, roots, root_ko_hash, root_ev,
+                                   root_lad, root_town)
 
     if prev_tree is not None:
         prev_n = prev_tree.visits.shape[1]
@@ -1366,6 +1457,8 @@ def init_search(model_apply: Callable, model_params: Any,
             reroot_pol = jnp.where(root_allowed_mask, reroot_pol, -1.0)
         reused = reused._replace(
             policy=reused.policy.at[:, 0, :].set(reroot_pol),
+            laddered=reused.laddered.at[:, 0].set(root_lad),
+            term_own=reused.term_own.at[:, 0].set(root_town),
             # no pattern bonus on the root itself (search.cpp:726)
             stats=reused.stats.at[:, 0, C_PATTERN_BONUS].set(0.0),
             # the live game state is authoritative for the root position
@@ -1494,7 +1587,17 @@ def run_playouts(model_apply: Callable, model_params: Any,
         rng, sym_key = jax.random.split(rng)
         sym = jnp.where(sp.nn_random_symmetry,
                         jax.random.randint(sym_key, (g,), 0, 8), 0)
-        raw, legal = evaluator(leaf_gs, feat_params, sym=sym)
+        # cached ladder masks of the parent / grandparent boards (= the
+        # leaf's prev / prev-prev boards) so featurization solves only the
+        # leaf board (see Tree.laddered)
+        gi_ = jnp.arange(g)
+        pmask = ss.tree.laddered[gi_, sel.leaf_parent]
+        gp_ = ss.tree.parent[gi_, sel.leaf_parent]
+        gpmask = jnp.where((gp_ >= 0)[:, None],
+                           ss.tree.laddered[gi_, jnp.maximum(gp_, 0)],
+                           ss.root_prev_laddered)
+        raw, legal, leaf_lad = evaluator(leaf_gs, feat_params, sym=sym,
+                                         prev_lad=(pmask, gpmask))
         ptemp = jnp.ones((g,), jnp.float32)
         nn_ev = jax.vmap(
             lambda r, l, tm, dc, sa, pt: nn_leaf_eval(
@@ -1548,8 +1651,9 @@ def run_playouts(model_apply: Callable, model_params: Any,
         else:
             pat_leaf = None
         ss = jax.vmap(insert_and_backup,
-                      in_axes=(0, 0, 0, 0, 0, 0, 0, None, 0))(
-            ss, sel, leaf_pos, leaf_kh, ev, void, active, sp, pat_leaf)
+                      in_axes=(0, 0, 0, 0, 0, 0, 0, None, 0, 0))(
+            ss, sel, leaf_pos, leaf_kh, ev, void, active, sp, pat_leaf,
+            leaf_lad)
         ok = active & ~void
         ss = ss._replace(
             own_sum=ss.own_sum + jnp.where(
