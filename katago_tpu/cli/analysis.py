@@ -34,8 +34,13 @@ VERSION = "0.1.0"
 
 
 class AnalysisEngine:
-    def __init__(self, model_path: str | None, default_visits: int = 100):
+    def __init__(self, model_path: str | None, default_visits: int = 100,
+                 ladder_mode: str = "chase"):
         self.default_visits = default_visits
+        # in-search ladder featurization: "chase" (throughput default) or
+        # "exact" (reference-parity backtracking solver; slow in-search).
+        # The per-query reporting paths always featurize exactly.
+        self.ladder_mode = ladder_mode
         if model_path:
             from katago_tpu.models import desc as D
             self.desc = D.load_model(model_path)
@@ -115,6 +120,7 @@ class AnalysisEngine:
             self._search_cache[key] = SearchDriver(
                 self.model_apply, None, sp, size=size,
                 max_nodes=visits + 3, chunk_size=max(visits // 8, 4),
+                ladder_mode=self.ladder_mode,
                 feature_version=(self.desc.input_version
                                  if self.desc is not None else 7))
         d = self._search_cache[key]
@@ -312,9 +318,11 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description="katago_tpu analysis engine")
     ap.add_argument("-model", default=None)
     ap.add_argument("-analysis-threads", type=int, default=1)
+    ap.add_argument("-ladder-mode", default="chase",
+                    choices=["chase", "exact"])
     args = ap.parse_args(argv)
 
-    engine = AnalysisEngine(args.model)
+    engine = AnalysisEngine(args.model, ladder_mode=args.ladder_mode)
     for line in sys.stdin:
         line = line.strip()
         if not line:

@@ -16,6 +16,7 @@ Usage: python -m katago_tpu.cli.gtp -model <path.bin.gz> [-config <cfg>]
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import select
 import sys
 import time
@@ -92,7 +93,8 @@ class GTPEngine:
                  resign_consec_turns: int = 3,
                  ponder: bool = False,
                  anti_mirror: bool = True,
-                 human_sl_profile: str | None = None):
+                 human_sl_profile: str | None = None,
+                 ladder_mode: str = "chase"):
         self.size = size
         self.x_size = size
         self.y_size = size
@@ -109,6 +111,13 @@ class GTPEngine:
             root_ending_bonus_points=0.5,
             root_prune_useless_moves=True)
         self.search_params = base
+        # in-search leaf ladder featurization: "chase" (exact board
+        # mechanics, greedy policy — the throughput default) or "exact"
+        # (reference-semantics backtracking solver). Per-move data paths
+        # (kata-raw-nn, writetrainingdata) always use the exact solver;
+        # this knob covers the train/inference input mismatch the chase
+        # approximation introduces on branchy multi-ladder positions.
+        self.ladder_mode = ladder_mode
         self._drivers: dict[tuple, SearchDriver] = {}
         self._rng = jax.random.PRNGKey(int(time.time() * 1000) % (2**31))
         # per-player clocks (None = visit-limited); GTP lag buffer seconds
@@ -232,6 +241,7 @@ class GTPEngine:
                 size=self.size, max_nodes=max_nodes,
                 chunk_size=max(4, min(32, self.visits // 4)),
                 sgf_meta=self.sgf_meta,
+                ladder_mode=self.ladder_mode,
                 root_num_symmetries=self.search_params.root_num_symmetries,
                 feature_version=(self.desc.input_version
                                  if self.desc is not None else 7))
@@ -587,9 +597,15 @@ def run_gtp(engine: GTPEngine, infile=sys.stdin, outfile=sys.stdout,
             elif cmd in ("cputime", "gomill-cpu_time"):
                 respond(f"{time.process_time():.3f}", cmd_id)
             elif cmd == "kgs-rules":
-                # chinese | japanese | aga | new_zealand (gtp.cpp kgs-rules)
+                # chinese | japanese | aga | new_zealand (gtp.cpp:2540);
+                # KGS chinese uses positional superko ("chinese-kgs"), and
+                # the current komi is preserved (parseRulesWithoutKomi)
                 name = args[0].lower().replace("_", "-")
-                engine.set_rules(R.Rules.parse(name))
+                if name == "chinese":
+                    name = "chinese-kgs"
+                parsed = R.Rules.parse(name)
+                engine.set_rules(dataclasses.replace(
+                    parsed, komi=engine.rules.komi))
                 respond("", cmd_id)
             elif cmd == "kgs-time_settings":
                 kind = args[0].lower()
@@ -751,23 +767,34 @@ def run_gtp(engine: GTPEngine, infile=sys.stdin, outfile=sys.stdout,
                 respond("", cmd_id)
             elif cmd in ("kata-search", "kata-search_cancellable",
                          "kata-search_debug", "genmove_debug"):
-                # search and report the move WITHOUT playing it
-                # (gtp.cpp kata-search family); _debug variants also dump
-                # the top analysis lines
+                # kata-search family reports the move WITHOUT playing it;
+                # genmove_debug plays through the normal genmove path
+                # (resignation + clock bookkeeping). _debug variants dump
+                # the analysis to stderr — the reference prints debug to
+                # the log and responds with only the vertex (gtp.cpp).
                 player = player_of[args[0].lower()] if args \
                     else int(engine.gs.pos.to_move)
-                res = engine.search_root(player)
-                cv = np.asarray(res.child_visits[0])
-                loc = int(cv.argmax())
-                move_s = loc_to_gtp(loc, engine.size, engine.x_size,
-                                    engine.y_size)
-                if cmd.endswith("_debug"):
-                    info = engine.analyze_info(res, player=player)
-                    respond(move_s + "\n" + info, cmd_id)
-                else:
-                    respond(move_s, cmd_id)
                 if cmd == "genmove_debug":
-                    engine.play(player, loc)
+                    loc = engine.genmove(player)
+                    res = engine.last_search_result
+                    if res is not None:
+                        sys.stderr.write(
+                            engine.analyze_info(res, player=player) + "\n")
+                        sys.stderr.flush()
+                    respond("resign" if loc is None
+                            else loc_to_gtp(loc, engine.size, engine.x_size,
+                                            engine.y_size), cmd_id)
+                else:
+                    res = engine.search_root(player)
+                    cv = np.asarray(res.child_visits[0])
+                    loc = int(cv.argmax())
+                    move_s = loc_to_gtp(loc, engine.size, engine.x_size,
+                                        engine.y_size)
+                    if cmd.endswith("_debug"):
+                        sys.stderr.write(
+                            engine.analyze_info(res, player=player) + "\n")
+                        sys.stderr.flush()
+                    respond(move_s, cmd_id)
             elif cmd == "time_settings":
                 # GTP: main_time byo_yomi_time byo_yomi_stones
                 mt, byo_t, byo_s = float(args[0]), float(args[1]), int(args[2])
@@ -828,7 +855,11 @@ def run_gtp(engine: GTPEngine, infile=sys.stdin, outfile=sys.stdout,
             elif cmd == "kata-get-param":
                 getter = engine.param_table().get(args[0])
                 if getter:
-                    respond(str(getter[0]()), cmd_id)
+                    v = getter[0]()
+                    # booleans print lowercase (Global::boolToString), like
+                    # the JSON of kata-get-params
+                    respond(str(v).lower() if isinstance(v, (bool, np.bool_))
+                            else str(v), cmd_id)
                 else:
                     respond(f"unknown param {args[0]}", cmd_id, ok=False)
             elif cmd == "kata-set-param":
@@ -973,6 +1004,7 @@ def main(argv=None):
     ponder = False
     anti_mirror = True
     human_sl_profile = None
+    ladder_mode = "chase"
     if args.config:
         from katago_tpu.utils.setup import (load_search_params,
                                             search_limits, warn_unused)
@@ -1002,6 +1034,9 @@ def main(argv=None):
             anti_mirror = cfg.get_bool("antiMirror")
         if cfg.contains("humanSLProfile"):
             human_sl_profile = cfg.get_string("humanSLProfile")
+        if cfg.contains("ladderMode"):
+            ladder_mode = cfg.get_string("ladderMode",
+                                         allowed=["chase", "exact"])
         warn_unused(cfg, log=lambda s: print(s, file=sys.stderr))
     if args.visits:
         visits = args.visits
@@ -1013,7 +1048,8 @@ def main(argv=None):
                        resign_threshold=resign_threshold,
                        resign_consec_turns=resign_consec_turns,
                        ponder=ponder, anti_mirror=anti_mirror,
-                       human_sl_profile=human_sl_profile)
+                       human_sl_profile=human_sl_profile,
+                       ladder_mode=ladder_mode)
     if lag_buffer is not None:
         engine.lag_buffer = lag_buffer
     run_gtp(engine)

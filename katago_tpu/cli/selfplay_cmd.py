@@ -41,6 +41,7 @@ def run_selfplay(output_dir: str, models_dir: str | None, *, size: int,
                  config_name: str = "b2c16", rules: R.Rules | None = None,
                  seed: int = 0, data_quality: str = "selfplay",
                  game_init=None, switch_nets: bool = False,
+                 ladder_mode: str = "chase",
                  log=print) -> dict:
     # shard the game axis over every visible device (the reference's
     # multi-GPU selfplay via gpuIdxByServerThread, nneval.h:97)
@@ -137,6 +138,7 @@ def run_selfplay(output_dir: str, models_dir: str | None, *, size: int,
                 game_rules=grules, num_handicap=nh, compensate_komi=comp,
                 early_fork=fork, start_samples=starts,
                 params_provider=params_provider,
+                ladder_mode=ladder_mode,
                 mesh=bmesh)
             arrays = data.to_npz_arrays(bsize,
                                         stats["white_minus_black"],
@@ -207,6 +209,10 @@ def main(argv=None):
     ap.add_argument("-switch-nets", action="store_true",
                     help="poll models-dir mid-game and switch to a newly "
                          "exported net (selfplay.cpp:336-343)")
+    ap.add_argument("-ladder-mode", default="chase",
+                    choices=["chase", "exact"],
+                    help="in-search leaf ladder featurization (per-move "
+                         "data writing is always exact)")
     args = ap.parse_args(argv)
     game_init = None
     if args.init_config:
@@ -220,7 +226,8 @@ def main(argv=None):
                           visits=args.visits, max_batches=args.max_batches,
                           config_name=args.config, seed=args.seed,
                           data_quality=args.data_quality,
-                          game_init=game_init, switch_nets=args.switch_nets)
+                          game_init=game_init, switch_nets=args.switch_nets,
+                          ladder_mode=args.ladder_mode)
     print(json.dumps(totals))
 
 

@@ -49,7 +49,6 @@ from katago_tpu.game import board as B
 from katago_tpu.game import rules as R
 from katago_tpu.game import zobrist
 from katago_tpu.ops import lookup as L
-from katago_tpu.utils.segment_ops import segment_xor
 
 # Fixed capacity of the once-only encore ko-capture record
 # (koCapturesInEncore, boardhistory.h:85 — unbounded there; a ring here.
@@ -626,7 +625,9 @@ def legal_moves(gs: GameState, size: int) -> jax.Array:
                          zst[0, :nn], zst[1, :nn])
     own_keys = jnp.where(((stones == B.BLACK) | (stones == B.WHITE))[:, None],
                          own_keys, 0)
-    chain_key = segment_xor(own_keys, labels, nn)  # uint32[NN, 2]
+    # one-hot parity form on accelerators (the sort+scatter segment_xor
+    # serializes on TPU; ops/lookup.py xor_gather_rows docstring)
+    chain_key = L.segment_xor_onehot(own_keys, labels, nn)  # uint32[NN, 2]
 
     nbr_s = B.shift4(stones, size, B.WALL)            # [4,NN]
     nbr_lab = B.shift4(labels, size, jnp.int32(nn))
@@ -640,9 +641,10 @@ def legal_moves(gs: GameState, size: int) -> jax.Array:
             for j in range(k):
                 dup = dup | (cand[k] == cand[j])
             cand[k] = jnp.where(dup, nn, cand[k])
-        ckpad = jnp.concatenate([chain_key, jnp.zeros((1, 2), jnp.uint32)])
-        keys = ckpad[jnp.stack(cand)]           # [4,NN,2]
-        return keys[0] ^ keys[1] ^ keys[2] ^ keys[3]
+        # XOR-gather in one-hot parity form: the [4, NN]-index point
+        # gather serializes on TPU (~1ms/call in-search)
+        return L.xor_gather_rows(chain_key,
+                                  jnp.stack(cand, axis=-1))  # [NN, 2]
 
     # captures: adjacent opp chains in atari
     delta_cap = xor_adjacent_chains((nbr_s == opp) & (nbr_libs == 1))

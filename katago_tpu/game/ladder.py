@@ -158,7 +158,7 @@ def _move_effects(stones, labels, libs, m, player, size) -> _MoveEffects:
 
     own_mask = jnp.zeros((nn,), bool)
     cap_mask = jnp.zeros((nn,), bool)
-    merged_label = m
+    merged_label = jnp.asarray(m, labels.dtype)
     for i in range(4):
         own_mask = own_mask | (own_sel[i] & (labels == nbr_l[i]))
         cap_mask = cap_mask | (cap_sel[i] & (labels == nbr_l[i]))
@@ -543,10 +543,12 @@ def _search_captured(stones0, labels0, libs0, ko0, rep, defender, active,
 
     init = init._replace(idx=jnp.where(active, 0, -1))
     out = jax.lax.while_loop(cond, body, init)
-    # node-budget / iteration-cap exhaustion: assume not captured
-    # (board.cpp:1680-1688)
-    return (out.ret & (out.nodes < budget) & (out.iters < max_iters)
-            & active)
+    # a completed search popped below the root (idx < 0); anything else
+    # stopped on node-budget / iteration-cap exhaustion -> assume not
+    # captured (board.cpp:1680-1688). Gating on idx rather than comparing
+    # the counters to their limits keeps a search that legitimately
+    # finishes on exactly the cap-th iteration counted as completed.
+    return out.ret & (out.idx < 0) & active
 
 
 def _run_sim(stones0, labels0, libs0, rep, defender, premove, active,
@@ -724,10 +726,14 @@ def _chase_apply(stones, labels, hlibs, m, player, size):
     chains lose the point m, chains bordering captured stones gain those
     points, the mover's merged chain is recounted from its mask)."""
     nn = size * size
-    idx = jnp.arange(nn, dtype=jnp.int32)
-    opp = B.opponent(player)
+    # state dtypes are narrowed (stones i8, labels/hlibs i16) — the chase
+    # while_loop is HBM-bandwidth-bound over [lanes, NN] state at search
+    # widths, so element width is wall-clock
+    idx = jnp.arange(nn, dtype=labels.dtype)
+    player = jnp.asarray(player, stones.dtype)
+    opp = B.opponent(player).astype(stones.dtype)
     s_sh = _shift4(stones, size, B.WALL)
-    l_sh = _shift4(labels, size, jnp.int32(nn))
+    l_sh = _shift4(labels, size, jnp.asarray(nn, labels.dtype))
     nbr_s = jnp.stack([_extract(s_sh[d], m) for d in range(4)])
     nbr_l = jnp.stack([_extract(l_sh[d], m) for d in range(4)])
     nbr_libs = jnp.stack([_extract(hlibs, jnp.clip(nbr_l[d], 0, nn - 1))
@@ -738,7 +744,7 @@ def _chase_apply(stones, labels, hlibs, m, player, size):
 
     own_mask = jnp.zeros((nn,), bool)
     cap_mask = jnp.zeros((nn,), bool)
-    merged_label = m
+    merged_label = jnp.asarray(m, labels.dtype)
     for i in range(4):
         own_mask = own_mask | (own_sel[i] & (labels == nbr_l[i]))
         cap_mask = cap_mask | (cap_sel[i] & (labels == nbr_l[i]))
@@ -750,7 +756,9 @@ def _chase_apply(stones, labels, hlibs, m, player, size):
     target_empty = _extract(stones, m) == B.EMPTY
     at_m = idx == m
     new_stones = jnp.where(at_m, player,
-                           jnp.where(cap_mask, B.EMPTY, stones))
+                           jnp.where(cap_mask,
+                                     jnp.asarray(B.EMPTY, stones.dtype),
+                                     stones))
     my_mask = own_mask | at_m
     new_labels = jnp.where(my_mask, merged_label,
                            jnp.where(cap_mask, idx, labels))
@@ -768,11 +776,11 @@ def _chase_apply(stones, labels, hlibs, m, player, size):
         for j in range(i):
             dup = dup | ((nbr_l[j] == nbr_l[i]) & nbr_stone[j])
         sel = nbr_stone[i] & ~dup & ~own_sel[i] & ~cap_sel[i]
-        h = h - jnp.where(sel & (idx == nbr_l[i]), 1, 0)
+        h = h - jnp.where(sel & (idx == nbr_l[i]), 1, 0).astype(h.dtype)
     # (b) chains bordering captured points gain those liberties (exact up
     # to _C_CAP captured stones; the caller bails the lane past that)
     cap_pts = _lowest_k(cap_mask, _C_CAP, nn)
-    nl_sh = _shift4(new_labels, size, jnp.int32(nn))
+    nl_sh = _shift4(new_labels, size, jnp.asarray(nn, labels.dtype))
     ns_sh = _shift4(new_stones, size, B.WALL)
     for t in range(_C_CAP):
         c = jnp.clip(cap_pts[t], 0, nn - 1)
@@ -785,9 +793,9 @@ def _chase_apply(stones, labels, hlibs, m, player, size):
             for j in range(i):
                 dup = dup | ((cl[j] == cl[i]) & cstone[j])
             sel = (cvalid & cstone[i] & ~dup & (cl[i] != merged_label))
-            h = h + jnp.where(sel & (idx == cl[i]), 1, 0)
+            h = h + jnp.where(sel & (idx == cl[i]), 1, 0).astype(h.dtype)
     # (c) the mover's merged chain, recounted exactly from its mask
-    h = jnp.where(idx == merged_label, my_libs, h)
+    h = jnp.where(idx == merged_label, my_libs.astype(h.dtype), h)
 
     own_any = jnp.any(own_sel)
     is_ko = (num_captured == 1) & ~own_any & (my_libs == 1)
@@ -804,7 +812,13 @@ def _chase_one(stones0, labels0, hlibs0, rep, defender, premove, active,
     defender/attacker plies until a terminal state or the step cap
     (exhaustion counts as not-captured, like the node budget)."""
     nn = size * size
-    attacker = B.opponent(defender)
+    # narrow the lane state (module comment in _chase_apply): stones i8,
+    # labels/hlibs i16 — exact for NN < 2^15
+    stones0 = stones0.astype(jnp.int8)
+    labels0 = labels0.astype(jnp.int16)
+    hlibs0 = hlibs0.astype(jnp.int16)
+    defender = jnp.asarray(defender, jnp.int8)
+    attacker = B.opponent(defender).astype(jnp.int8)
 
     has_pre = premove >= 0
     ps, pl, ph, _, plegal, pov = _chase_apply(

@@ -95,3 +95,54 @@ def bincount_max(idx: jax.Array, num_bins: int, values: jax.Array,
     out = jnp.where(jnp.any(hit, axis=0), out, jnp.asarray(fill, jnp.float32))
     return jnp.round(out).astype(dtype) if jnp.issubdtype(
         jnp.dtype(dtype), jnp.integer) else out.astype(dtype)
+
+
+def xor_gather_rows(table: jax.Array, idx: jax.Array) -> jax.Array:
+    """XOR of ``table[idx[..., k]]`` rows over idx's last axis.
+
+    table: uint32[M, W]; idx: int[..., K] (out-of-range rows contribute
+    nothing). Returns uint32[..., W].
+
+    On accelerators the point-gather this replaces serializes per index
+    (measured ~1ms per [128, 4, 361] gather from a [362, 2] table inside
+    the search step); here XOR becomes bit-plane parity: one-hot COUNTS
+    of selected rows (exact in f32 for K <= 2^24) einsum'd against the
+    table's 32W bit planes, then mod-2 and bit repacking — matmul-shaped
+    VPU/MXU work with no serialized memory ops.
+    """
+    m, w = table.shape
+    if not _accelerated():
+        inb = (idx >= 0) & (idx < m)
+        safe = jnp.clip(idx, 0, m - 1)
+        rows = jnp.where(inb[..., None], table[safe], jnp.uint32(0))
+        return jax.lax.reduce(rows, np.uint32(0), jax.lax.bitwise_xor,
+                              (idx.ndim - 1,))
+    bins = jnp.arange(m, dtype=jnp.int32)
+    cnt = jnp.sum((idx[..., None] == bins).astype(jnp.float32), axis=-2)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    tbits = ((table[:, :, None] >> shifts) & jnp.uint32(1)).astype(
+        jnp.float32).reshape(m, w * 32)                     # [M, W*32]
+    acc = jnp.einsum("...m,mb->...b", cnt, tbits)           # [..., W*32]
+    parity = (jnp.round(acc).astype(jnp.int32) % 2).astype(jnp.uint32)
+    parity = parity.reshape(parity.shape[:-1] + (w, 32))
+    return jnp.sum(parity << shifts, axis=-1, dtype=jnp.uint32)
+
+
+def segment_xor_onehot(values: jax.Array, segment_ids: jax.Array,
+                       num_segments: int) -> jax.Array:
+    """XOR-reduce uint32[N, W] rows by segment id — the one-hot parity
+    form of utils.segment_ops.segment_xor (whose sort+scatter path
+    serializes on TPU). Rows with id outside [0, num_segments) drop."""
+    n, w = values.shape
+    if not _accelerated():
+        from katago_tpu.utils.segment_ops import segment_xor as _sx
+        return _sx(values, segment_ids, num_segments)
+    bins = jnp.arange(num_segments, dtype=jnp.int32)
+    oh = (segment_ids[:, None] == bins).astype(jnp.float32)  # [N, S]
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    vbits = ((values[:, :, None] >> shifts) & jnp.uint32(1)).astype(
+        jnp.float32).reshape(n, w * 32)
+    acc = jnp.einsum("ns,nb->sb", oh, vbits)                 # [S, W*32]
+    parity = (jnp.round(acc).astype(jnp.int32) % 2).astype(jnp.uint32)
+    parity = parity.reshape(num_segments, w, 32)
+    return jnp.sum(parity << shifts, axis=-1, dtype=jnp.uint32)

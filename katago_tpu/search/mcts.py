@@ -115,6 +115,11 @@ class Tree(NamedTuple):
                                  # game-over nodes (white persp, +-1/0),
                                  # cached at insertion so terminal revisits
                                  # need no re-scoring; 0 for live nodes
+    best_action: jax.Array       # int32[N] cached PUCT-argmax action,
+                                 # refreshed whenever a backup (or policy
+                                 # edit) changes the node — descent follows
+                                 # it instead of re-evaluating PUCT per
+                                 # level (select_path docstring)
     num_nodes: jax.Array         # int32 scalar
 
     @property
@@ -252,6 +257,7 @@ def empty_tree(size: int, max_nodes: int) -> Tree:
         bias_key=jnp.full((n,), -1, jnp.int32),
         laddered=jnp.zeros((n, nn), bool),
         term_own=jnp.zeros((n, nn), jnp.int8),
+        best_action=jnp.zeros((n,), jnp.int32),
         num_nodes=jnp.int32(0),
     )
 
@@ -327,6 +333,104 @@ def _white_persp(x_mover: jax.Array, to_move: jax.Array) -> jax.Array:
     return jnp.where(to_move == B.WHITE, x_mover, -x_mover)
 
 
+def _puct_terms(nstats, pol, has_child, cw, cu, pla, is_root, ending_bonus,
+                dyn_center, sqrt_area, sp: SearchParamsArr):
+    """PUCT selection terms of one node (searchexplorehelpers.cpp formulas;
+    see select_path docstring). nstats: the node's f32[NUM_STATS] row;
+    cw/cu: per-action child weight sums and average utilities (0 where no
+    child). Returns (explore_comp [A], value_comp [A]); the selection
+    score is their sum where pol >= 0.
+
+    Factored out so the SAME formula runs in three places: classic
+    descent-time selection (the anti-mirror path), backup-time
+    `best_action` refresh (recompute_node — the fast-descent cache), and
+    single-node refreshes after a policy edit (superko marking)."""
+    total_cw = jnp.sum(cw)
+    visited_mass = jnp.sum(jnp.where(has_child & (pol >= 0), pol, 0.0))
+
+    w = jnp.maximum(nstats[C_WEIGHT_SUM], 1e-10)
+    parent_utility = nstats[C_UTILITY_SUM] / w
+    utility_sq_avg = nstats[C_UTILITY_SQ_SUM] / w
+    # parent utility stdev factor (searchexplorehelpers.cpp:265-300)
+    var_prior = sp.cpuct_utility_stdev_prior ** 2
+    var_prior_w = sp.cpuct_utility_stdev_prior_weight
+    u_sq = parent_utility * parent_utility
+    usq = jnp.maximum(utility_sq_avg, u_sq)
+    stdev = jnp.sqrt(jnp.maximum(
+        ((u_sq + var_prior) * var_prior_w + usq * w)
+        / (var_prior_w + jnp.maximum(w - 1.0, 1e-10)) - u_sq, 0.0))
+    stdev = jnp.where(w <= 1.0, sp.cpuct_utility_stdev_prior, stdev)
+    stdev_factor = 1.0 + sp.cpuct_utility_stdev_scale * (
+        stdev / sp.cpuct_utility_stdev_prior - 1.0)
+
+    fpu_red = jnp.where(is_root, sp.root_fpu_reduction_max,
+                        sp.fpu_reduction_max)
+    fpu_loss = jnp.where(is_root, sp.root_fpu_loss_prop, sp.fpu_loss_prop)
+    parent_u_fpu = (sp.fpu_parent_weight * nstats[C_NN_UTILITY]
+                    + (1.0 - sp.fpu_parent_weight) * parent_utility)
+    utility_radius = (sp.win_loss_utility_factor
+                      + sp.static_score_utility_factor
+                      + sp.dynamic_score_utility_factor)
+    is_white = pla == B.WHITE
+    reduction = fpu_red * jnp.sqrt(visited_mass)
+    fpu = jnp.where(is_white, parent_u_fpu - reduction,
+                    parent_u_fpu + reduction)
+    loss_value = jnp.where(is_white, -utility_radius, utility_radius)
+    fpu = fpu + (loss_value - fpu) * fpu_loss
+
+    cpuct = sp.cpuct_exploration + sp.cpuct_exploration_log * jnp.log(
+        (total_cw + sp.cpuct_exploration_base) / sp.cpuct_exploration_base)
+    explore_scaling = cpuct * jnp.sqrt(
+        total_cw + TOTALCHILDWEIGHT_PUCT_OFFSET) * stdev_factor
+
+    child_util = jnp.where(has_child, cu, fpu)
+    # root ending bonus -> utility via the score-utility derivative
+    # at the parent's average score (searchhelpers.cpp:587-589)
+    parent_score = nstats[C_SCORE_MEAN_SUM] / w
+    deriv = score_utility_derivative(parent_score, sp, dyn_center, sqrt_area)
+    child_util = child_util + jnp.where(is_root, ending_bonus * deriv, 0.0)
+    value_comp = jnp.where(is_white, child_util, -child_util)
+    explore_comp = explore_scaling * pol / (1.0 + cw)
+    return explore_comp, value_comp
+
+
+def node_best_action(tree: Tree, node: jax.Array, sp: SearchParamsArr,
+                     ending_bonus, dyn_center, sqrt_area,
+                     nstats=None) -> jax.Array:
+    """Recompute the PUCT-argmax action of `node` from its current stats
+    (the fast-descent cache entry; see Tree.best_action). nstats: optional
+    override row (recompute_node passes the freshly recomputed row)."""
+    children = tree.children[node]                     # [A]
+    pol = tree.policy[node]
+    has_child = children >= 0
+    cidx = jnp.maximum(children, 0)
+    cstats = tree.stats[cidx]                          # [A, NUM_STATS]
+    if nstats is None:
+        nstats = tree.stats[node]
+    cw = jnp.where(has_child, cstats[:, C_WEIGHT_SUM], 0.0)
+    cu = jnp.where(has_child,
+                   cstats[:, C_UTILITY_SUM] / jnp.maximum(cw, 1e-10), 0.0)
+    explore, value = _puct_terms(
+        nstats, pol, has_child, cw, cu, tree.pos.to_move[node],
+        node == 0, ending_bonus, dyn_center, sqrt_area, sp)
+    score = jnp.where(pol >= 0, explore + value, ILLEGAL)
+    return jnp.argmax(score).astype(jnp.int32)
+
+
+def leaf_best_action(leaf_row: jax.Array, pol: jax.Array, pla: jax.Array,
+                     sp: SearchParamsArr, dyn_center,
+                     sqrt_area) -> jax.Array:
+    """best_action of a freshly inserted childless leaf (all actions at
+    FPU; equals the full formula with zero child weight)."""
+    a = pol.shape[0]
+    zeros = jnp.zeros((a,), jnp.float32)
+    explore, value = _puct_terms(
+        leaf_row, pol, jnp.zeros((a,), bool), zeros, zeros, pla,
+        jnp.bool_(False), zeros, dyn_center, sqrt_area, sp)
+    score = jnp.where(pol >= 0, explore + value, ILLEGAL)
+    return jnp.argmax(score).astype(jnp.int32)
+
+
 class PathSel(NamedTuple):
     path_nodes: jax.Array    # int32[MAX_DEPTH] (-1 pad)
     path_len: jax.Array      # int32: number of valid path entries
@@ -340,87 +444,56 @@ def select_path(ss: SearchState, sp: SearchParamsArr, max_depth: int,
                 mirror=None) -> PathSel:
     """PUCT descent from the root; single game (vmap over batch).
 
+    Descent follows each node's CACHED best_action (recomputed whenever a
+    backup changes the node's stats — see Tree.best_action), so each level
+    costs a couple of pointer reads instead of the full child-stats gather
+    + PUCT evaluation; node stats only change through recompute-backups,
+    so the cache is exactly as fresh as evaluating PUCT at descent time
+    (modulo graph-search transposition staleness the reference shares,
+    GraphSearch.md).
+
     mirror: optional per-game anti-mirror verdict (search/mirror.py
     MirrorArrs row) — when set, mirror replies and center refutations get
-    forced-explore utility bumps (searchmirror.cpp:156-278)."""
+    forced-explore utility bumps (searchmirror.cpp:156-278), which depend
+    on descent-time context, so the classic full-PUCT descent runs
+    instead."""
     tree = ss.tree
 
     def puct_action(node):
+        # classic descent-time PUCT (anti-mirror path only)
         children = tree.children[node]                     # [A]
         pol = tree.policy[node]                            # [A]
         has_child = children >= 0
         cidx = jnp.maximum(children, 0)
-        # ONE stacked gather for all child stats (see Tree.stats): on TPU
-        # each pool gather costs the same whether it reads 1 or 18
-        # columns, so the stacked layout turns ~4 gathers into 1
         cstats = tree.stats[cidx]                          # [A, NUM_STATS]
         nstats = tree.stats[node]                          # [NUM_STATS]
         cw = jnp.where(has_child, cstats[:, C_WEIGHT_SUM], 0.0)
         cu = jnp.where(has_child,
                        cstats[:, C_UTILITY_SUM] / jnp.maximum(cw, 1e-10),
                        0.0)
-        total_cw = jnp.sum(cw)
-        visited_mass = jnp.sum(jnp.where(has_child & (pol >= 0), pol, 0.0))
-
-        w = jnp.maximum(nstats[C_WEIGHT_SUM], 1e-10)
-        parent_utility = nstats[C_UTILITY_SUM] / w
-        utility_sq_avg = nstats[C_UTILITY_SQ_SUM] / w
-        # parent utility stdev factor (searchexplorehelpers.cpp:265-300)
-        var_prior = sp.cpuct_utility_stdev_prior ** 2
-        var_prior_w = sp.cpuct_utility_stdev_prior_weight
-        u_sq = parent_utility * parent_utility
-        usq = jnp.maximum(utility_sq_avg, u_sq)
-        stdev = jnp.sqrt(jnp.maximum(
-            ((u_sq + var_prior) * var_prior_w + usq * w)
-            / (var_prior_w + jnp.maximum(w - 1.0, 1e-10)) - u_sq, 0.0))
-        stdev = jnp.where(w <= 1.0, sp.cpuct_utility_stdev_prior, stdev)
-        stdev_factor = 1.0 + sp.cpuct_utility_stdev_scale * (
-            stdev / sp.cpuct_utility_stdev_prior - 1.0)
-
-        is_root = node == 0
-        fpu_red = jnp.where(is_root, sp.root_fpu_reduction_max,
-                            sp.fpu_reduction_max)
-        fpu_loss = jnp.where(is_root, sp.root_fpu_loss_prop, sp.fpu_loss_prop)
-        parent_u_fpu = (sp.fpu_parent_weight * nstats[C_NN_UTILITY]
-                        + (1.0 - sp.fpu_parent_weight) * parent_utility)
-        utility_radius = (sp.win_loss_utility_factor
-                          + sp.static_score_utility_factor
-                          + sp.dynamic_score_utility_factor)
         pla = tree.pos.to_move[node]
-        is_white = pla == B.WHITE
-        reduction = fpu_red * jnp.sqrt(visited_mass)
-        fpu = jnp.where(is_white, parent_u_fpu - reduction,
-                        parent_u_fpu + reduction)
-        loss_value = jnp.where(is_white, -utility_radius, utility_radius)
-        fpu = fpu + (loss_value - fpu) * fpu_loss
-
-        cpuct = sp.cpuct_exploration + sp.cpuct_exploration_log * jnp.log(
-            (total_cw + sp.cpuct_exploration_base) / sp.cpuct_exploration_base)
-        explore_scaling = cpuct * jnp.sqrt(
-            total_cw + TOTALCHILDWEIGHT_PUCT_OFFSET) * stdev_factor
-
-        child_util = jnp.where(has_child, cu, fpu)
-        # root ending bonus -> utility via the score-utility derivative
-        # at the parent's average score (searchhelpers.cpp:587-589)
-        parent_score = nstats[C_SCORE_MEAN_SUM] / w
-        deriv = score_utility_derivative(parent_score, sp,
-                                         ss.dyn_score_center,
-                                         ss.sqrt_board_area)
-        child_util = child_util + jnp.where(is_root,
-                                            ss.ending_bonus * deriv, 0.0)
-        value_comp = jnp.where(is_white, child_util, -child_util)
+        is_root = node == 0
+        explore_comp, value_comp = _puct_terms(
+            nstats, pol, has_child, cw, cu, pla, is_root, ss.ending_bonus,
+            ss.dyn_score_center, ss.sqrt_board_area, sp)
         if mirror is not None:
             from katago_tpu.search import mirror as MIR
             size_ = int(np.sqrt(tree.policy.shape[1] - 1))
+            w = jnp.maximum(nstats[C_WEIGHT_SUM], 1e-10)
+            parent_utility = nstats[C_UTILITY_SUM] / w
+            is_white = pla == B.WHITE
+            total_cw = jnp.sum(cw)
             pu_self = jnp.where(is_white, parent_utility, -parent_utility)
             value_comp = MIR.puct_adjust(
                 value_comp, pol, tree.pos.recent_moves[node, 0], pla, cw,
                 total_cw, pu_self, tree.pos.board.stones[node], is_root,
                 mirror.mirroring, mirror.mirror_pla, mirror.advantage,
                 mirror.center_err, tree.pos.to_move[0], size_)
-        explore_comp = explore_scaling * pol / (1.0 + cw)
         score = jnp.where(pol >= 0, explore_comp + value_comp, ILLEGAL)
         return jnp.argmax(score).astype(jnp.int32)
+
+    if mirror is None:
+        puct_action = lambda node: tree.best_action[node]  # noqa: E731
 
     def loop_cond(carry):
         i, state = carry
@@ -716,6 +789,10 @@ def insert_and_backup(ss: SearchState, sel: PathSel, leaf_pos: H.PosState,
             tree.term_own, new_idx,
             jnp.where(leaf_pos.game_over, jnp.round(ev.ownership),
                       0.0).astype(jnp.int8)),
+        best_action=set_at(
+            tree.best_action, new_idx,
+            leaf_best_action(leaf_row, ev.policy, leaf_pos.to_move, sp,
+                             ss.dyn_score_center, ss.sqrt_board_area)),
         num_nodes=tree.num_nodes + can_alloc.astype(jnp.int32),
     )
     # link parent -> child (fresh node, or the transposed existing node)
@@ -728,6 +805,14 @@ def insert_and_backup(ss: SearchState, sel: PathSel, leaf_pos: H.PosState,
         jnp.where(superko_illegal & ~sel.is_terminal, -1.0,
                   tree.policy[sel.leaf_parent, jnp.maximum(sel.leaf_action, 0)]))
     tree = tree._replace(children=children, policy=policy)
+    # the parent's cached argmax may point at the freshly-banned prior; a
+    # void playout skips the backprop refresh, so refresh it here
+    ban = superko_illegal & ~sel.is_terminal
+    ba_parent = node_best_action(tree, sel.leaf_parent, sp,
+                                 ss.ending_bonus, ss.dyn_score_center,
+                                 ss.sqrt_board_area)
+    tree = tree._replace(best_action=tree.best_action.at[sel.leaf_parent].set(
+        jnp.where(ban, ba_parent, tree.best_action[sel.leaf_parent])))
 
     # visits are additive per playout, as in the reference (fetch_add);
     # a transposition hit counts a visit on the shared node
@@ -766,7 +851,8 @@ def _norm_cdf(z):
 
 
 def recompute_node(tree: Tree, node: jax.Array, sp: SearchParamsArr,
-                   active: jax.Array, bias_sum=None, bias_weight=None):
+                   active: jax.Array, bias_sum=None, bias_weight=None,
+                   ending_bonus=None, dyn_center=0.0, sqrt_area=19.0):
     """Search::recomputeNodeStats: node stats = value-downweighted average of
     child stats + the node's own uncertainty-weighted NN evaluation.
 
@@ -874,7 +960,21 @@ def recompute_node(tree: Tree, node: jax.Array, sp: SearchParamsArr,
     ])
     stats = tree.stats.at[node].set(
         jnp.where(active, new_row, nstats))
-    tree = tree._replace(stats=stats)
+    # refresh the fast-descent cache from the NEW stats, reusing the
+    # already-gathered child stats (Tree.best_action / select_path)
+    pol = tree.policy[node]
+    if ending_bonus is None:
+        ending_bonus = jnp.zeros_like(pol)
+    cw_sel = w
+    cu_sel = jnp.where(exists, u_avg, 0.0)
+    explore, value = _puct_terms(
+        jnp.where(active, new_row, nstats), pol, exists, cw_sel, cu_sel,
+        pla, node == 0, ending_bonus, dyn_center, sqrt_area, sp)
+    score = jnp.where(pol >= 0, explore + value, ILLEGAL)
+    ba = jnp.argmax(score).astype(jnp.int32)
+    best_action = tree.best_action.at[node].set(
+        jnp.where(active, ba, tree.best_action[node]))
+    tree = tree._replace(stats=stats, best_action=best_action)
     if bias_sum is not None:
         return tree, bias_sum, bias_weight
     return tree
@@ -898,7 +998,10 @@ def backprop_path(ss: SearchState, sel: PathSel, sp: SearchParamsArr,
         node = sel.path_nodes[jnp.maximum(i, 0)]
         active = do_update & (node >= 0) & (i >= 0)
         tree, bsum, bw = recompute_node(tree, jnp.maximum(node, 0), sp,
-                                        active, bsum, bw)
+                                        active, bsum, bw,
+                                        ending_bonus=ss.ending_bonus,
+                                        dyn_center=ss.dyn_score_center,
+                                        sqrt_area=ss.sqrt_board_area)
         return k + 1, tree, bsum, bw
 
     _, tree, bsum, bw = jax.lax.while_loop(
@@ -977,6 +1080,7 @@ def extract_subtree(tree: Tree, action: jax.Array) -> Tree:
         bias_key=scatter(tree.bias_key, -1),
         laddered=scatter(tree.laddered),
         term_own=scatter(tree.term_own),
+        best_action=scatter(tree.best_action),
         num_nodes=count,
     )
 
@@ -1477,6 +1581,14 @@ def init_search(model_apply: Callable, model_params: Any,
     ss = ss._replace(
         own_sum=root_ev.weight[:, None] * root_ev.ownership,
         own_weight=root_ev.weight)
+    # seed the fast-descent cache at the root (fresh roots are childless;
+    # reused roots evaluate over their carried children)
+    ba0 = jax.vmap(
+        lambda t, eb, dc, sa: node_best_action(t, jnp.int32(0), sp, eb,
+                                               dc, sa)
+    )(ss.tree, ss.ending_bonus, ss.dyn_score_center, ss.sqrt_board_area)
+    ss = ss._replace(tree=ss.tree._replace(
+        best_action=ss.tree.best_action.at[:, 0].set(ba0)))
     return ss
 
 
@@ -1556,9 +1668,20 @@ def run_playouts(model_apply: Callable, model_params: Any,
             gidx = jnp.arange(g)
             pa = jnp.maximum(sel_c.leaf_action, 0)
             old = tree.policy[gidx, sel_c.leaf_parent, pa]
-            return tree._replace(
+            tree = tree._replace(
                 policy=tree.policy.at[gidx, sel_c.leaf_parent, pa].set(
                     jnp.where(need, -1.0, old)))
+            # the retried descent follows cached best_action — refresh the
+            # edited node so it steers away from the banned prior
+            ba = jax.vmap(
+                lambda t, nd, eb, dc, sa: node_best_action(t, nd, sp, eb,
+                                                           dc, sa)
+            )(tree, sel_c.leaf_parent, ss.ending_bonus,
+              ss.dyn_score_center, ss.sqrt_board_area)
+            return tree._replace(
+                best_action=tree.best_action.at[gidx, sel_c.leaf_parent].set(
+                    jnp.where(need, ba,
+                              tree.best_action[gidx, sel_c.leaf_parent])))
 
         def retry_cond(c):
             need, tries = c[5], c[6]

@@ -252,6 +252,7 @@ def play_games(model_apply: Callable, model_params: Any, *,
                params_provider: Callable | None = None,
                resign_threshold: float = 0.0,
                resign_consec_turns: int = 3,
+               ladder_mode: str = "chase",
                mesh=None) -> tuple[GameBatchData | None, dict]:
     """Play a batch of selfplay games to completion. Returns recorded data
     and summary stats (moves, scores, winners).
@@ -334,10 +335,12 @@ def play_games(model_apply: Callable, model_params: Any, *,
             return jax.jit(lambda mp, roots, key, pt, pa, mv: mcts.run_search(
                 model_apply, mp, roots, sp, key, size=size,
                 num_sims=n_sims, max_nodes=max_nodes,
+                ladder_mode=ladder_mode,
                 prev_tree=pt, prev_actions=pa, max_visits=mv))
         return jax.jit(lambda mp, roots, key, mv: mcts.run_search(
             model_apply, mp, roots, sp, key, size=size,
-            num_sims=n_sims, max_nodes=max_nodes, max_visits=mv))
+            num_sims=n_sims, max_nodes=max_nodes,
+            ladder_mode=ladder_mode, max_visits=mv))
 
     # quantized top-up grid: one compiled program per (n_sims, reuse)
     sims_grid = sorted({0, max(1, visits // 8), max(1, visits // 4),

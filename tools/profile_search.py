@@ -28,9 +28,19 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def drain():
+    """Flush the device transfer queue: pending tiny host->device
+    transfers (e.g. freshly built SearchParamsArr scalars) otherwise
+    contend with the timed region over the tunnel and poison numbers."""
+    dummy = jax.device_put(np.zeros((1,), np.float32))
+    jax.block_until_ready(dummy)
+    time.sleep(0.1)
+
+
 def timeit(name, fn, *args, reps=5):
     out = fn(*args)
     jax.block_until_ready(out)
+    drain()
     t0 = time.time()
     for _ in range(reps):
         out = fn(*args)
