@@ -220,7 +220,7 @@ class SearchDriver:
         (Search::getPolicySurpriseAndEntropy): entropy of the raw root
         prior, and the KL-ish surprise of the visit distribution
         relative to it."""
-        prior = np.asarray(ss.tree.policy[0, 0, :])
+        prior = np.asarray(ss.tree.policy[0, 0, :]).astype(np.float32)
         legal = prior >= 0
         p = np.where(legal, np.maximum(prior, 1e-30), 0.0)
         p = p / max(p.sum(), 1e-30)

@@ -32,6 +32,7 @@ selection time (searchexplorehelpers.cpp:38-54).
 from __future__ import annotations
 
 import functools
+import os as _os
 from typing import Any, Callable, NamedTuple
 
 import jax
@@ -49,6 +50,14 @@ from katago_tpu.search.params import SearchParamsArr
 
 TOTALCHILDWEIGHT_PUCT_OFFSET = 0.01
 ILLEGAL = -1e30
+
+# Pool dtypes: the [N, A] topology/prior arrays dominate tree-pool HBM
+# traffic (gathers + the layout copies XLA inserts around scatters), so
+# they store narrow: child indices as int16 (max_nodes < 2^15), priors as
+# bfloat16 (the reference itself stores policy at reduced precision —
+# float16 policyProbs, nnoutput.h). -1 sentinels are exact in both.
+CHILD_DT = jnp.int16
+POL_DT = jnp.bfloat16
 
 
 def ladder_map_chase_fn(stones, size, ko_loc):
@@ -250,8 +259,8 @@ def empty_tree(size: int, max_nodes: int) -> Tree:
         parent=jnp.full((n,), -1, jnp.int32),
         parent_action=jnp.full((n,), -1, jnp.int32),
         depth=jnp.zeros((n,), jnp.int32),
-        children=jnp.full((n, a), -1, jnp.int32),
-        policy=jnp.full((n, a), -1.0, jnp.float32),
+        children=jnp.full((n, a), -1, CHILD_DT),
+        policy=jnp.full((n, a), -1.0, POL_DT),
         visits=jnp.zeros((n,), jnp.int32),
         stats=jnp.zeros((n, NUM_STATS), jnp.float32),
         bias_key=jnp.full((n,), -1, jnp.int32),
@@ -774,7 +783,7 @@ def insert_and_backup(ss: SearchState, sel: PathSel, leaf_pos: H.PosState,
         parent=set_at(tree.parent, new_idx, sel.leaf_parent),
         parent_action=set_at(tree.parent_action, new_idx, sel.leaf_action),
         depth=set_at(tree.depth, new_idx, tree.depth[sel.leaf_parent] + 1),
-        policy=set_at(tree.policy, new_idx, ev.policy),
+        policy=set_at(tree.policy, new_idx, ev.policy.astype(POL_DT)),
         stats=set_at(tree.stats, new_idx, leaf_row),
         bias_key=set_at(
             tree.bias_key, new_idx,
@@ -799,7 +808,9 @@ def insert_and_backup(ss: SearchState, sel: PathSel, leaf_pos: H.PosState,
     link_idx = jnp.where(use_tp, tp_idx, new_idx)
     children = tree.children.at[sel.leaf_parent, jnp.maximum(sel.leaf_action, 0)].set(
         jnp.where(can_alloc | use_tp, link_idx,
-                  tree.children[sel.leaf_parent, jnp.maximum(sel.leaf_action, 0)]))
+                  tree.children[sel.leaf_parent,
+                                jnp.maximum(sel.leaf_action, 0)]
+                  ).astype(CHILD_DT))
     # superko-illegal expansion: mark prior illegal so it's never tried again
     policy = tree.policy.at[sel.leaf_parent, jnp.maximum(sel.leaf_action, 0)].set(
         jnp.where(superko_illegal & ~sel.is_terminal, -1.0,
@@ -870,14 +881,37 @@ def recompute_node(tree: Tree, node: jax.Array, sp: SearchParamsArr,
     children = tree.children[node]                      # [A]
     exists = children >= 0
     c = jnp.maximum(children, 0)
-    # ONE stacked gather of every child stat (Tree.stats docstring)
+    # ONE stacked gather of every child stat (Tree.stats docstring); a
+    # one-hot matmul formulation was measured identical on TPU v5e
     cstats = tree.stats[c]                              # [A, NUM_STATS]
     nstats = tree.stats[node]                           # [NUM_STATS]
+    new_row, ba, bias_sum, bias_weight = _recompute_core(
+        children, cstats, nstats, tree.policy[node],
+        tree.pos.to_move[node], tree.bias_key[node], node == 0, sp,
+        active, bias_sum, bias_weight, ending_bonus, dyn_center, sqrt_area)
+    stats = tree.stats.at[node].set(jnp.where(active, new_row, nstats))
+    best_action = tree.best_action.at[node].set(
+        jnp.where(active, ba, tree.best_action[node]))
+    tree = tree._replace(stats=stats, best_action=best_action)
+    if bias_sum is not None:
+        return tree, bias_sum, bias_weight
+    return tree
+
+
+def _recompute_core(children, cstats, nstats, pol, pla, bias_key, is_root,
+                    sp: SearchParamsArr, active, bias_sum, bias_weight,
+                    ending_bonus, dyn_center, sqrt_area):
+    """Pool-free core of recompute_node: child rows in, new node row +
+    refreshed best_action out (plus bias-table updates). backprop_path
+    runs this inside its loop without touching the stats pool per
+    iteration — per-iteration pool scatters made XLA relayout the whole
+    [N, NUM_STATS] pool twice per playout level (trace: ~0.1ms/level of
+    pure data formatting)."""
+    exists = children >= 0
     w = jnp.where(exists, cstats[:, C_WEIGHT_SUM], 0.0)
     good = exists & (w > 0)
     winv = 1.0 / jnp.maximum(w, 1e-10)
     u_avg = cstats[:, C_UTILITY_SUM] * winv
-    pla = tree.pos.to_move[node]
     self_u = jnp.where(pla == B.WHITE, u_avg, -u_avg)
     total_w = jnp.sum(jnp.where(good, w, 0.0))
 
@@ -905,8 +939,8 @@ def recompute_node(tree: Tree, node: jax.Array, sp: SearchParamsArr,
     new_last_weight = nstats[C_LAST_BIAS_WEIGHT]
     if bias_sum is not None:
         use_bias = (sp.subtree_value_bias_factor != 0.0) & \
-            (tree.bias_key[node] >= 0) & active
-        key = jnp.maximum(tree.bias_key[node], 0)
+            (bias_key >= 0) & active
+        key = jnp.maximum(bias_key, 0)
         # publish this node's delta (children-utility minus own-NN utility),
         # replacing its previous contribution
         children_util = wsum(C_UTILITY_SUM) / jnp.maximum(total_w, 1e-10)
@@ -958,54 +992,82 @@ def recompute_node(tree: Tree, node: jax.Array, sp: SearchParamsArr,
         new_last_weight,                                  # C_LAST_BIAS_WEIGHT
         nstats[C_PATTERN_BONUS],
     ])
-    stats = tree.stats.at[node].set(
-        jnp.where(active, new_row, nstats))
     # refresh the fast-descent cache from the NEW stats, reusing the
     # already-gathered child stats (Tree.best_action / select_path)
-    pol = tree.policy[node]
     if ending_bonus is None:
-        ending_bonus = jnp.zeros_like(pol)
+        ending_bonus = jnp.zeros_like(pol, dtype=jnp.float32)
     cw_sel = w
     cu_sel = jnp.where(exists, u_avg, 0.0)
     explore, value = _puct_terms(
         jnp.where(active, new_row, nstats), pol, exists, cw_sel, cu_sel,
-        pla, node == 0, ending_bonus, dyn_center, sqrt_area, sp)
+        pla, is_root, ending_bonus, dyn_center, sqrt_area, sp)
     score = jnp.where(pol >= 0, explore + value, ILLEGAL)
     ba = jnp.argmax(score).astype(jnp.int32)
-    best_action = tree.best_action.at[node].set(
-        jnp.where(active, ba, tree.best_action[node]))
-    tree = tree._replace(stats=stats, best_action=best_action)
-    if bias_sum is not None:
-        return tree, bias_sum, bias_weight
-    return tree
+    return new_row, ba, bias_sum, bias_weight
 
 
 def backprop_path(ss: SearchState, sel: PathSel, sp: SearchParamsArr,
                   do_update: jax.Array) -> SearchState:
     """Recompute stats for every path node, deepest first.
 
-    while_loop bounded by the actual path length (not the static max_depth)
-    so under vmap the trip count is the batch's deepest path — typically a
-    handful of iterations, not 64.
+    The while_loop is bounded by the actual path length (not the static
+    max_depth), so under vmap the trip count is the batch's deepest path.
+    The stats pool stays OUT of the loop: each iteration gathers child
+    rows from the pre-backup pool and patches the single child row that
+    this backup has changed — which is exactly the previous iteration's
+    output, because a path node's only on-path child is its path
+    successor (edges increase depth by one, so no other path node can be
+    its child, even under graph-search transposition links). New rows and
+    best-actions accumulate in the carry and scatter into the pool once
+    at the end; the per-iteration pool scatter otherwise made XLA
+    relayout the whole [N, NUM_STATS] pool twice per level.
     """
+    tree = ss.tree
+    d = sel.path_nodes.shape[0]
+    n = tree.visits.shape[0]
+
     def cond(carry):
-        k, _, _, _ = carry
-        return k < sel.path_len
+        return carry[0] < sel.path_len
 
     def body(carry):
-        k, tree, bsum, bw = carry
+        k, new_rows, bas, prev_node, prev_row, bsum, bw = carry
         i = sel.path_len - 1 - k
-        node = sel.path_nodes[jnp.maximum(i, 0)]
-        active = do_update & (node >= 0) & (i >= 0)
-        tree, bsum, bw = recompute_node(tree, jnp.maximum(node, 0), sp,
-                                        active, bsum, bw,
-                                        ending_bonus=ss.ending_bonus,
-                                        dyn_center=ss.dyn_score_center,
-                                        sqrt_area=ss.sqrt_board_area)
-        return k + 1, tree, bsum, bw
+        node_raw = sel.path_nodes[jnp.maximum(i, 0)]
+        node = jnp.maximum(node_raw, 0)
+        active = do_update & (node_raw >= 0) & (i >= 0)
+        children = tree.children[node]                 # [A]
+        cstats = tree.stats[jnp.maximum(children, 0)]  # [A, NUM_STATS]
+        patch = (children == prev_node) & (prev_node >= 0)
+        cstats = jnp.where(patch[:, None], prev_row[None, :], cstats)
+        new_row, ba, bsum, bw = _recompute_core(
+            children, cstats, tree.stats[node], tree.policy[node],
+            tree.pos.to_move[node], tree.bias_key[node], node == 0, sp,
+            active, bsum, bw, ss.ending_bonus, ss.dyn_score_center,
+            ss.sqrt_board_area)
+        new_rows = new_rows.at[jnp.maximum(i, 0)].set(
+            jnp.where(active, new_row, new_rows[jnp.maximum(i, 0)]))
+        bas = bas.at[jnp.maximum(i, 0)].set(
+            jnp.where(active, ba, bas[jnp.maximum(i, 0)]))
+        prev_node = jnp.where(active, node, jnp.int32(-1))
+        prev_row = jnp.where(active, new_row, prev_row)
+        return k + 1, new_rows, bas, prev_node, prev_row, bsum, bw
 
-    _, tree, bsum, bw = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), ss.tree, ss.bias_sum, ss.bias_weight))
+    init = (jnp.int32(0), jnp.zeros((d, NUM_STATS), jnp.float32),
+            jnp.zeros((d,), jnp.int32), jnp.int32(-1),
+            jnp.zeros((NUM_STATS,), jnp.float32), ss.bias_sum,
+            ss.bias_weight)
+    _, new_rows, bas, _, _, bsum, bw = jax.lax.while_loop(cond, body, init)
+    # one scatter for the whole path (distinct nodes; invalid -> pad row)
+    written = (sel.path_nodes >= 0) & \
+        (jnp.arange(d) < sel.path_len) & do_update
+    target = jnp.where(written, sel.path_nodes, n)
+    stats = jnp.concatenate(
+        [tree.stats, jnp.zeros((1, NUM_STATS), jnp.float32)])
+    stats = stats.at[target].set(new_rows)[:n]
+    best_action = jnp.concatenate(
+        [tree.best_action, jnp.zeros((1,), jnp.int32)])
+    best_action = best_action.at[target].set(bas)[:n]
+    tree = tree._replace(stats=stats, best_action=best_action)
     return ss._replace(tree=tree, bias_sum=bsum, bias_weight=bw)
 
 
@@ -1056,7 +1118,7 @@ def extract_subtree(tree: Tree, action: jax.Array) -> Tree:
                                                       n - 1)]
     children_rm = jnp.where(child_ok,
                             new_idx_pad[jnp.clip(tree.children, 0, n - 1)],
-                            -1)
+                            -1).astype(CHILD_DT)
     parent_ok = (tree.parent >= 0) & in_sub[jnp.clip(tree.parent, 0, n - 1)]
     parent_rm = jnp.where(parent_ok,
                           new_idx_pad[jnp.clip(tree.parent, 0, n - 1)], -1)
@@ -1506,7 +1568,7 @@ def init_search(model_apply: Callable, model_params: Any,
             ko_hash=tree.ko_hash.at[0].set(kh),
             graph_hash=tree.graph_hash.at[0].set(GH.state_hash(
                 kh, gs.pos.game_over, gs.pos.consec_passes)),
-            policy=tree.policy.at[0].set(ev.policy),
+            policy=tree.policy.at[0].set(ev.policy.astype(POL_DT)),
             visits=tree.visits.at[0].set(1),
             stats=tree.stats.at[0].set(
                 leaf_stats_row(ev, jnp.float32(0.0))),
@@ -1560,7 +1622,7 @@ def init_search(model_apply: Callable, model_params: Any,
         if root_allowed_mask is not None:
             reroot_pol = jnp.where(root_allowed_mask, reroot_pol, -1.0)
         reused = reused._replace(
-            policy=reused.policy.at[:, 0, :].set(reroot_pol),
+            policy=reused.policy.at[:, 0, :].set(reroot_pol.astype(POL_DT)),
             laddered=reused.laddered.at[:, 0].set(root_lad),
             term_own=reused.term_own.at[:, 0].set(root_town),
             # no pattern bonus on the root itself (search.cpp:726)
@@ -1809,7 +1871,7 @@ def collect_results(ss: SearchState) -> SearchResult:
         ss=ss,
         root_visits=tree.visits[:, 0],
         child_visits=cvis,
-        root_policy_prior=tree.policy[:, 0, :],
+        root_policy_prior=tree.policy[:, 0, :].astype(jnp.float32),
         root_winloss=tree.winloss_sum[:, 0] / root_w,
         root_score_mean=tree.score_mean_sum[:, 0] / root_w,
         root_lead=tree.lead_sum[:, 0] / root_w,
