@@ -69,7 +69,10 @@ def main():
     visits = int(os.environ.get("BENCH_VISITS", visits))
     num_games = int(os.environ.get("BENCH_GAMES", num_games))
     with_ladders = os.environ.get("BENCH_NO_LADDERS", "") in ("", "0")
-    chunk = int(os.environ.get("BENCH_CHUNK", min(50, visits)))
+    # chunk dispatch costs ~1s on the tunneled runtime (per-buffer handle
+    # marshalling over the wire), so chunks are as large as the runtime's
+    # execution deadline comfortably allows (~8s/200-sim chunk)
+    chunk = int(os.environ.get("BENCH_CHUNK", min(200, visits)))
 
     cfg = MC.get_config(cfg_name)
     # bf16 trunk: MXU-native matmul/conv precision for inference

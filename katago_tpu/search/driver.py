@@ -172,6 +172,27 @@ class SearchDriver:
         t0 = time.time()
         last_cb = t0
         chunks_done = 0
+        # Pure visit-budget searches know their chunk count a priori: run
+        # those chunks with NO host polling (each tree-visits fetch is a
+        # pipeline-draining device sync — ~1s per chunk on a tunneled
+        # TPU, measured ~38% of search wall-clock), then fall into the
+        # polling loop to top up voided playouts. A fresh root has
+        # exactly 1 visit; a reused tree costs one sync to learn its
+        # minimum.
+        if (max_time is None and time_rec is None and stop_event is None
+                and should_stop is None and callback is None
+                and max_visits is not None and max_visits < BIG_VISITS):
+            if prev_tree is None:
+                visits0 = 1
+            else:
+                rv0 = np.asarray(ss.tree.visits[:, 0])
+                visits0 = int(rv0.min()) if rv0.size else 1
+            n_full = max(0, max_visits - visits0 + self.chunk_size - 1) \
+                // self.chunk_size
+            for _ in range(n_full):
+                rng, r = jax.random.split(rng)
+                ss = chunk(ss, r, cap, amask, mirror, pattern_bonus)
+                chunks_done += 1
         while True:
             if stop_event is not None and stop_event.is_set():
                 break
