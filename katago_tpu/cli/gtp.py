@@ -47,13 +47,14 @@ KNOWN_COMMANDS = [
     "kata-get-rules", "kata-set-rules", "kata-set-rule", "kata-get-param",
     "kata-set-param", "kata-get-params", "kata-set-params",
     "kata-list-params", "kata-get-models",
-    "kata-raw-nn", "kata-analyze", "lz-analyze",
+    "kata-raw-nn", "kata-raw-human-nn", "kata-analyze", "lz-analyze",
     "genmove_analyze", "lz-genmove_analyze", "kata-genmove_analyze",
     "genmove_debug",
     "kata-search", "kata-search_cancellable", "kata-search_debug",
     "kata-search_analyze", "kata-search_analyze_cancellable",
     "clear_cache", "loadsgf", "printsgf", "showboard", "kata-benchmark",
-    "kata-time_settings", "kata-list-time-settings", "kata-set-position",
+    "kata-time_settings", "kata-list-time-settings",
+    "kata-list_time_settings", "kata-set-position",
     "set_position", "stop",
 ]
 
@@ -289,7 +290,7 @@ class GTPEngine:
                     time_rec: float | None = None,
                     time_max: float | None = None,
                     callback=None, callback_interval: float = 1.0,
-                    should_stop=None):
+                    should_stop=None, root_allowed_mask=None):
         self.stop_ponder()
         visits = visits or self.visits
         gs = H.replace_pos(self.gs, to_move=jnp.int32(player))
@@ -307,7 +308,10 @@ class GTPEngine:
         if (self.search_params.avoid_repeated_pattern_utility != 0
                 and self.last_search_player not in (None, player)):
             prev = None
+        if root_allowed_mask is not None:
+            root_allowed_mask = jnp.asarray(root_allowed_mask)[None, :]
         res = driver.search(roots, sub, max_visits=visits,
+                            root_allowed_mask=root_allowed_mask,
                             max_time=max_time, prev_tree=prev,
                             time_rec=time_rec, time_max=time_max,
                             turn_number=len(self.moves),
@@ -406,7 +410,8 @@ class GTPEngine:
 
     def analyze_info(self, res, top_k: int = 10, pv_len: int = 12,
                      include_ownership: bool = False,
-                     player: int | None = None) -> str:
+                     player: int | None = None,
+                     min_moves: int = 1) -> str:
         """kata-analyze info lines from a SearchResult (batch idx 0), with
         greedy-descent PVs per candidate (searchresults.cpp appendPV) and
         optional tree-averaged ownership. Device arrays are pulled once per
@@ -438,8 +443,13 @@ class GTPEngine:
                 node = int(ch[a])
             return moves
 
+        # minmoves: pad the report with 0-visit prior-ranked moves
+        # (GTP_Extensions.md kata-analyze minmoves)
+        top_k = max(top_k, min_moves)
         for rank, a in enumerate(order[:top_k]):
-            if cv[a] <= 0:
+            if cv[a] <= 0 and rank >= min_moves:
+                break
+            if cv[a] <= 0 and prior[a] < 0:
                 break
             child = int(children[0, a])
             w = max(float(weight[child]), 1e-9)
@@ -513,14 +523,26 @@ class GTPEngine:
             return None
         return loc
 
-    def raw_nn(self) -> str:
+    def raw_nn(self, use_human_profile: bool = False) -> str:
         from katago_tpu.models import features as F
         gs = self.gs
         sp_feat, gl_feat = F.fill_features_v7(gs, self.size,
                                               F.FeatureParams.default())
         sp_in = jnp.asarray(sp_feat).reshape(1, self.size, self.size, 22)
         gl_in = jnp.asarray(gl_feat).reshape(1, 19)
-        raw = self.model_apply(None, sp_in, gl_in)
+        if use_human_profile:
+            # kata-raw-human-nn: condition on the configured humanSL
+            # profile's metadata row (gtp.cpp kata-raw-human-nn)
+            if self.sgf_meta is None:
+                raise ValueError("kata-raw-human-nn requires humanSLProfile")
+            from katago_tpu.models.sgfmetadata import fill_metadata_row
+            row = jnp.asarray(fill_metadata_row(
+                self.sgf_meta,
+                next_player_is_white=int(gs.pos.to_move) == B.WHITE,
+                board_area=self.size * self.size))[None, :]
+            raw = self.model_apply(None, sp_in, gl_in, metadata=row)
+        else:
+            raw = self.model_apply(None, sp_in, gl_in)
         pol = np.asarray(jax.nn.softmax(raw["policy_logits"][0, 0]))
         val = np.asarray(jax.nn.softmax(raw["value_logits"][0]))
         lines = [f"whiteWin {val[1] if int(gs.pos.to_move)==B.BLACK else val[0]:.6f}",
@@ -838,7 +860,8 @@ def run_gtp(engine: GTPEngine, infile=sys.stdin, outfile=sys.stdout,
                     engine.time_controls[player] = tc
                 tc.update_from_gtp_time_left(float(args[1]), int(args[2]))
                 respond("", cmd_id)
-            elif cmd == "kata-list-time-settings":
+            elif cmd in ("kata-list-time-settings",
+                         "kata-list_time_settings"):
                 respond("none absolute byoyomi canadian fischer", cmd_id)
             elif cmd == "kata-debug-print-tc":
                 tcs = engine.time_controls[int(engine.gs.pos.to_move)]
@@ -895,6 +918,8 @@ def run_gtp(engine: GTPEngine, infile=sys.stdin, outfile=sys.stdout,
                         cmd_id)
             elif cmd == "kata-raw-nn":
                 respond(engine.raw_nn(), cmd_id)
+            elif cmd == "kata-raw-human-nn":
+                respond(engine.raw_nn(use_human_profile=True), cmd_id)
             elif cmd in ("kata-analyze", "lz-analyze"):
                 # streaming analysis: info lines every `interval`
                 # centiseconds until the next GTP command arrives
@@ -902,6 +927,9 @@ def run_gtp(engine: GTPEngine, infile=sys.stdin, outfile=sys.stdout,
                 player = int(engine.gs.pos.to_move)
                 interval = 1.0
                 include_own = False
+                min_moves, max_moves = 1, 10
+                avoid_mask = None        # bool[A], True = allowed
+                avoid_player = None
                 i = 0
                 while i < len(args):
                     al = args[i].lower()
@@ -913,9 +941,39 @@ def run_gtp(engine: GTPEngine, infile=sys.stdin, outfile=sys.stdout,
                     elif al == "ownership" and i + 1 < len(args):
                         i += 1
                         include_own = args[i].lower() == "true"
+                    elif al == "minmoves" and i + 1 < len(args):
+                        i += 1
+                        min_moves = int(args[i])
+                    elif al == "maxmoves" and i + 1 < len(args):
+                        i += 1
+                        max_moves = int(args[i])
+                    elif al in ("avoid", "allow") and i + 3 < len(args):
+                        # avoid|allow PLAYER VERTEX,... UNTILDEPTH
+                        # (GTP_Extensions.md); applied at the root when
+                        # PLAYER is the mover and UNTILDEPTH >= 1
+                        apl = player_of.get(args[i + 1].lower())
+                        verts = args[i + 2].split(",")
+                        until = int(args[i + 3])
+                        locs = [gtp_to_loc(v, engine.size, engine.x_size,
+                                           engine.y_size) for v in verts]
+                        nn_a = engine.size * engine.size + 1
+                        if until >= 1 and (apl is None or True):
+                            m = np.ones((nn_a,), bool) if al == "avoid" \
+                                else np.zeros((nn_a,), bool)
+                            for lc in locs:
+                                m[lc] = (al == "allow")
+                            if avoid_mask is None:
+                                avoid_mask = m
+                            else:
+                                avoid_mask &= m
+                            avoid_player = apl
+                        i += 3
                     elif al.replace(".", "").isdigit():
                         interval = float(al) / 100.0
                     i += 1
+                if avoid_mask is not None and \
+                        avoid_player not in (None, player):
+                    avoid_mask = None   # restriction is for the other side
 
                 def stdin_ready():
                     try:
@@ -929,14 +987,17 @@ def run_gtp(engine: GTPEngine, infile=sys.stdin, outfile=sys.stdout,
 
                 def emit(res, elapsed):
                     outfile.write(engine.analyze_info(
-                        res, include_ownership=include_own) + "\n")
+                        res, top_k=max_moves, min_moves=min_moves,
+                        include_ownership=include_own) + "\n")
                     outfile.flush()
 
                 res = engine.search_root(
                     player, visits=1 << 24, callback=emit,
-                    callback_interval=interval, should_stop=stdin_ready)
+                    callback_interval=interval, should_stop=stdin_ready,
+                    root_allowed_mask=avoid_mask)
                 outfile.write(engine.analyze_info(
-                    res, include_ownership=include_own) + "\n\n")
+                    res, top_k=max_moves, min_moves=min_moves,
+                    include_ownership=include_own) + "\n\n")
                 outfile.flush()
             elif cmd == "clear_cache":
                 respond("", cmd_id)

@@ -800,7 +800,10 @@ def insert_and_backup(ss: SearchState, sel: PathSel, leaf_pos: H.PosState,
                       0.0).astype(jnp.int8)),
         best_action=set_at(
             tree.best_action, new_idx,
-            leaf_best_action(leaf_row, ev.policy, leaf_pos.to_move, sp,
+            # the pool stores the prior at POL_DT: compute the cached
+            # argmax from the SAME rounded values descent-time PUCT reads
+            leaf_best_action(leaf_row, ev.policy.astype(POL_DT),
+                             leaf_pos.to_move, sp,
                              ss.dyn_score_center, ss.sqrt_board_area)),
         num_nodes=tree.num_nodes + can_alloc.astype(jnp.int32),
     )
@@ -1794,10 +1797,35 @@ def run_playouts(model_apply: Callable, model_params: Any,
         )(ss, sel.terminal_node)
         # a freshly-expanded leaf that finishes the game gets exact terminal
         # values (with the NN's legal-masked policy irrelevant: no children
-        # will ever be selected below a finished node)
-        leaf_term_ev = jax.vmap(
-            lambda p, r, dc, sa: terminal_eval_of_pos(p, r, sp, size, dc, sa, a)
-        )(leaf_pos, ss.rules, ss.dyn_score_center, ss.sqrt_board_area)
+        # will ever be selected below a finished node). The exact scoring is
+        # a full Benson + labels fixpoint chain, and with a trained net
+        # almost no playout ends the game mid-tree — so it runs under a
+        # batch-level cond and is skipped entirely when no game's leaf is
+        # terminal this sim.
+        def _score_leaves(args):
+            lp, rl, dc, sa = args
+            return jax.vmap(
+                lambda p, r, d_, s_: terminal_eval_of_pos(p, r, sp, size,
+                                                          d_, s_, a)
+            )(lp, rl, dc, sa)
+
+        def _skip_leaves(args):
+            lp, _, dc, _ = args
+            g_ = lp.game_over.shape[0]
+            return LeafEval(
+                utility=jnp.zeros((g_,), jnp.float32),
+                winloss=jnp.zeros((g_,), jnp.float32),
+                score_mean=jnp.zeros((g_,), jnp.float32),
+                score_meansq=jnp.zeros((g_,), jnp.float32),
+                score_stdev=jnp.zeros((g_,), jnp.float32),
+                lead=jnp.zeros((g_,), jnp.float32),
+                policy=jnp.full((g_, a), -1.0, jnp.float32),
+                weight=jnp.ones((g_,), jnp.float32),
+                ownership=jnp.zeros((g_, nn), jnp.float32))
+
+        leaf_term_ev = jax.lax.cond(
+            jnp.any(leaf_pos.game_over), _score_leaves, _skip_leaves,
+            (leaf_pos, ss.rules, ss.dyn_score_center, ss.sqrt_board_area))
 
         def merge_ev(t, lt, n_):
             sh = (-1,) + (1,) * (n_.ndim - 1)
