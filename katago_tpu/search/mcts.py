@@ -1033,27 +1033,57 @@ def backprop_path(ss: SearchState, sel: PathSel, sp: SearchParamsArr,
         return carry[0] < sel.path_len
 
     def body(carry):
+        # TWO levels per iteration, sharing ONE pool gather (and its
+        # layout-conversion copy, which XLA re-emits per gather inside the
+        # loop): the deeper level's cstats are patched from the previous
+        # iteration's output, the shallower level's from the deeper
+        # level's fresh row — the same exactness argument as the
+        # one-level patch, applied twice.
         k, new_rows, bas, prev_node, prev_row, bsum, bw = carry
-        i = sel.path_len - 1 - k
-        node_raw = sel.path_nodes[jnp.maximum(i, 0)]
-        node = jnp.maximum(node_raw, 0)
-        active = do_update & (node_raw >= 0) & (i >= 0)
-        children = tree.children[node]                 # [A]
-        cstats = tree.stats[jnp.maximum(children, 0)]  # [A, NUM_STATS]
-        patch = (children == prev_node) & (prev_node >= 0)
-        cstats = jnp.where(patch[:, None], prev_row[None, :], cstats)
-        new_row, ba, bsum, bw = _recompute_core(
-            children, cstats, tree.stats[node], tree.policy[node],
-            tree.pos.to_move[node], tree.bias_key[node], node == 0, sp,
-            active, bsum, bw, ss.ending_bonus, ss.dyn_score_center,
-            ss.sqrt_board_area)
-        new_rows = new_rows.at[jnp.maximum(i, 0)].set(
-            jnp.where(active, new_row, new_rows[jnp.maximum(i, 0)]))
-        bas = bas.at[jnp.maximum(i, 0)].set(
-            jnp.where(active, ba, bas[jnp.maximum(i, 0)]))
-        prev_node = jnp.where(active, node, jnp.int32(-1))
-        prev_row = jnp.where(active, new_row, prev_row)
-        return k + 1, new_rows, bas, prev_node, prev_row, bsum, bw
+
+        def level_ctx(k_):
+            i = sel.path_len - 1 - k_
+            node_raw = sel.path_nodes[jnp.maximum(i, 0)]
+            node = jnp.maximum(node_raw, 0)
+            active = do_update & (node_raw >= 0) & (i >= 0)
+            return i, node, active
+
+        i1, node1, active1 = level_ctx(k)
+        i2, node2, active2 = level_ctx(k + 1)
+        ch1 = tree.children[node1]                     # [A]
+        ch2 = tree.children[node2]                     # [A]
+        both = tree.stats[jnp.maximum(
+            jnp.concatenate([ch1, ch2]), 0)]           # [2A, NUM_STATS]
+        a_ = ch1.shape[0]
+        cstats1, cstats2 = both[:a_], both[a_:]
+
+        def level(node, children, cstats, i, active, pn, pr, bsum, bw):
+            patch = (children == pn) & (pn >= 0)
+            cstats = jnp.where(patch[:, None], pr[None, :], cstats)
+            new_row, ba, bsum, bw = _recompute_core(
+                children, cstats, tree.stats[node], tree.policy[node],
+                tree.pos.to_move[node], tree.bias_key[node], node == 0, sp,
+                active, bsum, bw, ss.ending_bonus, ss.dyn_score_center,
+                ss.sqrt_board_area)
+            return new_row, ba, bsum, bw
+
+        nr1, ba1, bsum, bw = level(node1, ch1, cstats1, i1, active1,
+                                   prev_node, prev_row, bsum, bw)
+        nr2, ba2, bsum, bw = level(node2, ch2, cstats2, i2, active2,
+                                   jnp.where(active1, node1, jnp.int32(-1)),
+                                   nr1, bsum, bw)
+
+        for i_, nr_, ba_, act_ in ((i1, nr1, ba1, active1),
+                                   (i2, nr2, ba2, active2)):
+            ic = jnp.maximum(i_, 0)
+            new_rows = new_rows.at[ic].set(
+                jnp.where(act_, nr_, new_rows[ic]))
+            bas = bas.at[ic].set(jnp.where(act_, ba_, bas[ic]))
+        prev_node = jnp.where(active2, node2,
+                              jnp.where(active1, node1, jnp.int32(-1)))
+        prev_row = jnp.where(active2, nr2,
+                             jnp.where(active1, nr1, prev_row))
+        return k + 2, new_rows, bas, prev_node, prev_row, bsum, bw
 
     init = (jnp.int32(0), jnp.zeros((d, NUM_STATS), jnp.float32),
             jnp.zeros((d,), jnp.int32), jnp.int32(-1),
