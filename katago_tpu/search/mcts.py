@@ -533,9 +533,12 @@ def select_path(ss: SearchState, sp: SearchParamsArr, max_depth: int,
     init = (jnp.int32(0), jnp.bool_(False),
             jnp.full((max_depth,), -1, jnp.int32), jnp.int32(0),
             jnp.int32(0), jnp.int32(-1), jnp.bool_(False), jnp.int32(0))
+    # two levels per trip (body is done-masked, so a finished lane's
+    # second step is a no-op); max_depth stays exact for even caps
+    assert max_depth % 2 == 0, "max_depth must be even (2 levels/trip)"
     _, (cur, done, path_nodes, path_len, leaf_parent, leaf_action,
         is_terminal, terminal_node) = jax.lax.while_loop(
-        loop_cond, lambda c: (c[0] + 1, body(c[0], c[1])),
+        loop_cond, lambda c: (c[0] + 2, body(c[0] + 1, body(c[0], c[1]))),
         (jnp.int32(0), init))
     # depth cap without resolution: treat current node as terminal-revisit
     is_terminal = is_terminal | ~done
@@ -1028,6 +1031,11 @@ def backprop_path(ss: SearchState, sel: PathSel, sp: SearchParamsArr,
     tree = ss.tree
     d = sel.path_nodes.shape[0]
     n = tree.visits.shape[0]
+    # child aggregation touches only the 8 sum columns (C_WEIGHT_SUM ..
+    # C_WEIGHT_SQ_SUM): gather from a loop-invariant 8-column slice so
+    # each level moves 2.2x fewer bytes through the gather + its layout
+    # copy (the own-eval columns are read only on the node itself)
+    stats_sums = tree.stats[:, :C_WEIGHT_SQ_SUM + 1]   # [N, 8]
 
     def cond(carry):
         return carry[0] < sel.path_len
@@ -1052,14 +1060,15 @@ def backprop_path(ss: SearchState, sel: PathSel, sp: SearchParamsArr,
         i2, node2, active2 = level_ctx(k + 1)
         ch1 = tree.children[node1]                     # [A]
         ch2 = tree.children[node2]                     # [A]
-        both = tree.stats[jnp.maximum(
-            jnp.concatenate([ch1, ch2]), 0)]           # [2A, NUM_STATS]
+        both = stats_sums[jnp.maximum(
+            jnp.concatenate([ch1, ch2]), 0)]           # [2A, 8]
         a_ = ch1.shape[0]
         cstats1, cstats2 = both[:a_], both[a_:]
 
         def level(node, children, cstats, i, active, pn, pr, bsum, bw):
             patch = (children == pn) & (pn >= 0)
-            cstats = jnp.where(patch[:, None], pr[None, :], cstats)
+            cstats = jnp.where(patch[:, None],
+                               pr[None, :cstats.shape[1]], cstats)
             new_row, ba, bsum, bw = _recompute_core(
                 children, cstats, tree.stats[node], tree.policy[node],
                 tree.pos.to_move[node], tree.bias_key[node], node == 0, sp,
