@@ -19,3 +19,24 @@ jax.config.update("jax_platforms", "cpu")
 # was tried here and reverted: the CPU AOT loader records stricter
 # machine features than the host reports, spamming feature-mismatch
 # errors and risking SIGILL on reload. Re-evaluate on real TPU runtimes.
+
+
+import gc  # noqa: E402
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled-executable caches after each test module.
+
+    One pytest process compiles many hundreds of XLA CPU programs across
+    the suite; with all of them held live, the compiler eventually
+    segfaults inside backend_compile (reproducibly at ~the 18th module,
+    test_loop's selfplay program — fine in isolation). Dropping the
+    caches between modules keeps the process's compiler state bounded.
+    Cross-module executable reuse is rare, so this costs little.
+    """
+    yield
+    jax.clear_caches()
+    gc.collect()
