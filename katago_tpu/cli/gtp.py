@@ -425,7 +425,9 @@ class GTPEngine:
         util_sum = np.asarray(tree.utility_sum[0])
         wl_sum = np.asarray(tree.winloss_sum[0])
         sc_sum = np.asarray(tree.score_mean_sum[0])
-        order = np.argsort(cv)[::-1]
+        # rank by visits, prior-tiebroken (minmoves padding then walks
+        # legal unvisited moves in prior order; illegal sink to the end)
+        order = np.lexsort((prior, cv))[::-1]
         if player is None:
             player = int(self.gs.pos.to_move)
         infos = []
@@ -452,15 +454,24 @@ class GTPEngine:
             if cv[a] <= 0 and prior[a] < 0:
                 break
             child = int(children[0, a])
-            w = max(float(weight[child]), 1e-9)
-            util = float(util_sum[child]) / w
-            winloss = float(wl_sum[child]) / w
-            score = float(sc_sum[child]) / w
+            if cv[a] > 0 and child >= 0:
+                w = max(float(weight[child]), 1e-9)
+                util = float(util_sum[child]) / w
+                winloss = float(wl_sum[child]) / w
+                score = float(sc_sum[child]) / w
+                pv_moves = pv_from(child, int(a))
+            else:
+                # minmoves-padded unvisited move: root values + prior only
+                w0 = max(float(weight[0]), 1e-9)
+                util = float(util_sum[0]) / w0
+                winloss = float(wl_sum[0]) / w0
+                score = float(sc_sum[0]) / w0
+                pv_moves = [int(a)]
             if player == B.BLACK:
                 util, winloss, score = -util, -winloss, -score
             winrate = 0.5 * (1.0 + winloss)
             pv = " ".join(loc_to_gtp(m, self.size, self.x_size, self.y_size)
-                          for m in pv_from(child, int(a)))
+                          for m in pv_moves)
             infos.append(
                 f"info move {loc_to_gtp(int(a), self.size, self.x_size, self.y_size)} visits {int(cv[a])} "
                 f"utility {util:.6f} winrate {winrate:.6f} "
