@@ -81,9 +81,9 @@ def test_evaluator_symmetry_is_transparent():
                          gs)
     ev = mcts.make_nn_evaluator(equivariant_stub(), None, SIZE)
     fp = F.FeatureParams.default()
-    raw0, legal0 = jax.jit(lambda g: ev(g, fp))(games)
+    raw0, legal0, _ = jax.jit(lambda g: ev(g, fp))(games)
     syms = jnp.arange(8, dtype=jnp.int32)
-    raw1, legal1 = jax.jit(lambda g, s: ev(g, fp, sym=s))(games, syms)
+    raw1, legal1, _ = jax.jit(lambda g, s: ev(g, fp, sym=s))(games, syms)
     np.testing.assert_allclose(np.asarray(raw1["policy_logits"]),
                                np.asarray(raw0["policy_logits"]),
                                rtol=1e-6, atol=1e-6)
