@@ -141,6 +141,12 @@ class AnalysisEngine:
         if "komi" in req:
             rules = R.Rules(**{**rules.__dict__, "komi": float(req["komi"])})
         visits = int(req.get("maxVisits", self.default_visits))
+        # overrideSettings: the per-query knob bag (Analysis_Engine.md);
+        # the limits subset is honored here, search-shape knobs are
+        # engine-level in this implementation
+        override = req.get("overrideSettings", {}) or {}
+        if "maxVisits" in override:
+            visits = int(override["maxVisits"])
         moves = req.get("moves", [])
         initial = req.get("initialStones", [])
         want_ownership = bool(req.get("includeOwnership", False))
@@ -171,6 +177,12 @@ class AnalysisEngine:
         for color, vert in initial:
             loc = gtp_to_loc(vert, size, xs, ys)
             gs = H.setup_stone(gs, loc, player_of[color], size)
+
+        # initialPlayer: who moves first from the initial position
+        # (matters for turn-0 analysis and setup positions)
+        ip = str(req.get("initialPlayer", "")).upper()[:1]
+        if ip in ("B", "W"):
+            gs = H.replace_pos(gs, to_move=jnp.int32(player_of[ip]))
 
         analyze_turns = req.get("analyzeTurns", [len(moves)])
         states: dict[int, H.GameState] = {}
