@@ -843,7 +843,8 @@ def run_gtp(engine: GTPEngine, infile=sys.stdin, outfile=sys.stdout,
                 respond("", cmd_id)
             elif cmd == "kata-time_settings":
                 # kind args...: none | absolute MT | byoyomi MT PT NP |
-                # canadian MT PT NS | fischer MT INC
+                # canadian MT PT NS | fischer MT INC |
+                # fischer-capped MT INC LIMIT MAXPERMOVE (neg = unlimited)
                 kind = args[0].lower()
                 def mk():
                     if kind == "none":
@@ -853,6 +854,10 @@ def run_gtp(engine: GTPEngine, infile=sys.stdin, outfile=sys.stdout,
                     if kind == "fischer":
                         return TC.TimeControls.fischer_time(float(args[1]),
                                                             float(args[2]))
+                    if kind == "fischer-capped":
+                        return TC.TimeControls.fischer_capped_time(
+                            float(args[1]), float(args[2]),
+                            float(args[3]), float(args[4]))
                     if kind == "byoyomi":
                         return TC.TimeControls.canadian_or_byo_yomi_time(
                             float(args[1]), float(args[2]), int(args[3]), 1)
@@ -873,7 +878,8 @@ def run_gtp(engine: GTPEngine, infile=sys.stdin, outfile=sys.stdout,
                 respond("", cmd_id)
             elif cmd in ("kata-list-time-settings",
                          "kata-list_time_settings"):
-                respond("none absolute byoyomi canadian fischer", cmd_id)
+                respond("none absolute byoyomi canadian fischer "
+                        "fischer-capped", cmd_id)
             elif cmd == "kata-debug-print-tc":
                 tcs = engine.time_controls[int(engine.gs.pos.to_move)]
                 respond(str(tcs), cmd_id)

@@ -67,6 +67,26 @@ class TimeControls:
             main_time_left=main_time)
 
     @staticmethod
+    def fischer_capped_time(main_time: float, increment: float,
+                            main_time_limit: float,
+                            max_time_per_move: float) -> "TimeControls":
+        """fischerCappedTime (timecontrols.cpp:65): fischer with a cap on
+        accumulated main time and on any single move's time; negative
+        caps mean unlimited (gtp.cpp:2936-2939)."""
+        if main_time_limit < 0:
+            main_time_limit = UNLIMITED_TIME_DEFAULT_LARGE
+        if max_time_per_move < 0:
+            max_time_per_move = UNLIMITED_TIME_DEFAULT
+        if main_time_limit < main_time:
+            raise ValueError(
+                "TimeControls: mainTimeLimit is smaller than mainTime")
+        return TimeControls(
+            original_main_time=main_time, increment=increment,
+            main_time_limit=main_time_limit,
+            max_time_per_move=max_time_per_move,
+            main_time_left=main_time)
+
+    @staticmethod
     def canadian_or_byo_yomi_time(main_time: float, per_period_time: float,
                                   num_periods: int,
                                   num_stones_per_period: int
@@ -90,22 +110,32 @@ class TimeControls:
     # ---- GTP clock updates ----
     def update_from_gtp_time_left(self, time_left: float,
                                   stones_left: int) -> None:
-        """GTP time_left semantics: stones == 0 -> main time; stones > 0 ->
-        in (Canadian) overtime with that many stones left."""
+        """GTP time_left semantics (gtp.cpp:2991-3014): stones == 0 ->
+        main time; stones > 0 -> overtime. For KGS Japanese byo-yomi
+        (multiple 1-stone periods) the stones field counts PERIODS left;
+        otherwise it is the Canadian stones-left-in-period count."""
         if stones_left <= 0:
             self.main_time_left = time_left
             self.in_overtime = False
-            if self.original_num_periods > 0:
-                self.num_periods_left_including_current = \
-                    self.original_num_periods
-                self.num_stones_left_in_period = self.num_stones_per_period
-                self.time_left_in_period = self.per_period_time
-        else:
-            self.in_overtime = True
+            self.num_periods_left_including_current = \
+                self.original_num_periods
+            self.num_stones_left_in_period = 0
+            self.time_left_in_period = 0.0
+        elif self.original_num_periods > 1 and \
+                self.num_stones_per_period == 1:
+            # KGS byo-yomi hack: stones = periods left
             self.main_time_left = 0.0
-            if self.num_periods_left_including_current <= 0:
-                self.num_periods_left_including_current = 1
-            self.num_stones_left_in_period = stones_left
+            self.in_overtime = True
+            self.num_periods_left_including_current = min(
+                stones_left, self.original_num_periods)
+            self.num_stones_left_in_period = 1
+            self.time_left_in_period = time_left
+        else:
+            self.main_time_left = 0.0
+            self.in_overtime = True
+            self.num_periods_left_including_current = 1
+            self.num_stones_left_in_period = min(
+                stones_left, self.num_stones_per_period)
             self.time_left_in_period = time_left
 
     # ---- the policy (timecontrols.cpp:184-380) ----
