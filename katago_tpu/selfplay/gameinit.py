@@ -199,16 +199,22 @@ def specs_to_rules_arrays(specs: list[GameSpec]):
 
 
 def fixed_handicap_locs(size: int, n: int) -> list[int]:
-    """Standard star-point handicap placement (PlayUtils fixed handicap /
-    GTP fixed_handicap)."""
+    """Standard star-point handicap placement, stone-for-stone the
+    reference's pattern (PlayUtils::placeFixedHandicap,
+    playutils.cpp:308-343): corners in the order (lo,hi), (hi,lo),
+    (lo,lo), (hi,hi); then sides; 5 and 7 take the center."""
     if size < 7 or n < 2 or n > 9:
         raise ValueError(f"cannot place {n} handicap on size {size}")
+    if size % 2 == 0 and n > 4:
+        raise ValueError("fixed handicap > 4 needs odd board dimensions")
+    if size <= 7 and n > 4:
+        raise ValueError("fixed handicap > 4 not allowed on size 7")
     edge = 3 if size >= 13 else 2
     lo, hi, mid = edge, size - 1 - edge, size // 2
-    pts = [(lo, hi), (hi, lo), (hi, hi), (lo, lo), (lo, mid), (hi, mid),
+    pts = [(lo, hi), (hi, lo), (lo, lo), (hi, hi), (lo, mid), (hi, mid),
            (mid, lo), (mid, hi), (mid, mid)]
     chosen = pts[:n]
-    if n in (5, 7) and size % 2 == 1:
+    if n in (5, 7):
         chosen = pts[:n - 1] + [pts[8]]
     return [y * size + x for x, y in chosen]
 

@@ -44,3 +44,34 @@ def test_rules_transitions_match_reference():
             assert k in ours, f"response {i} missing {k}"
             assert str(ours[k]) == str(ref[k]), \
                 f"response {i} key {k}: ours={ours[k]!r} ref={ref[k]!r}"
+
+
+@pytest.mark.skipif(
+    not os.path.exists("/root/reference/cpp/tests/results/gtp/"
+                       "handicap.txt.stdout"),
+    reason="reference fixtures unavailable")
+def test_fixed_handicap_placement_matches_reference():
+    """Stone sets of fixed_handicap match the reference fixture
+    (playutils.cpp placeFixedHandicap patterns)."""
+    from katago_tpu.cli.gtp import GTPEngine, run_gtp
+
+    def vertices(size, n):
+        engine = GTPEngine(size=size, visits=4)
+        out = io.StringIO()
+        run_gtp(engine, infile=io.StringIO(f"fixed_handicap {n}\nquit\n"),
+                outfile=out)
+        resp = out.getvalue().split("\n\n")[0]
+        assert resp.startswith("= "), resp
+        return set(resp[2:].split())
+
+    # 19x19 handicap 7 — the fixture's literal response
+    assert vertices(19, 7) == {"D16", "Q16", "D10", "K10", "Q10", "D4",
+                               "Q4"}
+    # 13x13 handicap 3 — the fixture's showboard stones
+    assert vertices(13, 3) == {"D10", "K10", "D4"}
+    # 19x19 handicap 2/3/4/9 per the reference pattern
+    assert vertices(19, 2) == {"D4", "Q16"}
+    assert vertices(19, 3) == {"D4", "Q16", "D16"}
+    assert vertices(19, 4) == {"D4", "Q16", "D16", "Q4"}
+    assert vertices(19, 9) == {"D4", "Q16", "D16", "Q4", "D10", "Q10",
+                               "K4", "K16", "K10"}
