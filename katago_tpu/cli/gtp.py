@@ -743,14 +743,69 @@ def run_gtp(engine: GTPEngine, infile=sys.stdin, outfile=sys.stdout,
                 respond(" ".join(out_locs), cmd_id)
             elif cmd in ("kata-set-position", "set_position"):
                 # alternating color/vertex pairs on an empty board
-                # (gtp.cpp kata-set-position)
+                # (gtp.cpp kata-set-position): overlapping placements and
+                # zero-liberty stones are illegal, pass is not a vertex
                 if len(args) % 2 != 0:
-                    respond("expected color vertex pairs", cmd_id, ok=False)
+                    respond("Expected a space-separated sequence of "
+                            "<COLOR> <VERTEX> pairs", cmd_id, ok=False)
+                    continue
+                nn_b = engine.size * engine.size
+                placements = []
+                seen: set[int] = set()
+                err = None
+                for i in range(0, len(args), 2):
+                    color = player_of.get(args[i].lower())
+                    if color is None:
+                        err = ("Expected a space-separated sequence of "
+                               "<COLOR> <VERTEX> pairs")
+                        break
+                    try:
+                        loc = gtp_to_loc(args[i + 1], engine.size,
+                                         engine.x_size, engine.y_size)
+                    except ValueError as e:
+                        err = str(e)
+                        break
+                    if loc >= nn_b or loc in seen:
+                        err = ("Illegal stone placements - overlapping "
+                               "stones or stones with no liberties?")
+                        break
+                    seen.add(loc)
+                    placements.append((color, loc))
+                if err is None and placements:
+                    # zero-liberty groups are illegal setups
+                    grid = {}
+                    for color, loc in placements:
+                        grid[loc] = color
+                    size_ = engine.size
+
+                    def group_has_lib(start):
+                        color = grid[start]
+                        stack, visited = [start], {start}
+                        while stack:
+                            p = stack.pop()
+                            x, y = p % size_, p // size_
+                            for dx, dy in ((1, 0), (-1, 0), (0, 1),
+                                           (0, -1)):
+                                q, qx, qy = (y + dy) * size_ + x + dx, \
+                                    x + dx, y + dy
+                                if not (0 <= qx < engine.x_size
+                                        and 0 <= qy < engine.y_size):
+                                    continue
+                                if q not in grid:
+                                    return True
+                                if grid[q] == color and q not in visited:
+                                    visited.add(q)
+                                    stack.append(q)
+                        return False
+
+                    if any(not group_has_lib(loc) for loc in grid):
+                        err = ("Illegal stone placements - overlapping "
+                               "stones or stones with no liberties?")
+                if err is not None:
+                    respond(err, cmd_id, ok=False)
                     continue
                 engine.clear_board()
-                for i in range(0, len(args), 2):
-                    color = player_of[args[i].lower()]
-                    loc = gtp_to_loc(args[i + 1], engine.size, engine.x_size, engine.y_size)
+                for color, loc in placements:
                     engine.gs = H.setup_stone(engine.gs, loc, color,
                                               engine.size)
                 engine.history = [engine.gs]
