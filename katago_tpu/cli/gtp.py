@@ -616,7 +616,10 @@ def run_gtp(engine: GTPEngine, infile=sys.stdin, outfile=sys.stdout,
                     respond(f"unacceptable size {xs} {ys}", cmd_id,
                             ok=False)
                     continue
-                engine.set_size(xs, ys)
+                # re-setting the current size preserves the position
+                # (gtp.cpp / tests/gtp/set_boardsize_twice.txt)
+                if (xs, ys) != (engine.x_size, engine.y_size):
+                    engine.set_size(xs, ys)
                 respond("", cmd_id)
             elif cmd == "clear_board":
                 engine.clear_board()

@@ -24,11 +24,13 @@ def _ref_responses():
 def _grid_from_ref(block):
     stones = {}
     for line in block.splitlines():
-        m = re.match(r"\s*(\d+) ((?:[.XO] )+[.XO])", line)
+        m = re.match(r"[= ]*(\d+) ([.XO].*)$", line)
         if not m:
             continue
         row = int(m.group(1))
-        cells = m.group(2).split(" ")
+        # cells are [.XO], optionally annotated with a recent-move digit
+        # that eats the separating space ("X1." etc.)
+        cells = re.findall(r"([.XO])\d?\s?", m.group(2))
         for x, c in enumerate(cells):
             if c in "XO":
                 stones[(COLS[x], row)] = c
@@ -73,3 +75,43 @@ def test_set_position_matches_reference():
                             "X" if v == B.BLACK else "O"
             assert got == want, (i, cmd, sorted(got.items()),
                                  sorted(want.items()))
+
+
+REF2_SCRIPT = ("/root/reference/cpp/tests/gtp/set_boardsize_twice.txt")
+REF2_STDOUT = ("/root/reference/cpp/tests/results/gtp/"
+               "set_boardsize_twice.txt.stdout")
+
+
+@pytest.mark.skipif(not os.path.exists(REF2_SCRIPT),
+                    reason="reference fixtures unavailable")
+def test_boardsize_twice_preserves_position():
+    """Replaying the reference's set_boardsize_twice fixture: re-setting
+    the current board size must NOT clear the position."""
+    from katago_tpu.cli.gtp import GTPEngine, run_gtp
+    from katago_tpu.game import board as B
+
+    refs = _ref_responses_from(REF2_STDOUT)
+    cmds = [ln.strip() for ln in open(REF2_SCRIPT) if ln.strip()]
+    assert len(refs) == len(cmds)
+    engine = GTPEngine(size=19, visits=4)
+    for i, cmd in enumerate(cmds):
+        out = io.StringIO()
+        run_gtp(engine, infile=io.StringIO(cmd + "\nquit\n"), outfile=out)
+        if cmd != "showboard":
+            continue
+        want = _grid_from_ref(refs[i])
+        stones = np.asarray(engine.gs.pos.board.stones)
+        got = {}
+        size = engine.size
+        for y in range(engine.y_size):
+            for x in range(engine.x_size):
+                v = stones[y * size + x]
+                if v in (B.BLACK, B.WHITE):
+                    got[(COLS[x], engine.y_size - y)] = \
+                        "X" if v == B.BLACK else "O"
+        assert got == want, (i, cmd, sorted(got), sorted(want))
+
+
+def _ref_responses_from(path):
+    blocks = open(path).read().split("\n\n")
+    return [b.strip() for b in blocks if b.strip()]
