@@ -99,12 +99,47 @@ class AnalysisEngine:
         rid = req.get("id")
         if rid is None:
             return [{"error": "request has no id"}]
+        warnings = self._field_warnings(req)
         if self.model_apply is None:
-            return [{"id": rid, "error": "no model loaded (start with -model <file>)"}]
+            return warnings + [{"id": rid, "error":
+                                "no model loaded (start with -model "
+                                "<file>)"}]
         try:
-            return self._analyze(req, emit)
+            return warnings + self._analyze(req, emit)
         except Exception as e:  # noqa: BLE001 — protocol answers, not dies
-            return [{"id": rid, "error": f"{type(e).__name__}: {e}"}]
+            return warnings + [{"id": rid,
+                                "error": f"{type(e).__name__}: {e}"}]
+
+    KNOWN_FIELDS = {
+        "id", "action", "boardXSize", "boardYSize", "moves",
+        "initialStones", "initialPlayer", "rules", "komi", "analyzeTurns",
+        "maxVisits", "includeOwnership", "includePolicy", "avoidMoves",
+        "allowMoves", "reportDuringSearchEvery", "overrideSettings",
+        "priority", "whiteHandicapBonus",
+    }
+    KNOWN_OVERRIDES = {"maxVisits"}
+
+    def _field_warnings(self, req: dict) -> list[dict]:
+        """Typo protection per the reference (analysis.cpp /
+        tests/analysis/badoverride.txt): unknown top-level fields and
+        unknown overrideSettings keys come back as warning responses
+        ahead of the result."""
+        rid = req.get("id")
+        out = []
+        unknown_over = [k for k in (req.get("overrideSettings") or {})
+                        if k not in self.KNOWN_OVERRIDES]
+        if unknown_over:
+            out.append({"id": rid, "field": "overrideSettings",
+                        "warning": "Unknown config params: "
+                        + ",".join(sorted(unknown_over))})
+        for k in sorted(req):
+            if k not in self.KNOWN_FIELDS:
+                out.append({"id": rid, "field": k,
+                            "warning": "Unexpected or unused field, do "
+                            "you have a typo? (set warnUnusedFields="
+                            "false in the config to disable this "
+                            "warning)"})
+        return out
 
     def _driver(self, size: int, visits: int):
         key = ("driver", size)
