@@ -499,6 +499,19 @@ class GTPEngine:
         def as_bool(v):
             return v if isinstance(v, bool) else str(v).lower() == "true"
 
+        def spget(field):
+            return lambda: getattr(self.search_params, field)
+
+        def spset(field, conv):
+            # search params are baked into the compiled searches: a
+            # change rebuilds the driver cache (recompile on next search,
+            # like the reference re-running Setup::loadSingleParams)
+            def set_(v):
+                self.search_params = dataclasses.replace(
+                    self.search_params, **{field: conv(v)})
+                self._drivers.clear()
+            return set_
+
         return {
             "maxVisits": (lambda: self.visits, fset("visits", int)),
             "ponderingEnabled": (lambda: self.ponder_enabled,
@@ -513,6 +526,47 @@ class GTPEngine:
                           fset("lag_buffer", float)),
             "antiMirror": (lambda: self.anti_mirror,
                            fset("anti_mirror", as_bool)),
+            # live-tunable search knobs (kata-set-param surface,
+            # gtp.cpp; each rebuilds the compiled search)
+            "playoutDoublingAdvantage":
+                (spget("playout_doubling_advantage"),
+                 spset("playout_doubling_advantage", float)),
+            "analysisWideRootNoise": (spget("wide_root_noise"),
+                                      spset("wide_root_noise", float)),
+            "wideRootNoise": (spget("wide_root_noise"),
+                              spset("wide_root_noise", float)),
+            "rootNoiseEnabled": (spget("root_noise_enabled"),
+                                 spset("root_noise_enabled", as_bool)),
+            "policyOptimism": (spget("policy_optimism"),
+                               spset("policy_optimism", float)),
+            "rootPolicyOptimism": (spget("root_policy_optimism"),
+                                   spset("root_policy_optimism", float)),
+            "chosenMoveTemperature":
+                (spget("chosen_move_temperature"),
+                 spset("chosen_move_temperature", float)),
+            "staticScoreUtilityFactor":
+                (spget("static_score_utility_factor"),
+                 spset("static_score_utility_factor", float)),
+            "dynamicScoreUtilityFactor":
+                (spget("dynamic_score_utility_factor"),
+                 spset("dynamic_score_utility_factor", float)),
+            "cpuctExploration": (spget("cpuct_exploration"),
+                                 spset("cpuct_exploration", float)),
+            "cpuctExplorationLog": (spget("cpuct_exploration_log"),
+                                    spset("cpuct_exploration_log", float)),
+            "rootSymmetryPruning": (spget("root_symmetry_pruning"),
+                                    spset("root_symmetry_pruning",
+                                          as_bool)),
+            "rootEndingBonusPoints":
+                (spget("root_ending_bonus_points"),
+                 spset("root_ending_bonus_points", float)),
+            "useLcbForSelection": (spget("use_lcb_for_selection"),
+                                   spset("use_lcb_for_selection",
+                                         as_bool)),
+            "fpuReductionMax": (spget("fpu_reduction_max"),
+                                spset("fpu_reduction_max", float)),
+            "conservativePass": (spget("conservative_pass"),
+                                 spset("conservative_pass", as_bool)),
         }
 
     def policy_top_move(self, player: int) -> int | None:
