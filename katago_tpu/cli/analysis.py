@@ -35,8 +35,10 @@ VERSION = "0.1.0"
 
 class AnalysisEngine:
     def __init__(self, model_path: str | None, default_visits: int = 100,
-                 ladder_mode: str = "chase"):
+                 ladder_mode: str = "chase",
+                 report_winrates_as: str = "SIDETOMOVE"):
         self.default_visits = default_visits
+        self.report_winrates_as = report_winrates_as.upper()
         # in-search ladder featurization: "chase" (throughput default) or
         # "exact" (reference-parity backtracking solver; slow in-search).
         # The per-query reporting paths always featurize exactly.
@@ -284,7 +286,15 @@ class AnalysisEngine:
         prior = np.asarray(res.root_policy_prior[0])
         tree = res.ss.tree
         player = int(state.pos.to_move)
-        sign = 1.0 if player == B.WHITE else -1.0
+        # winrate/score perspective (reportAnalysisWinratesAs,
+        # analysis_example.cfg:19): SIDETOMOVE (default), BLACK, or WHITE
+        persp = getattr(self, "report_winrates_as", "SIDETOMOVE")
+        if persp == "BLACK":
+            sign = -1.0
+        elif persp == "WHITE":
+            sign = 1.0
+        else:
+            sign = 1.0 if player == B.WHITE else -1.0
 
         move_infos = []
         order = np.argsort(cv)[::-1]
@@ -367,9 +377,14 @@ def main(argv=None):
     ap.add_argument("-analysis-threads", type=int, default=1)
     ap.add_argument("-ladder-mode", default="chase",
                     choices=["chase", "exact"])
+    ap.add_argument("-report-winrates-as", default="SIDETOMOVE",
+                    choices=["SIDETOMOVE", "BLACK", "WHITE"],
+                    help="perspective of winrate/score outputs "
+                         "(reportAnalysisWinratesAs)")
     args = ap.parse_args(argv)
 
-    engine = AnalysisEngine(args.model, ladder_mode=args.ladder_mode)
+    engine = AnalysisEngine(args.model, ladder_mode=args.ladder_mode,
+                            report_winrates_as=args.report_winrates_as)
     for line in sys.stdin:
         line = line.strip()
         if not line:
