@@ -411,7 +411,8 @@ class GTPEngine:
     def analyze_info(self, res, top_k: int = 10, pv_len: int = 12,
                      include_ownership: bool = False,
                      player: int | None = None,
-                     min_moves: int = 1) -> str:
+                     min_moves: int = 1,
+                     include_pv_visits: bool = False) -> str:
         """kata-analyze info lines from a SearchResult (batch idx 0), with
         greedy-descent PVs per candidate (searchresults.cpp appendPV) and
         optional tree-averaged ownership. Device arrays are pulled once per
@@ -432,8 +433,9 @@ class GTPEngine:
             player = int(self.gs.pos.to_move)
         infos = []
 
-        def pv_from(node: int, first_move: int) -> list[int]:
+        def pv_from(node: int, first_move: int):
             moves = [first_move]
+            vis = [int(visits[node])]
             for _ in range(pv_len - 1):
                 ch = children[node]
                 valid = ch >= 0
@@ -443,7 +445,8 @@ class GTPEngine:
                     break
                 moves.append(a)
                 node = int(ch[a])
-            return moves
+                vis.append(int(visits[node]))
+            return moves, vis
 
         # minmoves: pad the report with 0-visit prior-ranked moves
         # (GTP_Extensions.md kata-analyze minmoves)
@@ -459,25 +462,28 @@ class GTPEngine:
                 util = float(util_sum[child]) / w
                 winloss = float(wl_sum[child]) / w
                 score = float(sc_sum[child]) / w
-                pv_moves = pv_from(child, int(a))
+                pv_moves, pv_vis = pv_from(child, int(a))
             else:
                 # minmoves-padded unvisited move: root values + prior only
                 w0 = max(float(weight[0]), 1e-9)
                 util = float(util_sum[0]) / w0
                 winloss = float(wl_sum[0]) / w0
                 score = float(sc_sum[0]) / w0
-                pv_moves = [int(a)]
+                pv_moves, pv_vis = [int(a)], [0]
             if player == B.BLACK:
                 util, winloss, score = -util, -winloss, -score
             winrate = 0.5 * (1.0 + winloss)
             pv = " ".join(loc_to_gtp(m, self.size, self.x_size, self.y_size)
                           for m in pv_moves)
-            infos.append(
+            info = (
                 f"info move {loc_to_gtp(int(a), self.size, self.x_size, self.y_size)} visits {int(cv[a])} "
                 f"utility {util:.6f} winrate {winrate:.6f} "
                 f"scoreMean {score:.2f} scoreLead {score:.2f} "
                 f"prior {max(prior[a], 0):.6f} order {rank} "
                 f"pv {pv}")
+            if include_pv_visits:
+                info += " pvVisits " + " ".join(str(v) for v in pv_vis)
+            infos.append(info)
         out = " ".join(infos)
         if include_ownership:
             own = np.asarray(res.root_ownership[0])       # white persp
@@ -1057,6 +1063,7 @@ def run_gtp(engine: GTPEngine, infile=sys.stdin, outfile=sys.stdout,
                 interval = 1.0
                 include_own = False
                 min_moves, max_moves = 1, 10
+                include_pvv = False
                 avoid_mask = None        # bool[A], True = allowed
                 avoid_player = None
                 i = 0
@@ -1070,6 +1077,9 @@ def run_gtp(engine: GTPEngine, infile=sys.stdin, outfile=sys.stdout,
                     elif al == "ownership" and i + 1 < len(args):
                         i += 1
                         include_own = args[i].lower() == "true"
+                    elif al == "pvvisits" and i + 1 < len(args):
+                        i += 1
+                        include_pvv = args[i].lower() == "true"
                     elif al == "minmoves" and i + 1 < len(args):
                         i += 1
                         min_moves = int(args[i])
@@ -1117,7 +1127,8 @@ def run_gtp(engine: GTPEngine, infile=sys.stdin, outfile=sys.stdout,
                 def emit(res, elapsed):
                     outfile.write(engine.analyze_info(
                         res, top_k=max_moves, min_moves=min_moves,
-                        include_ownership=include_own) + "\n")
+                        include_ownership=include_own,
+                        include_pv_visits=include_pvv) + "\n")
                     outfile.flush()
 
                 res = engine.search_root(
@@ -1126,7 +1137,8 @@ def run_gtp(engine: GTPEngine, infile=sys.stdin, outfile=sys.stdout,
                     root_allowed_mask=avoid_mask)
                 outfile.write(engine.analyze_info(
                     res, top_k=max_moves, min_moves=min_moves,
-                    include_ownership=include_own) + "\n\n")
+                    include_ownership=include_own,
+                    include_pv_visits=include_pvv) + "\n\n")
                 outfile.flush()
             elif cmd == "clear_cache":
                 respond("", cmd_id)
