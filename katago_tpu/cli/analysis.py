@@ -117,7 +117,7 @@ class AnalysisEngine:
         "initialStones", "initialPlayer", "rules", "komi", "analyzeTurns",
         "maxVisits", "includeOwnership", "includePolicy", "avoidMoves",
         "allowMoves", "reportDuringSearchEvery", "overrideSettings",
-        "priority", "whiteHandicapBonus",
+        "priority", "whiteHandicapBonus", "includePVVisits",
     }
     KNOWN_OVERRIDES = {"maxVisits"}
 
@@ -274,14 +274,15 @@ class AnalysisEngine:
             else:
                 res = self._search_fn(size, visits)(roots, sub)
             resp = self._response(rid, turn, state, res, size, xs, ys,
-                                  want_ownership, want_policy)
+                                  want_ownership, want_policy,
+                                  bool(req.get("includePVVisits", False)))
             if report_every is not None:
                 resp["isDuringSearch"] = False
             out.append(resp)
         return out
 
     def _response(self, rid, turn, state, res, size, xs, ys, want_ownership,
-                  want_policy=False) -> dict:
+                  want_policy=False, want_pv_visits=False) -> dict:
         cv = np.asarray(res.child_visits[0])
         prior = np.asarray(res.root_policy_prior[0])
         tree = res.ss.tree
@@ -315,10 +316,22 @@ class AnalysisEngine:
         # hoist whole arrays to the host once: per-scalar reads cost a
         # device round trip each (painful over a tunneled accelerator)
         children_h = np.asarray(tree.children[0, 0, :])
+        children_all_h = np.asarray(tree.children[0])
+        visits_h = np.asarray(tree.visits[0])
         weight_h = np.asarray(tree.weight_sum[0])
         winloss_h = np.asarray(tree.winloss_sum[0])
         score_h = np.asarray(tree.score_mean_sum[0])
         util_h = np.asarray(tree.utility_sum[0])
+        def pv_visits_of(start, moves):
+            """Visit counts along a PV's nodes (includePVVisits)."""
+            out, node = [], int(start)
+            for mv in moves:
+                out.append(int(visits_h[node]))
+                nxt = int(children_all_h[node, mv]) if mv >= 0 else -1
+                if nxt < 0:
+                    break
+                node = nxt
+            return out
         for rank, a in enumerate(order):
             if cv[a] <= 0 or rank >= 15:
                 break
@@ -341,6 +354,9 @@ class AnalysisEngine:
                     loc_to_gtp(int(m), size, xs, ys)
                     for m in pv_moves[rank][:pv_lens[rank]]],
             })
+            if want_pv_visits:
+                move_infos[-1]["pvVisits"] = pv_visits_of(
+                    child, list(pv_moves[rank][:pv_lens[rank]]))
 
         root_winloss = sign * float(np.asarray(res.root_winloss[0]))
         root_score = sign * float(np.asarray(res.root_score_mean[0]))
