@@ -412,7 +412,8 @@ class GTPEngine:
                      include_ownership: bool = False,
                      player: int | None = None,
                      min_moves: int = 1,
-                     include_pv_visits: bool = False) -> str:
+                     include_pv_visits: bool = False,
+                     include_root_info: bool = False) -> str:
         """kata-analyze info lines from a SearchResult (batch idx 0), with
         greedy-descent PVs per candidate (searchresults.cpp appendPV) and
         optional tree-averaged ownership. Device arrays are pulled once per
@@ -485,6 +486,19 @@ class GTPEngine:
                 info += " pvVisits " + " ".join(str(v) for v in pv_vis)
             infos.append(info)
         out = " ".join(infos)
+        if include_root_info:
+            # root properties line (GTP_Extensions.md rootInfo) —
+            # preferred over summing per-move visits by remote frontends
+            rw = max(float(weight[0]), 1e-9)
+            rwl = float(np.asarray(res.root_winloss[0]))
+            rsc = float(np.asarray(res.root_score_mean[0]))
+            rut = float(np.asarray(res.root_utility[0]))
+            if player == B.BLACK:
+                rwl, rsc, rut = -rwl, -rsc, -rut
+            out += (f" rootInfo visits {int(visits[0])} "
+                    f"winrate {0.5 * (1.0 + rwl):.6f} "
+                    f"scoreMean {rsc:.2f} scoreLead {rsc:.2f} "
+                    f"utility {rut:.6f} weight {rw:.2f}")
         if include_ownership:
             own = np.asarray(res.root_ownership[0])       # white persp
             if player == B.BLACK:
@@ -1063,7 +1077,7 @@ def run_gtp(engine: GTPEngine, infile=sys.stdin, outfile=sys.stdout,
                 interval = 1.0
                 include_own = False
                 min_moves, max_moves = 1, 10
-                include_pvv = False
+                include_pvv = include_root = False
                 avoid_mask = None        # bool[A], True = allowed
                 avoid_player = None
                 i = 0
@@ -1080,6 +1094,9 @@ def run_gtp(engine: GTPEngine, infile=sys.stdin, outfile=sys.stdout,
                     elif al == "pvvisits" and i + 1 < len(args):
                         i += 1
                         include_pvv = args[i].lower() == "true"
+                    elif al == "rootinfo" and i + 1 < len(args):
+                        i += 1
+                        include_root = args[i].lower() == "true"
                     elif al == "minmoves" and i + 1 < len(args):
                         i += 1
                         min_moves = int(args[i])
@@ -1128,7 +1145,8 @@ def run_gtp(engine: GTPEngine, infile=sys.stdin, outfile=sys.stdout,
                     outfile.write(engine.analyze_info(
                         res, top_k=max_moves, min_moves=min_moves,
                         include_ownership=include_own,
-                        include_pv_visits=include_pvv) + "\n")
+                        include_pv_visits=include_pvv,
+                        include_root_info=include_root) + "\n")
                     outfile.flush()
 
                 res = engine.search_root(
@@ -1138,7 +1156,8 @@ def run_gtp(engine: GTPEngine, infile=sys.stdin, outfile=sys.stdout,
                 outfile.write(engine.analyze_info(
                     res, top_k=max_moves, min_moves=min_moves,
                     include_ownership=include_own,
-                    include_pv_visits=include_pvv) + "\n\n")
+                    include_pv_visits=include_pvv,
+                    include_root_info=include_root) + "\n\n")
                 outfile.flush()
             elif cmd == "clear_cache":
                 respond("", cmd_id)
