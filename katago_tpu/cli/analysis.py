@@ -118,6 +118,7 @@ class AnalysisEngine:
         "maxVisits", "includeOwnership", "includePolicy", "avoidMoves",
         "allowMoves", "reportDuringSearchEvery", "overrideSettings",
         "priority", "whiteHandicapBonus", "includePVVisits",
+        "includeOwnershipStdev",
     }
     KNOWN_OVERRIDES = {"maxVisits"}
 
@@ -187,6 +188,7 @@ class AnalysisEngine:
         moves = req.get("moves", [])
         initial = req.get("initialStones", [])
         want_ownership = bool(req.get("includeOwnership", False))
+        want_own_stdev = bool(req.get("includeOwnershipStdev", False))
         want_policy = bool(req.get("includePolicy", False))
 
         # avoidMoves / allowMoves (Analysis_Engine.md): lists of
@@ -275,14 +277,16 @@ class AnalysisEngine:
                 res = self._search_fn(size, visits)(roots, sub)
             resp = self._response(rid, turn, state, res, size, xs, ys,
                                   want_ownership, want_policy,
-                                  bool(req.get("includePVVisits", False)))
+                                  bool(req.get("includePVVisits", False)),
+                                  want_own_stdev)
             if report_every is not None:
                 resp["isDuringSearch"] = False
             out.append(resp)
         return out
 
     def _response(self, rid, turn, state, res, size, xs, ys, want_ownership,
-                  want_policy=False, want_pv_visits=False) -> dict:
+                  want_policy=False, want_pv_visits=False,
+                  want_own_stdev=False) -> dict:
         cv = np.asarray(res.child_visits[0])
         prior = np.asarray(res.root_policy_prior[0])
         tree = res.ss.tree
@@ -382,6 +386,9 @@ class AnalysisEngine:
                                    jnp.asarray(gl_feat).reshape(1, 19))
             own = np.tanh(np.asarray(raw["ownership_pretanh"][0])).reshape(-1)
             resp["ownership"] = [round(sign * float(v), 4) for v in own]
+        if want_own_stdev:
+            ostd = np.asarray(res.root_ownership_stdev[0])
+            resp["ownershipStdev"] = [round(float(v), 4) for v in ostd]
         if want_policy:
             resp["policy"] = [round(float(max(p, -1.0)), 6) for p in prior]
         return resp

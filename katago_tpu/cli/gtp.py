@@ -413,7 +413,8 @@ class GTPEngine:
                      player: int | None = None,
                      min_moves: int = 1,
                      include_pv_visits: bool = False,
-                     include_root_info: bool = False) -> str:
+                     include_root_info: bool = False,
+                     include_ownership_stdev: bool = False) -> str:
         """kata-analyze info lines from a SearchResult (batch idx 0), with
         greedy-descent PVs per candidate (searchresults.cpp appendPV) and
         optional tree-averaged ownership. Device arrays are pulled once per
@@ -504,6 +505,9 @@ class GTPEngine:
             if player == B.BLACK:
                 own = -own
             out += " ownership " + " ".join(f"{v:.4f}" for v in own)
+        if include_ownership_stdev:
+            ostd = np.asarray(res.root_ownership_stdev[0])
+            out += " ownershipStdev " + " ".join(f"{v:.4f}" for v in ostd)
         return out
 
     def param_table(self):
@@ -1077,7 +1081,7 @@ def run_gtp(engine: GTPEngine, infile=sys.stdin, outfile=sys.stdout,
                 interval = 1.0
                 include_own = False
                 min_moves, max_moves = 1, 10
-                include_pvv = include_root = False
+                include_pvv = include_root = include_ostd = False
                 avoid_mask = None        # bool[A], True = allowed
                 avoid_player = None
                 i = 0
@@ -1097,6 +1101,9 @@ def run_gtp(engine: GTPEngine, infile=sys.stdin, outfile=sys.stdout,
                     elif al == "rootinfo" and i + 1 < len(args):
                         i += 1
                         include_root = args[i].lower() == "true"
+                    elif al == "ownershipstdev" and i + 1 < len(args):
+                        i += 1
+                        include_ostd = args[i].lower() == "true"
                     elif al == "minmoves" and i + 1 < len(args):
                         i += 1
                         min_moves = int(args[i])
@@ -1146,7 +1153,8 @@ def run_gtp(engine: GTPEngine, infile=sys.stdin, outfile=sys.stdout,
                         res, top_k=max_moves, min_moves=min_moves,
                         include_ownership=include_own,
                         include_pv_visits=include_pvv,
-                        include_root_info=include_root) + "\n")
+                        include_root_info=include_root,
+                        include_ownership_stdev=include_ostd) + "\n")
                     outfile.flush()
 
                 res = engine.search_root(
@@ -1157,7 +1165,8 @@ def run_gtp(engine: GTPEngine, infile=sys.stdin, outfile=sys.stdout,
                     res, top_k=max_moves, min_moves=min_moves,
                     include_ownership=include_own,
                     include_pv_visits=include_pvv,
-                    include_root_info=include_root) + "\n\n")
+                    include_root_info=include_root,
+                    include_ownership_stdev=include_ostd) + "\n\n")
                 outfile.flush()
             elif cmd == "clear_cache":
                 respond("", cmd_id)

@@ -222,6 +222,8 @@ class SearchState(NamedTuple):
                                  # playout leaves (white persp; the
                                  # tree-averaged ownership of
                                  # searchresults.cpp getAverageTreeOwnership)
+    own_sq_sum: jax.Array        # f32[NN] weighted squared-ownership sum
+                                 # (ownershipStdev, GTP_Extensions.md)
     own_weight: jax.Array        # f32
     ending_bonus: jax.Array      # f32[A] white-persp per-root-move score
                                  # bonus (getEndingWhiteScoreBonus,
@@ -1363,6 +1365,8 @@ class SearchResult(NamedTuple):
     child_winloss: jax.Array     # f32[G, A] per-child avg winloss (white)
     child_score_mean: jax.Array  # f32[G, A] per-child avg score (white)
     root_ownership: jax.Array    # f32[G, NN] tree-averaged ownership (white)
+    root_ownership_stdev: jax.Array  # f32[G, NN] stdev of leaf ownerships
+                                 # across the search (ownershipStdev)
 
 
 def init_search(model_apply: Callable, model_params: Any,
@@ -1422,6 +1426,7 @@ def init_search(model_apply: Callable, model_params: Any,
         bias_sum=jnp.zeros((g, BIAS_TABLE_SIZE), jnp.float32),
         bias_weight=jnp.zeros((g, BIAS_TABLE_SIZE), jnp.float32),
         own_sum=jnp.zeros((g, nn), jnp.float32),
+        own_sq_sum=jnp.zeros((g, nn), jnp.float32),
         own_weight=jnp.zeros((g,), jnp.float32),
         ending_bonus=jnp.zeros((g, nn + 1), jnp.float32),
         root_prev_laddered=jnp.zeros((g, nn), bool),
@@ -1684,6 +1689,7 @@ def init_search(model_apply: Callable, model_params: Any,
     # the tree-averaged-ownership accumulator starts from the root eval
     ss = ss._replace(
         own_sum=root_ev.weight[:, None] * root_ev.ownership,
+        own_sq_sum=root_ev.weight[:, None] * root_ev.ownership ** 2,
         own_weight=root_ev.weight)
     # seed the fast-descent cache at the root (fresh roots are childless;
     # reused roots evaluate over their carried children)
@@ -1910,6 +1916,8 @@ def run_playouts(model_apply: Callable, model_params: Any,
         ss = ss._replace(
             own_sum=ss.own_sum + jnp.where(
                 ok[:, None], ev.weight[:, None] * ev.ownership, 0.0),
+            own_sq_sum=ss.own_sq_sum + jnp.where(
+                ok[:, None], ev.weight[:, None] * ev.ownership ** 2, 0.0),
             own_weight=ss.own_weight + jnp.where(ok, ev.weight, 0.0))
         return (ss, rng), None
 
@@ -1946,6 +1954,10 @@ def collect_results(ss: SearchState) -> SearchResult:
         child_winloss=child_wl,
         child_score_mean=child_sc,
         root_ownership=ss.own_sum / jnp.maximum(ss.own_weight, 1e-10)[:, None],
+        root_ownership_stdev=jnp.sqrt(jnp.maximum(
+            ss.own_sq_sum / jnp.maximum(ss.own_weight, 1e-10)[:, None]
+            - (ss.own_sum
+               / jnp.maximum(ss.own_weight, 1e-10)[:, None]) ** 2, 0.0)),
     )
 
 
