@@ -991,433 +991,6 @@ def _chase_one(stones0, labels0, hlibs0, rep, defender, premove, active,
             ply=s.ply + 1)
 
     out = jax.lax.while_loop(cond, body, init)
-    # a completed search popped below the root (idx < 0); anything else
-    # stopped on node-budget / iteration-cap exhaustion -> assume not
-    # captured (board.cpp:1680-1688). Gating on idx rather than comparing
-    # the counters to their limits keeps a search that legitimately
-    # finishes on exactly the cap-th iteration counted as completed.
-    return out.ret & (out.idx < 0) & active
-
-
-def _run_sim(stones0, labels0, libs0, rep, defender, premove, active,
-             size: int, depth: int, num_caps: int = 4,
-             budget: int = 25000, max_iters: int | None = None):
-    """One ladder query: optional attacker premove (the 2-liberty
-    attacker-first form, board.cpp:1581-1625), then the defender-first
-    backtracking search. Returns bool: chain is ladder-captured."""
-    nn = size * size
-    attacker = B.opponent(defender)
-    has_pre = premove >= 0
-    pre_eff = _move_effects(stones0, labels0, libs0,
-                            jnp.clip(premove, 0, nn - 1), attacker, size)
-    pre_ok = ~has_pre | pre_eff.legal
-    st1 = jnp.where(has_pre, pre_eff.new_stones, stones0)
-    labels1 = jnp.where(has_pre, pre_eff.new_labels, labels0)
-    libs1 = B.chain_liberties(st1, labels1, size)
-    # the inner defender-first search clears any ko at its root — the
-    # defender is assumed to win kos (board.cpp:1643-1645), including a ko
-    # left by the premove
-    ko1 = jnp.int32(-1)
-    return _search_captured(st1, labels1, libs1, ko1, rep, defender,
-                            active & pre_ok, size, depth, num_caps, budget,
-                            max_iters)
-
-
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 7))
-def ladder_map(stones: jax.Array, size: int, max_chains: int | None = None,
-               max_depth: int | None = None, num_caps: int = 4,
-               budget: int = 25000,
-               ko_loc: jax.Array | int = -1,
-               max_iters: int | None = None) -> LadderResult:
-    """Solve all 1-2 liberty chains on one board.
-
-    max_chains bounds how many distinct low-liberty chains are analyzed
-    (lowest flat index first, the reference's row-major iteration order);
-    boards with more candidates than that get the overflow chains marked
-    not-laddered. The default nn//3 + 8 covers every position seen in
-    random-game parity fixtures with margin (a tighter cap is a perf knob
-    for search-internal featurization). max_depth bounds the search stack
-    (default ~4 board lengths; deeper unresolved lines count as captured,
-    the reference's stack-limit bias, board.cpp:1675-1677). budget bounds
-    played nodes per query (exhaustion counts as not-captured,
-    board.cpp:1680-1688; reference value 25000). num_caps caps the
-    defender's candidate capture moves per level (the reference list is
-    unbounded; >4 liberty-gaining captures around one ladder is
-    out-of-distribution). ko_loc is the board's live simple-ko point (or
-    -1): the attacker's first move in the 2-liberty form must respect it
-    (isLegal inside searchIsLadderCapturedAttackerFirst2Libs,
-    board.cpp:1606-1611; the inner defender-first search then clears ko
-    at its root as always).
-    """
-    nn = size * size
-    if max_chains is None:
-        max_chains = nn // 3 + 8
-    if max_depth is None:
-        max_depth = 4 * size + 12
-    labels, libs = _analyze(stones, size)
-    occupied = (stones == B.BLACK) | (stones == B.WHITE)
-    idx = jnp.arange(nn, dtype=jnp.int32)
-    is_head = occupied & (labels == idx) & (libs >= 1) & (libs <= 2)
-    heads = _lowest_k(is_head, max_chains, nn)                 # [K]
-    head_ok = heads < nn
-    h = jnp.minimum(heads, nn - 1)
-    hdef = L.gather_1d(stones, h)
-    hlibs = L.gather_1d(libs, h)
-
-    # liberty points for 2-lib premoves
-    def two_libs(rep):
-        pts = _chain_lib_points(stones, labels, rep, size)
-        return _lowest_k(pts, 2, nn)
-
-    libpts = jax.vmap(two_libs)(h)                             # [K, 2]
-
-    k = max_chains
-    reps = jnp.concatenate([h, h, h])                          # [3K]
-    defenders = jnp.concatenate([hdef, hdef, hdef])
-    premoves = jnp.concatenate([
-        jnp.full((k,), -1, jnp.int32),
-        jnp.where(libpts[:, 0] < nn, libpts[:, 0], -1),
-        jnp.where(libpts[:, 1] < nn, libpts[:, 1], -1),
-    ])
-    ko = jnp.asarray(ko_loc, jnp.int32)
-    active = jnp.concatenate([
-        head_ok & (hlibs == 1),
-        head_ok & (hlibs == 2) & (libpts[:, 0] < nn) & (libpts[:, 0] != ko),
-        head_ok & (hlibs == 2) & (libpts[:, 1] < nn) & (libpts[:, 1] != ko),
-    ])
-
-    results = jax.vmap(
-        lambda r, d, p, a: _run_sim(stones, labels, libs, r, d, p, a, size,
-                                    max_depth, num_caps, budget, max_iters)
-    )(reps, defenders, premoves, active)                       # [3K] bool
-
-    lad1 = results[:k]
-    lad2a, lad2b = results[k:2 * k], results[2 * k:]
-    chain_laddered = lad1 | lad2a | lad2b                      # per head
-
-    mark = L.bincount_sum(jnp.where(head_ok & chain_laddered, h, -1), nn,
-                          dtype=jnp.int32)
-    laddered_mask = (L.gather_1d(mark, labels) >= 1) & occupied
-
-    def working_mask(color):
-        sel_a = head_ok & lad2a & (hdef == color)
-        sel_b = head_ok & lad2b & (hdef == color)
-        m = L.bincount_sum(jnp.where(sel_a, libpts[:, 0], -1), nn,
-                           dtype=jnp.int32)
-        m = m + L.bincount_sum(jnp.where(sel_b, libpts[:, 1], -1), nn,
-                               dtype=jnp.int32)
-        return m >= 1
-
-    return LadderResult(
-        laddered=laddered_mask,
-        working_vs_black=working_mask(jnp.int32(B.BLACK)),
-        working_vs_white=working_mask(jnp.int32(B.WHITE)),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Chase solver: the per-leaf, in-search variant.
-# ---------------------------------------------------------------------------
-#
-# The backtracking solver above is exact but its lockstep while_loop costs
-# O(node-count) iterations of heavy bodies — fine amortized once per move
-# (root featurization, training-data writing) but ~two orders of magnitude
-# over budget when every playout's leaf evaluation re-featurizes (the
-# reference pays iterLadders per NN query too, nninputs.cpp:815, but a
-# scalar CPU pays ~us where a lockstep vector lane batch pays ms).
-#
-# The chase is the TPU answer for the hot path: a FORWARD-ONLY greedy
-# ladder chase (no stacks, no undo) whose board mechanics are exact —
-# labels are maintained incrementally by `_chase_apply`, and chain liberty
-# counts live in a head-indexed array `hlibs` where every read is at a
-# scalar point (one-hot reductions; no [NN^2] histograms, no chain-wide
-# spreads). Only the SEARCH POLICY is approximate versus the reference
-# backtracking search:
-#   - the defender commits greedily to the candidate (liberty-gaining
-#     captures, then the extension — the reference's move order,
-#     board.cpp:1717-1719) with the best statically-estimated liberty
-#     count instead of trying each in turn;
-#   - the attacker refutes its two liberty moves with a 2-ply static
-#     lookahead and commits to the surviving one (both surviving — a
-#     genuinely branching double ladder — picks the tighter side);
-#   - defender capture candidates are capped at _K_ADJ adjacent chains
-#     and bookkeeping bails (as "escaped") past _C_CAP captured stones.
-# On clean ladders and standard broken-ladder shapes the chase and the
-# backtracking search agree exactly (tests/test_ladder.py cross-checks);
-# divergence is confined to branchy multi-ladder positions.
-
-
-_K_ADJ = 3   # defender capture candidates examined per ply
-_C_CAP = 4   # captured stones tracked exactly per move
-
-
-class _ChaseState(NamedTuple):
-    stones: jax.Array    # int32[NN]
-    labels: jax.Array    # int32[NN] exact min-index stone-chain labels
-    hlibs: jax.Array     # int32[NN]: exact chain liberty count at each
-    #                      chain's head (label) index; garbage elsewhere
-    ko: jax.Array        # int32: simple-ko ban left by the LAST move
-    done: jax.Array      # bool
-    captured: jax.Array  # bool (valid when done)
-    ply: jax.Array       # int32; even = defender to move
-
-
-def _onehot_nn(loc, nn):
-    return jnp.arange(nn, dtype=jnp.int32) == loc
-
-
-def _chase_apply(stones, labels, hlibs, m, player, size):
-    """Play `player` at scalar point m, maintaining labels and the
-    head-indexed liberty counts exactly (the incremental equivalent of
-    Board::playMoveAssumeLegal's linked-list surgery, board.cpp, with
-    liberty counts updated by the move's exact local effects: adjacent
-    chains lose the point m, chains bordering captured stones gain those
-    points, the mover's merged chain is recounted from its mask)."""
-    nn = size * size
-    # state dtypes are narrowed (stones i8, labels/hlibs i16) — the chase
-    # while_loop is HBM-bandwidth-bound over [lanes, NN] state at search
-    # widths, so element width is wall-clock
-    idx = jnp.arange(nn, dtype=labels.dtype)
-    player = jnp.asarray(player, stones.dtype)
-    opp = B.opponent(player).astype(stones.dtype)
-    s_sh = _shift4(stones, size, B.WALL)
-    l_sh = _shift4(labels, size, jnp.asarray(nn, labels.dtype))
-    nbr_s = jnp.stack([_extract(s_sh[d], m) for d in range(4)])
-    nbr_l = jnp.stack([_extract(l_sh[d], m) for d in range(4)])
-    nbr_libs = jnp.stack([_extract(hlibs, jnp.clip(nbr_l[d], 0, nn - 1))
-                          for d in range(4)])
-    nbr_stone = (nbr_s == B.BLACK) | (nbr_s == B.WHITE)
-    own_sel = nbr_s == player
-    cap_sel = (nbr_s == opp) & (nbr_libs == 1)
-
-    own_mask = jnp.zeros((nn,), bool)
-    cap_mask = jnp.zeros((nn,), bool)
-    merged_label = jnp.asarray(m, labels.dtype)
-    for i in range(4):
-        own_mask = own_mask | (own_sel[i] & (labels == nbr_l[i]))
-        cap_mask = cap_mask | (cap_sel[i] & (labels == nbr_l[i]))
-        merged_label = jnp.minimum(merged_label,
-                                   jnp.where(own_sel[i], nbr_l[i], m))
-    own_mask = own_mask & (stones == player)
-    cap_mask = cap_mask & (stones == opp)
-
-    target_empty = _extract(stones, m) == B.EMPTY
-    at_m = idx == m
-    new_stones = jnp.where(at_m, player,
-                           jnp.where(cap_mask,
-                                     jnp.asarray(B.EMPTY, stones.dtype),
-                                     stones))
-    my_mask = own_mask | at_m
-    new_labels = jnp.where(my_mask, merged_label,
-                           jnp.where(cap_mask, idx, labels))
-    adj = _dilate(my_mask, size)
-    my_libs = jnp.sum(((new_stones == B.EMPTY) & adj).astype(jnp.int32))
-    num_captured = jnp.sum(cap_mask.astype(jnp.int32))
-
-    # ---- head-liberty maintenance ------------------------------------
-    h = hlibs
-    # (a) surviving chains adjacent to m lose the liberty m (dedup the
-    # directions; merged own chains and captured chains are rewritten or
-    # garbage below)
-    for i in range(4):
-        dup = jnp.bool_(False)
-        for j in range(i):
-            dup = dup | ((nbr_l[j] == nbr_l[i]) & nbr_stone[j])
-        sel = nbr_stone[i] & ~dup & ~own_sel[i] & ~cap_sel[i]
-        h = h - jnp.where(sel & (idx == nbr_l[i]), 1, 0).astype(h.dtype)
-    # (b) chains bordering captured points gain those liberties (exact up
-    # to _C_CAP captured stones; the caller bails the lane past that)
-    cap_pts = _lowest_k(cap_mask, _C_CAP, nn)
-    nl_sh = _shift4(new_labels, size, jnp.asarray(nn, labels.dtype))
-    ns_sh = _shift4(new_stones, size, B.WALL)
-    for t in range(_C_CAP):
-        c = jnp.clip(cap_pts[t], 0, nn - 1)
-        cvalid = cap_pts[t] < nn
-        cl = jnp.stack([_extract(nl_sh[d], c) for d in range(4)])
-        cs = jnp.stack([_extract(ns_sh[d], c) for d in range(4)])
-        cstone = (cs == B.BLACK) | (cs == B.WHITE)
-        for i in range(4):
-            dup = jnp.bool_(False)
-            for j in range(i):
-                dup = dup | ((cl[j] == cl[i]) & cstone[j])
-            sel = (cvalid & cstone[i] & ~dup & (cl[i] != merged_label))
-            h = h + jnp.where(sel & (idx == cl[i]), 1, 0).astype(h.dtype)
-    # (c) the mover's merged chain, recounted exactly from its mask
-    h = jnp.where(idx == merged_label, my_libs.astype(h.dtype), h)
-
-    own_any = jnp.any(own_sel)
-    is_ko = (num_captured == 1) & ~own_any & (my_libs == 1)
-    ko_loc = jnp.where(is_ko, jnp.argmax(cap_mask).astype(jnp.int32),
-                       jnp.int32(-1))
-    legal = target_empty & (my_libs > 0)
-    overflow = num_captured > _C_CAP
-    return new_stones, new_labels, h, ko_loc, legal, overflow
-
-
-def _chase_one(stones0, labels0, hlibs0, rep, defender, premove, active,
-               size: int, max_steps: int):
-    """One greedy chase lane: optional attacker premove, then alternating
-    defender/attacker plies until a terminal state or the step cap
-    (exhaustion counts as not-captured, like the node budget)."""
-    nn = size * size
-    # narrow the lane state (module comment in _chase_apply): stones i8,
-    # labels/hlibs i16 — exact for NN < 2^15
-    stones0 = stones0.astype(jnp.int8)
-    labels0 = labels0.astype(jnp.int16)
-    hlibs0 = hlibs0.astype(jnp.int16)
-    defender = jnp.asarray(defender, jnp.int8)
-    attacker = B.opponent(defender).astype(jnp.int8)
-
-    has_pre = premove >= 0
-    ps, pl, ph, _, plegal, pov = _chase_apply(
-        stones0, labels0, hlibs0, jnp.clip(premove, 0, nn - 1), attacker,
-        size)
-    stones1 = jnp.where(has_pre, ps, stones0)
-    labels1 = jnp.where(has_pre, pl, labels0)
-    hlibs1 = jnp.where(has_pre, ph, hlibs0)
-    live = active & (~has_pre | (plegal & ~pov))
-
-    init = _ChaseState(
-        stones=stones1, labels=labels1, hlibs=hlibs1,
-        ko=jnp.int32(-1),                 # defender wins kos at the root
-        done=~live, captured=jnp.bool_(False), ply=jnp.int32(0))
-
-    def cond(s: _ChaseState):
-        return ~s.done & (s.ply < max_steps)
-
-    def body(s: _ChaseState) -> _ChaseState:
-        is_def = (s.ply % 2) == 0
-        empty = s.stones == B.EMPTY
-        lrep = _extract(s.labels, rep)
-        gone = _extract(s.stones, rep) != defender
-        def_mask = (s.labels == lrep) & (s.stones == defender)
-        dlibs = jnp.where(gone, 0, _extract(s.hlibs, lrep))
-        libpts = empty & _dilate(def_mask, size)
-
-        # ---- terminal checks at ply entry ---------------------------
-        term_cap = gone | (~is_def & (dlibs <= 1))
-        term_esc = ~gone & ((is_def & ((s.ko >= 0) | (dlibs >= 2)))
-                            | (~is_def & (dlibs >= 3)))
-
-        # ---- defender move choice ------------------------------------
-        # extension at the lone liberty (exactly one when dlibs == 1)
-        ext = jnp.argmax(libpts).astype(jnp.int32)
-        ext_oh = _onehot_nn(ext, nn)
-        est_ext = jnp.sum(((empty & ~ext_oh)
-                           & _dilate(def_mask | ext_oh, size))
-                          .astype(jnp.int32))
-        best_est = jnp.where(jnp.any(libpts), est_ext, -1)
-        best_move = ext
-        # liberty-gaining captures: up to _K_ADJ adjacent attacker
-        # chains in atari; their lone liberty is the capture move
-        # (findLibertyGainingCaptures, board.cpp:1522). Captures are
-        # preferred on ties (the reference explores them first).
-        rem = (s.stones == attacker) & _dilate(def_mask, size)
-        for _t in range(_K_ADJ):
-            p = jnp.argmax(rem).astype(jnp.int32)
-            any_rem = jnp.any(rem)
-            lp = _extract(s.labels, p)
-            chain_t = (s.labels == lp) & (s.stones == attacker)
-            atari = _extract(s.hlibs, lp) == 1
-            lone = empty & _dilate(chain_t, size)
-            ci = jnp.argmax(lone).astype(jnp.int32)
-            ci_oh = _onehot_nn(ci, nn)
-            valid_t = any_rem & atari & jnp.any(lone) & (ci != s.ko)
-            joins = jnp.sum((_dilate(def_mask, size) & ci_oh)
-                            .astype(jnp.int32)) > 0
-            defm_t = def_mask | (ci_oh & joins)
-            est_t = jnp.sum((((empty | chain_t) & ~ci_oh)
-                             & _dilate(defm_t, size)).astype(jnp.int32))
-            better = valid_t & (est_t >= best_est)
-            best_est = jnp.where(better, est_t, best_est)
-            best_move = jnp.where(better, ci, best_move)
-            rem = rem & ~chain_t
-        def_move = best_move
-        def_has = best_est >= 0
-
-        # ---- attacker move choice ------------------------------------
-        l2 = _lowest_k(libpts, 2, nn)
-        att_sh = _shift4(s.stones, size, B.WALL)
-        atl_sh = _shift4(s.labels, size, jnp.int32(nn))
-
-        def refute(li_raw, lo_raw):
-            li = jnp.clip(li_raw, 0, nn - 1)
-            lo = jnp.clip(lo_raw, 0, nn - 1)
-            valid = (li_raw < nn) & (li_raw != s.ko)
-            # attacker stone at li merges its adjacent attacker chains
-            als = jnp.stack([_extract(att_sh[d], li) for d in range(4)])
-            all_ = jnp.stack([_extract(atl_sh[d], li) for d in range(4)])
-            li_oh = _onehot_nn(li, nn)
-            amask = li_oh
-            for i in range(4):
-                amask = amask | ((als[i] == attacker)
-                                 & (s.labels == all_[i]))
-            amask = amask & ((s.stones == attacker) | li_oh)
-            a_libs = jnp.sum(((empty & ~li_oh) & _dilate(amask, size))
-                             .astype(jnp.int32))
-            legal_est = a_libs >= 1
-            # 2-ply: defender extends at the other liberty
-            lo_oh = _onehot_nn(lo, nn)
-            est_ext2 = jnp.sum(((empty & ~li_oh & ~lo_oh)
-                                & _dilate(def_mask | lo_oh, size))
-                               .astype(jnp.int32))
-            # ... or captures the attacker's self-atari'd chain
-            lone_a = (empty & ~li_oh) & _dilate(amask, size)
-            ca = jnp.argmax(lone_a).astype(jnp.int32)
-            ca_oh = _onehot_nn(ca, nn)
-            joins_a = jnp.sum((_dilate(def_mask, size) & ca_oh)
-                              .astype(jnp.int32)) > 0
-            est_cap2 = jnp.sum((((empty | amask) & ~li_oh & ~ca_oh)
-                                & _dilate(def_mask | (ca_oh & joins_a),
-                                          size)).astype(jnp.int32))
-            est_def = jnp.maximum(est_ext2,
-                                  jnp.where(a_libs == 1, est_cap2, 0))
-            return (~valid) | (~legal_est) | (est_def >= 3), est_def
-
-        r0, e0 = refute(l2[0], l2[1])
-        r1, e1 = refute(l2[1], l2[0])
-        both_ref = r0 & r1
-        pick1 = (~r1) & (r0 | (e1 < e0))
-        att_move = jnp.where(pick1, l2[1], l2[0]).astype(jnp.int32)
-        att_move = jnp.clip(att_move, 0, nn - 1)
-
-        # double-ko death (board.cpp:1746-1756), scalar form at l0/l1:
-        # both liberties 0-immediate-liberty ko mouths and no defender
-        # captures available
-        imm = _empty_neighbor_count(s.stones, size)
-        kocap = _would_be_ko_capture_at(s.stones, s.labels, s.hlibs, size,
-                                        defender, l2, att_sh, atl_sh)
-        lib0 = jnp.clip(l2[0], 0, nn - 1)
-        lib1 = jnp.clip(l2[1], 0, nn - 1)
-        both_libs = (l2[0] < nn) & (l2[1] < nn)
-        double_ko = (both_libs & (_extract(imm, lib0) == 0)
-                     & (_extract(imm, lib1) == 0) & kocap[0] & kocap[1])
-
-        # ---- resolve the ply -----------------------------------------
-        mover = jnp.where(is_def, defender, attacker)
-        move = jnp.where(is_def, def_move, att_move)
-        ns, nl, nh, nko, legal, ov = _chase_apply(
-            s.stones, s.labels, s.hlibs, move, mover, size)
-
-        new_term_cap = term_cap | (is_def & (~def_has | ~legal))
-        new_term_esc = (term_esc
-                        | (~is_def & ~term_cap & (both_ref | ov))
-                        | (is_def & ~new_term_cap & ov))
-        new_term_cap = new_term_cap | (~is_def & ~new_term_esc & double_ko
-                                       & ~term_esc)
-        terminal = (new_term_cap | new_term_esc) & ~s.done
-
-        advance = ~terminal & ~s.done
-        return _ChaseState(
-            stones=jnp.where(advance, ns, s.stones),
-            labels=jnp.where(advance, nl, s.labels),
-            hlibs=jnp.where(advance, nh, s.hlibs),
-            ko=jnp.where(advance, nko, s.ko),
-            done=s.done | terminal,
-            captured=jnp.where(terminal, new_term_cap, s.captured),
-            ply=s.ply + 1)
-
-    out = jax.lax.while_loop(cond, body, init)
     return out.captured & out.done & active
 
 
