@@ -55,7 +55,7 @@ KNOWN_COMMANDS = [
     "clear_cache", "loadsgf", "printsgf", "showboard", "kata-benchmark",
     "kata-time_settings", "kata-list-time-settings",
     "kata-list_time_settings", "kata-set-position",
-    "set_position", "stop",
+    "set_position", "stop", "debug_moves",
 ]
 
 
@@ -408,6 +408,85 @@ class GTPEngine:
     last_search_result = None
     last_search_player: int | None = None
 
+    def debug_moves_str(self, branch: list[int],
+                        raw_stats: bool = False) -> str:
+        """debug_moves (gtp.cpp:3612-3658): the board after a branch of
+        moves from the current position, plus the last search tree's
+        one-level child statistics at that branch node (printTree with
+        maxDepth 1); `rawstats` appends symmetry-averaged raw NN values
+        of the branch position (rawNNBrief)."""
+        gs = self.gs
+        pla = int(gs.pos.to_move)
+        for loc in branch:
+            gs = H.replace_pos(gs, to_move=jnp.int32(pla))
+            gs, _ = H.step(gs, jnp.int32(loc), self.size)
+            pla = B.BLACK if pla == B.WHITE else B.WHITE
+        lines = [B.board_to_string(np.asarray(gs.pos.board.stones),
+                                   self.size)]
+
+        tree = self._reuse_tree
+        node = 0
+        in_tree = tree is not None and int(tree.num_nodes[0]) > 0
+        if in_tree:
+            children = np.asarray(tree.children[0])
+            for loc in branch:
+                nxt = int(children[node, loc])
+                if nxt < 0:
+                    in_tree = False
+                    break
+                node = nxt
+        if not in_tree:
+            lines.append("(branch not in last search tree)")
+            if not raw_stats:
+                return "\n".join(lines)
+        else:
+            visits = np.asarray(tree.visits[0])
+            weight = np.asarray(tree.weight_sum[0])
+            wl = np.asarray(tree.winloss_sum[0])
+            sc = np.asarray(tree.score_mean_sum[0])
+            prior = np.asarray(tree.policy[0, node], np.float32)
+            w0 = max(float(weight[node]), 1e-9)
+            lines.append(
+                f"root visits {int(visits[node])} "
+                f"winrate {0.5 * (1 + float(wl[node]) / w0):.4f} "
+                f"scoreMean {float(sc[node]) / w0:.2f}")
+            ch = children[node]
+            cv = np.where(ch >= 0, visits[np.maximum(ch, 0)], 0)
+            for a in np.argsort(cv)[::-1]:
+                if cv[a] <= 0:
+                    break
+                c = int(ch[a])
+                w = max(float(weight[c]), 1e-9)
+                lines.append(
+                    f"{loc_to_gtp(int(a), self.size, self.x_size, self.y_size)}"
+                    f" : visits {int(cv[a])}"
+                    f" winrate {0.5 * (1 + float(wl[c]) / w):.4f}"
+                    f" scoreMean {float(sc[c]) / w:.2f}"
+                    f" prior {max(float(prior[a]), 0.0):.4f}")
+        if raw_stats:
+            # symmetry-averaged raw values (rawNNBrief, SYMMETRY_ALL)
+            from katago_tpu.models import features as F
+            from katago_tpu.ops import symmetry as SYM
+            fp = F.FeatureParams.default()
+            spf, glf = F.fill_features_v7(gs, self.size, fp)
+            nn = self.size * self.size
+            wins, scores = [], []
+            for sym in range(8):
+                sp_s = SYM.transform_spatial(
+                    jnp.asarray(spf).reshape(nn, -1), jnp.int32(sym),
+                    self.size)
+                raw = self.model_apply(
+                    None, sp_s.reshape(1, self.size, self.size, -1),
+                    jnp.asarray(glf).reshape(1, -1))
+                v = np.asarray(jax.nn.softmax(raw["value_logits"][0]))
+                wins.append(float(v[0] - v[1]))
+                scores.append(float(raw["miscvalue"][0][0]) * 20.0)
+            lines.append(f"raw winloss {np.mean(wins):+.4f} "
+                         f"+/- {np.std(wins):.4f} "
+                         f"raw score {np.mean(scores):+.2f} "
+                         f"+/- {np.std(scores):.2f} (8 symmetries)")
+        return "\n".join(lines)
+
     def analyze_info(self, res, top_k: int = 10, pv_len: int = 12,
                      include_ownership: bool = False,
                      player: int | None = None,
@@ -527,13 +606,20 @@ class GTPEngine:
             return lambda: getattr(self.search_params, field)
 
         def spset(field, conv):
-            # search params are baked into the compiled searches: a
-            # change rebuilds the driver cache (recompile on next search,
-            # like the reference re-running Setup::loadSingleParams)
+            # SearchParams ride the compiled searches as traced
+            # arguments (SearchDriver.search(sp=...)), so value changes
+            # need no recompile — update the live drivers' params in
+            # place. Only root_num_symmetries is compiled-in (it is a
+            # static loop count); changing it rebuilds the drivers.
             def set_(v):
                 self.search_params = dataclasses.replace(
                     self.search_params, **{field: conv(v)})
-                self._drivers.clear()
+                if field == "root_num_symmetries":
+                    self._drivers.clear()
+                else:
+                    arr = self.search_params.to_arr()
+                    for d in self._drivers.values():
+                        d.sp = arr
             return set_
 
         return {
@@ -793,6 +879,17 @@ def run_gtp(engine: GTPEngine, infile=sys.stdin, outfile=sys.stdout,
             elif cmd == "showboard":
                 stones = np.asarray(engine.gs.pos.board.stones)
                 respond("\n" + B.board_to_string(stones, engine.size), cmd_id)
+            elif cmd == "debug_moves":
+                raw = "rawstats" in args
+                verts = [a for a in args if a.lower() != "rawstats"]
+                try:
+                    branch = [gtp_to_loc(v, engine.size, engine.x_size,
+                                         engine.y_size) for v in verts]
+                except Exception:  # noqa: BLE001
+                    respond("Invalid move sequence", cmd_id, ok=False)
+                else:
+                    respond("\n" + engine.debug_moves_str(branch, raw),
+                            cmd_id)
             elif cmd == "final_score":
                 own, score = H.final_score_area(engine.gs, engine.size)
                 s = float(score)
@@ -1082,8 +1179,11 @@ def run_gtp(engine: GTPEngine, infile=sys.stdin, outfile=sys.stdout,
                 include_own = False
                 min_moves, max_moves = 1, 10
                 include_pvv = include_root = include_ostd = False
-                avoid_mask = None        # bool[A], True = allowed
-                avoid_player = None
+                # per-player root restriction masks (bool[A], True =
+                # allowed); directives for the same player AND together,
+                # directives for the other player don't touch the mover's
+                avoid_masks = {B.BLACK: None, B.WHITE: None}
+                bad_syntax = False
                 i = 0
                 while i < len(args):
                     al = args[i].lower()
@@ -1115,28 +1215,32 @@ def run_gtp(engine: GTPEngine, infile=sys.stdin, outfile=sys.stdout,
                         # (GTP_Extensions.md); applied at the root when
                         # PLAYER is the mover and UNTILDEPTH >= 1
                         apl = player_of.get(args[i + 1].lower())
+                        if apl is None:
+                            bad_syntax = True
+                            break
                         verts = args[i + 2].split(",")
                         until = int(args[i + 3])
                         locs = [gtp_to_loc(v, engine.size, engine.x_size,
                                            engine.y_size) for v in verts]
                         nn_a = engine.size * engine.size + 1
-                        if until >= 1 and (apl is None or True):
+                        if until >= 1:
                             m = np.ones((nn_a,), bool) if al == "avoid" \
                                 else np.zeros((nn_a,), bool)
                             for lc in locs:
                                 m[lc] = (al == "allow")
-                            if avoid_mask is None:
-                                avoid_mask = m
+                            if avoid_masks[apl] is None:
+                                avoid_masks[apl] = m
                             else:
-                                avoid_mask &= m
-                            avoid_player = apl
+                                avoid_masks[apl] &= m
                         i += 3
                     elif al.replace(".", "").isdigit():
                         interval = float(al) / 100.0
                     i += 1
-                if avoid_mask is not None and \
-                        avoid_player not in (None, player):
-                    avoid_mask = None   # restriction is for the other side
+                if bad_syntax:
+                    respond("invalid avoid/allow player", cmd_id, ok=False)
+                    continue
+                # root-level restriction: only the mover's mask applies
+                avoid_mask = avoid_masks[player]
 
                 def stdin_ready():
                     try:

@@ -61,13 +61,13 @@ class SearchDriver:
         return self._jits[key]
 
     def init_fn(self, reuse: bool, reuse_actions: bool = False,
-                masked: bool = False):
+                masked: bool = False, mo: bool = False):
         def build():
-            def f(roots, rng, mirror, mask, *prev):
+            def f(sp, roots, rng, mirror, mask, *prev):
                 pt = prev[0] if prev else None
                 pa = prev[1] if len(prev) > 1 else None
                 return mcts.init_search(
-                    self._model_apply, self._model_params, roots, self.sp,
+                    self._model_apply, self._model_params, roots, sp,
                     rng, size=self.size, max_nodes=self.max_nodes,
                     with_ladders=self._with_ladders,
                     ladder_mode=self._ladder_mode, prev_tree=pt,
@@ -75,19 +75,20 @@ class SearchDriver:
                     root_allowed_mask=mask,
                     sgf_meta=self._sgf_meta,
                     root_num_symmetries=self.root_num_symmetries,
-                    feature_version=self._feature_version)
+                    feature_version=self._feature_version,
+                    track_moves_ownership=mo)
             if masked:
                 return jax.jit(f)
-            return jax.jit(lambda roots, rng, mirror, *prev: f(
-                roots, rng, mirror, None, *prev))
-        return self._get(("init", reuse, reuse_actions, masked), build)
+            return jax.jit(lambda sp, roots, rng, mirror, *prev: f(
+                sp, roots, rng, mirror, None, *prev))
+        return self._get(("init", reuse, reuse_actions, masked, mo), build)
 
-    def chunk_fn(self):
+    def chunk_fn(self, mo: bool = False):
         def build():
-            def f(ss, rng, max_visits, active_mask, mirror,
+            def f(sp, ss, rng, max_visits, active_mask, mirror,
                   pattern_bonus):
                 return mcts.run_playouts(
-                    self._model_apply, self._model_params, ss, self.sp, rng,
+                    self._model_apply, self._model_params, ss, sp, rng,
                     size=self.size, num_sims=self.chunk_size,
                     max_depth=self._max_depth,
                     with_ladders=self._with_ladders,
@@ -95,9 +96,10 @@ class SearchDriver:
                     sgf_meta=self._sgf_meta,
                     max_visits=max_visits, active_mask=active_mask,
                     mirror=mirror, pattern_bonus=pattern_bonus,
-                    feature_version=self._feature_version)
+                    feature_version=self._feature_version,
+                    track_moves_ownership=mo)
             return jax.jit(f)
-        return self._get(("chunk",), build)
+        return self._get(("chunk", mo), build)
 
     def collect_fn(self):
         return self._get(("collect",), lambda: jax.jit(mcts.collect_results))
@@ -123,7 +125,9 @@ class SearchDriver:
                turn_number: int = 0,
                host_params=None,
                root_allowed_mask=None,
-               mirror=None, pattern_bonus=None) -> mcts.SearchResult:
+               mirror=None, pattern_bonus=None,
+               sp=None,
+               track_moves_ownership: bool = False) -> mcts.SearchResult:
         """Run a time/visit/interrupt-bounded search.
 
         max_visits: per-game root visit cap (None = unbounded, needs
@@ -147,17 +151,20 @@ class SearchDriver:
         """
         g = roots.hist_len.shape[0]
         rng, r_init = jax.random.split(rng)
+        if sp is None:
+            sp = self.sp
+        mo = track_moves_ownership
         masked = root_allowed_mask is not None
         margs = (root_allowed_mask,) if masked else ()
         if prev_tree is not None and prev_actions is not None:
-            ss = self.init_fn(True, True, masked)(
-                roots, r_init, mirror, *margs, prev_tree, prev_actions)
+            ss = self.init_fn(True, True, masked, mo)(
+                sp, roots, r_init, mirror, *margs, prev_tree, prev_actions)
         elif prev_tree is not None:
-            ss = self.init_fn(True, masked=masked)(
-                roots, r_init, mirror, *margs, prev_tree)
+            ss = self.init_fn(True, masked=masked, mo=mo)(
+                sp, roots, r_init, mirror, *margs, prev_tree)
         else:
-            ss = self.init_fn(False, masked=masked)(
-                roots, r_init, mirror, *margs)
+            ss = self.init_fn(False, masked=masked, mo=mo)(
+                sp, roots, r_init, mirror, *margs)
 
         if time_rec is not None and max_time is None:
             max_time = time_rec   # refined between chunks below
@@ -168,7 +175,7 @@ class SearchDriver:
         cap = jnp.int32(max_visits if max_visits is not None else BIG_VISITS)
         amask = (jnp.ones((g,), bool) if active_mask is None
                  else jnp.asarray(active_mask))
-        chunk = self.chunk_fn()
+        chunk = self.chunk_fn(mo)
         t0 = time.time()
         last_cb = t0
         chunks_done = 0
@@ -191,7 +198,7 @@ class SearchDriver:
                 // self.chunk_size
             for _ in range(n_full):
                 rng, r = jax.random.split(rng)
-                ss = chunk(ss, r, cap, amask, mirror, pattern_bonus)
+                ss = chunk(sp, ss, r, cap, amask, mirror, pattern_bonus)
                 chunks_done += 1
         while True:
             if stop_event is not None and stop_event.is_set():
@@ -224,7 +231,7 @@ class SearchDriver:
                                           max_time, turn_number)):
                 break
             rng, r = jax.random.split(rng)
-            ss = chunk(ss, r, cap, amask, mirror, pattern_bonus)
+            ss = chunk(sp, ss, r, cap, amask, mirror, pattern_bonus)
             chunks_done += 1
             if callback is not None:
                 now = time.time()

@@ -53,11 +53,20 @@ ILLEGAL = -1e30
 
 # Pool dtypes: the [N, A] topology/prior arrays dominate tree-pool HBM
 # traffic (gathers + the layout copies XLA inserts around scatters), so
-# they store narrow: child indices as int16 (max_nodes < 2^15), priors as
-# bfloat16 (the reference itself stores policy at reduced precision —
-# float16 policyProbs, nnoutput.h). -1 sentinels are exact in both.
+# they store narrow: child indices as int16 when the pool fits (int32
+# otherwise — `child_dt(max_nodes)`), priors as float16 (same width as
+# the reference's float16 policyProbs, nnoutput.h; float16's 11-bit
+# mantissa beats bfloat16's 8 for priors in [0,1]). -1 sentinels are
+# exact in both.
 CHILD_DT = jnp.int16
-POL_DT = jnp.bfloat16
+POL_DT = jnp.float16
+
+
+def child_dt(max_nodes: int):
+    """Child-index dtype for a pool of `max_nodes` nodes: int16 while
+    indices fit (the common case), int32 for the huge-visit pools a GTP
+    `kata-set-param maxVisits 20000`-style override can build."""
+    return jnp.int16 if max_nodes < 2 ** 15 else jnp.int32
 
 
 def ladder_map_chase_fn(stones, size, ko_loc):
@@ -233,6 +242,12 @@ class SearchState(NamedTuple):
                                  # move BEFORE the root — the grandparent
                                  # board of depth-1 leaves (tree.laddered
                                  # covers every in-tree board)
+    mo_sum: jax.Array            # f32[A, NN] per-root-move weighted
+                                 # ownership sums (includeMovesOwnership,
+                                 # analysis.cpp; [1, 1] dummies unless
+                                 # init_search(track_moves_ownership=True))
+    mo_sq_sum: jax.Array         # f32[A, NN] (includeMovesOwnershipStdev)
+    mo_weight: jax.Array         # f32[A]
 
 
 class LeafEval(NamedTuple):
@@ -261,7 +276,7 @@ def empty_tree(size: int, max_nodes: int) -> Tree:
         parent=jnp.full((n,), -1, jnp.int32),
         parent_action=jnp.full((n,), -1, jnp.int32),
         depth=jnp.zeros((n,), jnp.int32),
-        children=jnp.full((n, a), -1, CHILD_DT),
+        children=jnp.full((n, a), -1, child_dt(n)),
         policy=jnp.full((n, a), -1.0, POL_DT),
         visits=jnp.zeros((n,), jnp.int32),
         stats=jnp.zeros((n, NUM_STATS), jnp.float32),
@@ -449,6 +464,10 @@ class PathSel(NamedTuple):
     leaf_action: jax.Array   # int32 action to expand (-1 if terminal/revisit)
     is_terminal: jax.Array   # bool: leaf is a finished game (or depth cap)
     terminal_node: jax.Array  # int32
+    root_action: jax.Array   # int32 first action of the descent (-1 when
+    #                          the playout dies at the root itself) — the
+    #                          root child this playout's leaf eval belongs
+    #                          to (includeMovesOwnership attribution)
 
 
 def select_path(ss: SearchState, sp: SearchParamsArr, max_depth: int,
@@ -513,7 +532,7 @@ def select_path(ss: SearchState, sp: SearchParamsArr, max_depth: int,
 
     def body(i, carry):
         cur, done, path_nodes, path_len, leaf_parent, leaf_action, \
-            is_terminal, terminal_node = carry
+            is_terminal, terminal_node, root_action = carry
         # a finished-game node (or the depth cap) terminates the playout
         hit_terminal = ~done & tree.pos.game_over[cur]
         a = puct_action(cur)
@@ -527,26 +546,29 @@ def select_path(ss: SearchState, sp: SearchParamsArr, max_depth: int,
         leaf_action = jnp.where(expanding, a, leaf_action)
         is_terminal = is_terminal | hit_terminal
         terminal_node = jnp.where(hit_terminal, cur, terminal_node)
+        root_action = jnp.where((i == 0) & (expanding | descending), a,
+                                root_action)
         done = done | hit_terminal | expanding
         cur = jnp.where(descending, jnp.maximum(child, 0), cur)
         return (cur, done, path_nodes, path_len, leaf_parent, leaf_action,
-                is_terminal, terminal_node)
+                is_terminal, terminal_node, root_action)
 
     init = (jnp.int32(0), jnp.bool_(False),
             jnp.full((max_depth,), -1, jnp.int32), jnp.int32(0),
-            jnp.int32(0), jnp.int32(-1), jnp.bool_(False), jnp.int32(0))
+            jnp.int32(0), jnp.int32(-1), jnp.bool_(False), jnp.int32(0),
+            jnp.int32(-1))
     # two levels per trip (body is done-masked, so a finished lane's
     # second step is a no-op); max_depth stays exact for even caps
     assert max_depth % 2 == 0, "max_depth must be even (2 levels/trip)"
     _, (cur, done, path_nodes, path_len, leaf_parent, leaf_action,
-        is_terminal, terminal_node) = jax.lax.while_loop(
+        is_terminal, terminal_node, root_action) = jax.lax.while_loop(
         loop_cond, lambda c: (c[0] + 2, body(c[0] + 1, body(c[0], c[1]))),
         (jnp.int32(0), init))
     # depth cap without resolution: treat current node as terminal-revisit
     is_terminal = is_terminal | ~done
     terminal_node = jnp.where(~done, cur, terminal_node)
     return PathSel(path_nodes, path_len, leaf_parent, leaf_action,
-                   is_terminal, terminal_node)
+                   is_terminal, terminal_node, root_action)
 
 
 def make_leaf_gamestate(ss: SearchState, sel: PathSel, size: int,
@@ -818,7 +840,7 @@ def insert_and_backup(ss: SearchState, sel: PathSel, leaf_pos: H.PosState,
         jnp.where(can_alloc | use_tp, link_idx,
                   tree.children[sel.leaf_parent,
                                 jnp.maximum(sel.leaf_action, 0)]
-                  ).astype(CHILD_DT))
+                  ).astype(tree.children.dtype))
     # superko-illegal expansion: mark prior illegal so it's never tried again
     policy = tree.policy.at[sel.leaf_parent, jnp.maximum(sel.leaf_action, 0)].set(
         jnp.where(superko_illegal & ~sel.is_terminal, -1.0,
@@ -1162,7 +1184,7 @@ def extract_subtree(tree: Tree, action: jax.Array) -> Tree:
                                                       n - 1)]
     children_rm = jnp.where(child_ok,
                             new_idx_pad[jnp.clip(tree.children, 0, n - 1)],
-                            -1).astype(CHILD_DT)
+                            -1).astype(tree.children.dtype)
     parent_ok = (tree.parent >= 0) & in_sub[jnp.clip(tree.parent, 0, n - 1)]
     parent_rm = jnp.where(parent_ok,
                           new_idx_pad[jnp.clip(tree.parent, 0, n - 1)], -1)
@@ -1367,6 +1389,11 @@ class SearchResult(NamedTuple):
     root_ownership: jax.Array    # f32[G, NN] tree-averaged ownership (white)
     root_ownership_stdev: jax.Array  # f32[G, NN] stdev of leaf ownerships
                                  # across the search (ownershipStdev)
+    moves_ownership: jax.Array   # f32[G, A, NN] per-root-move subtree
+                                 # ownership ([G,1,1] dummies unless
+                                 # track_moves_ownership)
+    moves_ownership_stdev: jax.Array  # f32[G, A, NN]
+    moves_own_weight: jax.Array  # f32[G, A] subtree eval weight per move
 
 
 def init_search(model_apply: Callable, model_params: Any,
@@ -1380,7 +1407,8 @@ def init_search(model_apply: Callable, model_params: Any,
                 root_num_symmetries: int = 1,
                 sgf_meta=None,
                 mirror=None,
-                feature_version: int = 7) -> SearchState:
+                feature_version: int = 7,
+                track_moves_ownership: bool = False) -> SearchState:
     """Build the initial SearchState for a batch of games: root NN eval,
     Dirichlet noise, dynamic score center, optional tree reuse
     (Search::beginSearch + makeMove, search.cpp:650/search.h:253-257).
@@ -1430,6 +1458,12 @@ def init_search(model_apply: Callable, model_params: Any,
         own_weight=jnp.zeros((g,), jnp.float32),
         ending_bonus=jnp.zeros((g, nn + 1), jnp.float32),
         root_prev_laddered=jnp.zeros((g, nn), bool),
+        mo_sum=jnp.zeros((g,) + ((nn + 1, nn) if track_moves_ownership
+                                 else (1, 1)), jnp.float32),
+        mo_sq_sum=jnp.zeros((g,) + ((nn + 1, nn) if track_moves_ownership
+                                    else (1, 1)), jnp.float32),
+        mo_weight=jnp.zeros((g, nn + 1 if track_moves_ownership else 1),
+                            jnp.float32),
     )
     if with_ladders:
         # ladder mask of the board one move before the root: depth-1
@@ -1713,7 +1747,8 @@ def run_playouts(model_apply: Callable, model_params: Any,
                  sgf_meta=None,
                  mirror=None,
                  pattern_bonus=None,
-                 feature_version: int = 7) -> SearchState:
+                 feature_version: int = 7,
+                 track_moves_ownership: bool = False) -> SearchState:
     """Advance the search by num_sims playouts (the chunked analogue of the
     reference's runWholeSearch playout threads, search.cpp:473-607).
 
@@ -1919,6 +1954,22 @@ def run_playouts(model_apply: Callable, model_params: Any,
             own_sq_sum=ss.own_sq_sum + jnp.where(
                 ok[:, None], ev.weight[:, None] * ev.ownership ** 2, 0.0),
             own_weight=ss.own_weight + jnp.where(ok, ev.weight, 0.0))
+        if track_moves_ownership:
+            # attribute the leaf eval to the playout's root child
+            # (analysis.cpp includeMovesOwnership: per-move subtree
+            # ownership is the weighted average over that child's leaves)
+            gi = jnp.arange(g)
+            ra = jnp.maximum(sel.root_action, 0)
+            okm = ok & (sel.root_action >= 0)
+            wo = jnp.where(okm[:, None],
+                           ev.weight[:, None] * ev.ownership, 0.0)
+            ss = ss._replace(
+                mo_sum=ss.mo_sum.at[gi, ra].add(wo),
+                mo_sq_sum=ss.mo_sq_sum.at[gi, ra].add(
+                    jnp.where(okm[:, None],
+                              ev.weight[:, None] * ev.ownership ** 2, 0.0)),
+                mo_weight=ss.mo_weight.at[gi, ra].add(
+                    jnp.where(okm, ev.weight, 0.0)))
         return (ss, rng), None
 
     (ss, rng), _ = jax.lax.scan(one_sim, (ss, rng), None, length=num_sims)
@@ -1958,6 +2009,13 @@ def collect_results(ss: SearchState) -> SearchResult:
             ss.own_sq_sum / jnp.maximum(ss.own_weight, 1e-10)[:, None]
             - (ss.own_sum
                / jnp.maximum(ss.own_weight, 1e-10)[:, None]) ** 2, 0.0)),
+        moves_ownership=ss.mo_sum
+        / jnp.maximum(ss.mo_weight, 1e-10)[..., None],
+        moves_ownership_stdev=jnp.sqrt(jnp.maximum(
+            ss.mo_sq_sum / jnp.maximum(ss.mo_weight, 1e-10)[..., None]
+            - (ss.mo_sum
+               / jnp.maximum(ss.mo_weight, 1e-10)[..., None]) ** 2, 0.0)),
+        moves_own_weight=ss.mo_weight,
     )
 
 
@@ -2055,7 +2113,8 @@ def run_search(model_apply: Callable, model_params: Any,
                sgf_meta=None,
                mirror=None,
                pattern_bonus=None,
-               feature_version: int = 7) -> SearchResult:
+               feature_version: int = 7,
+               track_moves_ownership: bool = False) -> SearchResult:
     """One-shot search: init + num_sims playouts + results. roots:
     GameState[G]. See init_search/run_playouts for the chunked API used by
     time-managed and streaming searches. mirror: optional anti-mirror
@@ -2070,26 +2129,24 @@ def run_search(model_apply: Callable, model_params: Any,
                      root_allowed_mask=root_allowed_mask,
                      root_num_symmetries=root_num_symmetries,
                      sgf_meta=sgf_meta, mirror=mirror,
-                     feature_version=feature_version)
+                     feature_version=feature_version,
+                     track_moves_ownership=track_moves_ownership)
     ss = run_playouts(model_apply, model_params, ss, sp, r_play, size=size,
                       num_sims=num_sims, max_depth=max_depth,
                       with_ladders=with_ladders, ladder_mode=ladder_mode,
                       max_visits=max_visits,
                       active_mask=active_mask, sgf_meta=sgf_meta,
                       mirror=mirror, pattern_bonus=pattern_bonus,
-                      feature_version=feature_version)
+                      feature_version=feature_version,
+                      track_moves_ownership=track_moves_ownership)
     return collect_results(ss)
 
 
-def _lcb_adjusted_selection_weights(result: SearchResult,
-                                    sp: SearchParamsArr) -> jax.Array:
-    """Per-game play-selection weights with the LCB bonus.
-
-    Search::getSelfUtilityLCBAndRadius + the useLcbForSelection adjustment
-    (searchhelpers.cpp:555-598, searchresults.cpp:206-240): the best-LCB
-    child (among those with enough weight) gets its selection weight raised
-    by the squared radius factor against every other child it dominates.
-    """
+def _child_lcb_radius(result: SearchResult, sp: SearchParamsArr):
+    """Per-root-child self-utility LCB + radius
+    (Search::getSelfUtilityLCBAndRadius, searchhelpers.cpp:555-598).
+    Returns (exists, good, w, self_u, radius, lcb) — all [G, A], lcb and
+    self_u in the MOVER's perspective."""
     tree = result.ss.tree
     children = tree.children[:, 0, :]                    # [G, A]
     exists = children >= 0
@@ -2123,7 +2180,58 @@ def _lcb_adjusted_selection_weights(result: SearchResult,
     radius = jnp.sqrt(var / jnp.maximum(ess2, 1e-10)) * sp.lcb_stdevs
     good = exists & (w > 0)
     lcb = jnp.where(good, self_u - radius, -radius_max)
+    return exists, good, w, self_u, radius, lcb
 
+
+def child_analysis_extras(result: SearchResult, sp: SearchParamsArr) -> dict:
+    """Reporting-only per-root-child stats for moveInfos
+    (searchresults.cpp getJson: lcb / utilityLcb / scoreStdev / weight).
+
+    Returns dict of [G, A] arrays: "weight" (subtree weight sum),
+    "utility_lcb" (WHITE-persp utility LCB, reference data.lcb),
+    "radius" (utility LCB radius), "lcb" (the hacked winrate LCB of
+    PlayUtils::getHackedLCBForWinrate, white-persp winrate scale), and
+    "score_stdev" (subtree score stdev, data.scoreStdev)."""
+    tree = result.ss.tree
+    exists, good, w, self_u, radius, lcb = _child_lcb_radius(result, sp)
+    pla = tree.pos.to_move[:, 0][:, None]
+    white_lcb = jnp.where(pla == B.WHITE, lcb, -lcb)
+
+    children = tree.children[:, 0, :]
+    c = jnp.maximum(children, 0)
+
+    def gat(arr):
+        return jnp.take_along_axis(arr, c, axis=1)
+
+    winv = 1.0 / jnp.maximum(w, 1e-10)
+    wl_avg = gat(tree.winloss_sum) * winv
+    sc_avg = gat(tree.score_mean_sum) * winv
+    scsq_avg = gat(tree.score_meansq_sum) * winv
+    score_stdev = jnp.sqrt(jnp.maximum(scsq_avg - sc_avg * sc_avg, 0.0))
+
+    # winrate-scale LCB (PlayUtils::getHackedLCBForWinrate,
+    # playutils.cpp:345-361): the utility radius scaled down by how much
+    # winrate matters within utility, applied in the mover's direction
+    hack = 0.5 * sp.win_loss_utility_factor / (
+        sp.win_loss_utility_factor + sp.static_score_utility_factor
+        + sp.dynamic_score_utility_factor + 1e-20)
+    winrate = 0.5 * (1.0 + wl_avg)
+    hacked = jnp.where(pla == B.WHITE, winrate - radius * hack,
+                       winrate + radius * hack)
+    return {"weight": w, "utility_lcb": white_lcb, "radius": radius,
+            "lcb": hacked, "score_stdev": score_stdev, "exists": good}
+
+
+def _lcb_adjusted_selection_weights(result: SearchResult,
+                                    sp: SearchParamsArr) -> jax.Array:
+    """Per-game play-selection weights with the LCB bonus.
+
+    Search::getSelfUtilityLCBAndRadius + the useLcbForSelection adjustment
+    (searchhelpers.cpp:555-598, searchresults.cpp:206-240): the best-LCB
+    child (among those with enough weight) gets its selection weight raised
+    by the squared radius factor against every other child it dominates.
+    """
+    exists, good, w, self_u, radius, lcb = _child_lcb_radius(result, sp)
     psv = w  # play-selection values are edge weights
     best_w = jnp.max(psv, axis=1, keepdims=True)
     eligible = good & (psv >= sp.min_visit_prop_for_lcb * best_w)

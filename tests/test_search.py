@@ -151,10 +151,10 @@ def test_dirichlet_noise_changes_prior():
     p2 = np.asarray(res_noise.root_policy_prior)
     assert not np.allclose(p1, p2)
     legal = p2 >= 0
-    # the pool stores priors at bfloat16 (mcts.POL_DT; the reference
-    # likewise stores reduced-precision f16 policy) — the renormalized
-    # sum carries that quantization
-    np.testing.assert_allclose(p2[legal].sum(), 1.0, rtol=4e-3)
+    # the pool stores priors at float16 (mcts.POL_DT; the reference
+    # likewise stores f16 policyProbs) — the renormalized sum carries
+    # that quantization
+    np.testing.assert_allclose(p2[legal].sum(), 1.0, rtol=6e-4)
 
 
 def test_superko_blocked_in_tree():
