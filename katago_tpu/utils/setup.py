@@ -115,6 +115,35 @@ def load_search_params(cfg: ConfigParser,
     return dataclasses.replace(params, **updates)
 
 
+def apply_overrides(params: SearchParams,
+                    overrides: dict) -> tuple[SearchParams, list]:
+    """Per-query `overrideSettings` -> SearchParams (the analysis
+    engine's arbitrary-SearchParams override path, analysis.cpp /
+    docs/Analysis_Engine.md `overrideSettings`). Accepts the same
+    camelCase keys as config files (_PARAM_KEYS) plus the
+    accepted-and-ignored machinery keys; returns (new_params,
+    unknown_keys). Values may be JSON numbers/bools or strings."""
+    updates = {}
+    unknown = []
+    for key, val in (overrides or {}).items():
+        field = _PARAM_KEYS.get(key)
+        if field is None:
+            if not any(key.startswith(p) for p in _IGNORED_PREFIXES):
+                unknown.append(key)
+            continue
+        current = getattr(params, field)
+        if isinstance(current, bool):
+            updates[field] = (val if isinstance(val, bool)
+                              else str(val).lower() in ("true", "1"))
+        elif isinstance(current, int):
+            updates[field] = int(val)
+        else:
+            updates[field] = float(val)
+    if updates:
+        params = dataclasses.replace(params, **updates)
+    return params, unknown
+
+
 def search_limits(cfg: ConfigParser) -> dict:
     """maxVisits / maxPlayouts / maxTime limits (setup.cpp)."""
     out = {}
