@@ -136,11 +136,90 @@ def main():
         "compile_s": round(compile_s, 1),
         "games": num_games,
         "visits": visits,
+        # BASELINE.json's second metric: board moves advanced per second
+        # (each timed search call is one move for every game)
+        "env_steps_per_s": round(num_games / dt, 2),
+    }))
+
+
+def main_fused():
+    """BENCH_MODE=fused: env-steps/s of the fused on-device
+    actor-learner (selfplay/fused.py) at the production config — the
+    BASELINE.json north-star loop. One fused_step = moves_per_chunk
+    moves for every game (each a full `visits`-playout search) plus one
+    learner gradient step from the device replay ring."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from katago_tpu.models import config as MC
+    from katago_tpu.models.model import KataGoModel
+    from katago_tpu.parallel.mesh import setup_accelerator_dispatch
+    from katago_tpu.selfplay import fused as FU
+
+    accel = setup_accelerator_dispatch()
+    quick = os.environ.get("BENCH_QUICK", "") not in ("", "0")
+    if quick:
+        size, cfg_name, num_games, visits = 9, "b6c96", 64, 64
+    else:
+        size, cfg_name, num_games, visits = 19, "b18c384nbt", 128, 600
+    visits = int(os.environ.get("BENCH_VISITS", visits))
+    num_games = int(os.environ.get("BENCH_GAMES", num_games))
+    moves = int(os.environ.get("BENCH_MOVES_PER_CHUNK", 2))
+    batch = int(os.environ.get("BENCH_TRAIN_BATCH", 64))
+
+    cfg = MC.get_config(cfg_name)
+    model = KataGoModel(cfg, pos_len=size, dtype=jnp.bfloat16)
+    spatial = jnp.zeros((num_games, size, size, 22), jnp.float32)
+    glob = jnp.zeros((num_games, 19), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), spatial, glob)
+    opt = optax.sgd(1e-3, momentum=0.9)
+    opt_state = opt.init(params)
+
+    step = jax.jit(FU.make_fused_step(
+        model.apply, opt, size=size, visits=visits, batch_size=batch,
+        moves_per_chunk=moves))
+    games = FU.new_games(size, num_games)
+    replay = FU.ReplayRing.create(max(4 * num_games * moves, 4096), size)
+    params, opt_state, games, replay = jax.device_put(
+        (params, opt_state, games, replay), accel)
+    rng = jax.device_put(jax.random.PRNGKey(0), accel)
+
+    t0 = time.time()
+    rng, r = jax.random.split(rng)
+    params, opt_state, games, replay, metrics = step(
+        params, opt_state, games, replay, r)
+    _ = float(np.asarray(metrics["loss"]))
+    compile_s = time.time() - t0
+
+    iters = 2
+    t0 = time.time()
+    for _ in range(iters):
+        rng, r = jax.random.split(rng)
+        params, opt_state, games, replay, metrics = step(
+            params, opt_state, games, replay, r)
+    loss = float(np.asarray(metrics["loss"]))
+    dt = (time.time() - t0) / iters
+
+    env_steps = num_games * moves / dt
+    print(json.dumps({
+        "metric": ("fused_env_steps_per_s_per_chip_"
+                   + ("9x9_b6c96" if quick else "19x19_b18c384")),
+        "value": round(env_steps, 2),
+        "unit": "env-steps/s",
+        "vs_baseline": -1,
+        "compile_s": round(compile_s, 1),
+        "playouts_per_s": round(env_steps * visits, 1),
+        "train_steps_per_s": round(1.0 / dt, 3),
+        "games": num_games, "visits": visits, "loss": round(loss, 4),
     }))
 
 
 def main_with_fallback():
     """Attempt configurations in a child; fall back ladders-on -> off."""
+    if os.environ.get("BENCH_MODE", "") == "fused":
+        main_fused()
+        return
     if (os.environ.get("BENCH_CHILD") or os.environ.get("BENCH_QUICK")
             or os.environ.get("BENCH_NO_LADDERS")):
         main()

@@ -1394,6 +1394,8 @@ class SearchResult(NamedTuple):
                                  # track_moves_ownership)
     moves_ownership_stdev: jax.Array  # f32[G, A, NN]
     moves_own_weight: jax.Array  # f32[G, A] subtree eval weight per move
+    root_score_stdev: jax.Array  # f32[G] subtree score stdev
+                                 # (expectedScoreStdev, searchresults.cpp)
 
 
 def init_search(model_apply: Callable, model_params: Any,
@@ -2016,6 +2018,9 @@ def collect_results(ss: SearchState) -> SearchResult:
             - (ss.mo_sum
                / jnp.maximum(ss.mo_weight, 1e-10)[..., None]) ** 2, 0.0)),
         moves_own_weight=ss.mo_weight,
+        root_score_stdev=jnp.sqrt(jnp.maximum(
+            tree.score_meansq_sum[:, 0] / root_w
+            - (tree.score_mean_sum[:, 0] / root_w) ** 2, 0.0)),
     )
 
 

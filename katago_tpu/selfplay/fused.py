@@ -20,13 +20,17 @@ into device programs sharing a DEVICE-RESIDENT replay ring:
     shards between actor and learner meshes is the disaggregated
     alternative and composes with the same ring).
 
-Targets on this path are the on-device ones: visit-count policy
-distributions and the search root's value/score as TD(0)-style
-bootstraps (the root value of a `visits`-playout search). The reference
-trains on final game outcomes mixed with TD targets
-(trainingwrite.cpp); the file-based pipeline (selfplay/loop.py +
-dataio/trainingwrite.py) remains the full-fidelity reference-parity
-path, while this loop trades target richness for zero host involvement.
+Targets on this path are the on-device ones, all already computed by the
+batched search: visit-count policy distributions, the search root's
+value / score / lead / score-stdev as TD(0)-style bootstraps, and the
+tree-averaged root ownership. Loss forms and scales mirror the
+file-based trainer's (train/losses.py: value CE 1.20, ownership BCE
+1.5, scoremean/lead/scorestdev hubers at 0.0015/0.0060/0.001). What
+this path still trades away vs dataio/trainingwrite.py: final-outcome
+value mixing, the full score-belief CDF/PDF histograms, seki/futurepos
+targets, and multi-horizon TD values — the file-based pipeline
+(selfplay/loop.py + train/) remains the full-fidelity reference-parity
+path, while this loop removes every host round-trip.
 """
 
 from __future__ import annotations
@@ -52,7 +56,10 @@ class ReplayRing(NamedTuple):
     glob: jax.Array          # f32[CAP, C_GL]
     policy: jax.Array        # f32[CAP, A] visit-count distribution
     value: jax.Array         # f32[CAP, 3] win/loss/noresult (mover persp)
-    score: jax.Array         # f32[CAP] white score-mean bootstrap
+    score: jax.Array         # f32[CAP] MOVER-persp score-mean bootstrap
+    lead: jax.Array          # f32[CAP] mover-persp lead bootstrap
+    score_stdev: jax.Array   # f32[CAP] subtree score stdev
+    ownership: jax.Array     # f32[CAP, NN] mover-persp tree-avg ownership
     cursor: jax.Array        # i32 next write slot
     filled: jax.Array        # i32 rows ever written (saturates at CAP)
 
@@ -65,6 +72,9 @@ class ReplayRing(NamedTuple):
             policy=jnp.zeros((capacity, nn + 1), jnp.float32),
             value=jnp.zeros((capacity, 3), jnp.float32),
             score=jnp.zeros((capacity,), jnp.float32),
+            lead=jnp.zeros((capacity,), jnp.float32),
+            score_stdev=jnp.zeros((capacity,), jnp.float32),
+            ownership=jnp.zeros((capacity, nn), jnp.float32),
             cursor=jnp.int32(0),
             filled=jnp.int32(0),
         )
@@ -108,10 +118,16 @@ def make_actor_chunk(model_apply: Callable, *, size: int, visits: int,
         pol_t = cv / jnp.maximum(jnp.sum(cv, axis=1, keepdims=True), 1.0)
         wl_white = res.root_winloss                        # [G]
         is_white = games.pos.to_move == 2
-        wl_mover = jnp.where(is_white, wl_white, -wl_white)
+        flip = jnp.where(is_white, 1.0, -1.0)
+        wl_mover = flip * wl_white
         p_win = jnp.clip(0.5 * (1.0 + wl_mover), 0.0, 1.0)
         val_t = jnp.stack([p_win, 1.0 - p_win, jnp.zeros_like(p_win)],
                           axis=1)
+        # mover-perspective regression targets (the net's heads predict
+        # from the mover's view; root_* results are white-persp)
+        score_t = flip * res.root_score_mean
+        lead_t = flip * res.root_lead
+        own_t = flip[:, None] * res.root_ownership
         cap = replay.spatial.shape[0]
         live = ~games.pos.game_over
         # compact live games onto consecutive ring slots (dead games must
@@ -130,7 +146,11 @@ def make_actor_chunk(model_apply: Callable, *, size: int, visits: int,
             glob=ring_write(replay.glob, gl_feat),
             policy=ring_write(replay.policy, pol_t),
             value=ring_write(replay.value, val_t),
-            score=ring_write(replay.score, res.root_score_mean),
+            score=ring_write(replay.score, score_t),
+            lead=ring_write(replay.lead, lead_t),
+            score_stdev=ring_write(replay.score_stdev,
+                                   res.root_score_stdev),
+            ownership=ring_write(replay.ownership, own_t),
             cursor=(replay.cursor
                     + jnp.sum(live.astype(jnp.int32))) % cap,
             filled=jnp.minimum(
@@ -174,19 +194,40 @@ def make_learner_step(model_apply: Callable, optimizer,
     the gradient psum (inserted by XLA from the replicated-params /
     sharded-batch layout) is the only collective."""
 
+    def huber(x, t, d):
+        e = x - t
+        a = jnp.abs(e)
+        return jnp.where(a <= d, 0.5 * e * e, d * (a - 0.5 * d))
+
     def loss_fn(params, batch):
         size = int(batch["spatial"].shape[1] ** 0.5)
+        nn = size * size
         out = model_apply(params, batch["spatial"].reshape(
             batch["spatial"].shape[0], size, size, -1), batch["glob"])
+        # loss forms/scales mirror train/losses.py (metrics_pytorch):
         logp = jax.nn.log_softmax(out["policy_logits"][:, 0, :], axis=-1)
         pol_loss = -jnp.mean(jnp.sum(batch["policy"] * logp, axis=-1))
         logv = jax.nn.log_softmax(out["value_logits"], axis=-1)
-        val_loss = -jnp.mean(jnp.sum(batch["value"] * logv, axis=-1)) * 1.5
-        score_pred = out["miscvalue"][:, 0] * 20.0
-        sc_loss = jnp.mean((score_pred - batch["score"]) ** 2) * 0.0004
-        loss = pol_loss + val_loss + sc_loss
+        val_loss = -jnp.mean(jnp.sum(batch["value"] * logv, axis=-1)) * 1.20
+        mv = out["miscvalue"]
+        sc_loss = 0.0015 * jnp.mean(
+            huber(mv[:, 0] * 20.0, batch["score"], 12.0))
+        lead_loss = 0.0060 * jnp.mean(
+            huber(mv[:, 2] * 20.0, batch["lead"], 8.0))
+        stdev_loss = 0.001 * jnp.mean(
+            huber(jax.nn.softplus(mv[:, 1]) * 20.0,
+                  batch["score_stdev"], 10.0))
+        own_logits = out["ownership_pretanh"].reshape(-1, nn) * 2.0
+        own_probs = (1.0 + batch["ownership"]) * 0.5
+        own_bce = own_probs * jax.nn.log_sigmoid(own_logits) + \
+            (1.0 - own_probs) * jax.nn.log_sigmoid(-own_logits)
+        own_loss = 1.5 * jnp.mean(jnp.sum(-own_bce, axis=1) / nn)
+        loss = (pol_loss + val_loss + sc_loss + lead_loss + stdev_loss
+                + own_loss)
         return loss, {"loss": loss, "policy_loss": pol_loss,
-                      "value_loss": val_loss, "score_loss": sc_loss}
+                      "value_loss": val_loss, "score_loss": sc_loss,
+                      "lead_loss": lead_loss, "scorestdev_loss": stdev_loss,
+                      "ownership_loss": own_loss}
 
     def learner_step(params, opt_state, replay: ReplayRing, rng):
         hi = jnp.maximum(replay.filled, 1)
@@ -198,6 +239,9 @@ def make_learner_step(model_apply: Callable, optimizer,
             "policy": replay.policy[idx],
             "value": replay.value[idx],
             "score": replay.score[idx],
+            "lead": replay.lead[idx],
+            "score_stdev": replay.score_stdev[idx],
+            "ownership": replay.ownership[idx],
         }
         (_, metrics), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params, batch)
@@ -232,11 +276,25 @@ def make_fused_step(model_apply: Callable, optimizer, *, size: int,
 
 
 def new_games(size: int, num_games: int, rules: R.Rules | None = None,
-              max_moves: int | None = None) -> H.GameState:
-    """[G]-batch of fresh games for the actor stream."""
+              max_moves: int | None = None,
+              komi_stdev: float = 0.0,
+              rng: jax.Array | None = None) -> H.GameState:
+    """[G]-batch of fresh games for the actor stream.
+
+    komi_stdev > 0 draws each game's komi from a rounded normal around
+    the base komi — the fused-path slice of gameinit's komi
+    randomization (selfplay/gameinit.py komiStdev, play.cpp); restart
+    rows inside actor_chunk keep each game's randomized rules row."""
     rules = rules or R.Rules.tromp_taylorish()
     nn = size * size
     max_hist = (max_moves or int(nn * 1.6) + 20) + 8
     gs = H.new_game(size, H.RulesArr.from_rules(rules), max_hist=max_hist)
-    return jax.tree.map(
+    games = jax.tree.map(
         lambda x: jnp.broadcast_to(x, (num_games,) + x.shape).copy(), gs)
+    if komi_stdev > 0.0:
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        jitter = jax.random.normal(rng, (num_games,)) * komi_stdev
+        komi = rules.komi + jnp.round(jitter * 2.0) / 2.0
+        games = games._replace(rules=games.rules._replace(komi=komi))
+    return games
