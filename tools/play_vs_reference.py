@@ -87,16 +87,34 @@ def build_our_engine(model: str, size: int, komi: float, visits: int):
                      allow_resignation=False, anti_mirror=False)
 
 
+def random_opening(rng: np.random.Generator, size: int,
+                   n_moves: int = 4) -> list[int]:
+    """Seeded random opening (distinct interior points) — both engines
+    are deterministic here (fixed seeds, no noise), so game pairs need
+    injected variety; the same opening is replayed with colors swapped
+    (the reference match's sameness-avoidance via openings)."""
+    pts = [y * size + x
+           for y in range(1, size - 1) for x in range(1, size - 1)]
+    return [int(p) for p in rng.choice(pts, size=n_moves, replace=False)]
+
+
 def play_game(our, ref: RefGtp, our_is_black: bool, size: int,
-              max_moves: int) -> tuple[float, int]:
+              max_moves: int, opening: list[int] | None = None
+              ) -> tuple[float, int]:
     """Returns (result for OUR side: 1 win, 0 loss, 0.5 draw, moves)."""
     from katago_tpu.cli.gtp import loc_to_gtp, gtp_to_loc
     from katago_tpu.game import board as B
 
     our.clear_board()
     ref.send("clear_board")
+    for i, loc in enumerate(opening or []):
+        pla = B.BLACK if i % 2 == 0 else B.WHITE
+        pla_s = "b" if i % 2 == 0 else "w"
+        our.play(pla, loc)
+        ref.send(f"play {pla_s} {loc_to_gtp(loc, size, size, size)}")
     passes = 0
-    for turn in range(max_moves):
+    start = len(opening or [])
+    for turn in range(start, max_moves):
         black_turn = (turn % 2 == 0)
         pla = B.BLACK if black_turn else B.WHITE
         pla_s = "b" if black_turn else "w"
@@ -121,7 +139,15 @@ def play_game(our, ref: RefGtp, our_is_black: bool, size: int,
     s = float(score)
     ours_score = "0" if s == 0 else (f"W+{s:g}" if s > 0 else f"B+{-s:g}")
     refs_score = ref.send("final_score")
-    if ours_score != refs_score:
+
+    def norm(sc):
+        sc = sc.strip().upper()
+        if sc in ("0", "DRAW"):
+            return "0"
+        side, _, num = sc.partition("+")
+        return f"{side}+{float(num):g}"
+
+    if norm(ours_score) != norm(refs_score):
         print(f"  [scorer disagreement ours={ours_score} "
               f"ref={refs_score}] using ref", file=sys.stderr)
         ours_score = refs_score
@@ -147,17 +173,21 @@ def main():
     from katago_tpu.utils.elo import estimate_elo
 
     our = build_our_engine(args.model, args.size, args.komi, args.visits)
+    # one persistent reference process; clear_board between games (the
+    # per-game nnRandSeed doesn't matter with nnRandomize=false)
+    ref = RefGtp(args.katago, args.model, args.visits, args.size,
+                 args.komi, seed="match")
     wins = losses = draws = 0
     t0 = time.time()
+    rng = np.random.Generator(np.random.PCG64(12345))
+    opening = None
     for g in range(args.games):
         our_is_black = (g % 2 == 0)
-        ref = RefGtp(args.katago, args.model, args.visits, args.size,
-                     args.komi, seed=f"match{g}")
-        try:
-            r, moves = play_game(our, ref, our_is_black, args.size,
-                                 max_moves=3 * args.size * args.size)
-        finally:
-            ref.close()
+        if g % 2 == 0:   # fresh opening per color-swapped pair
+            opening = random_opening(rng, args.size)
+        r, moves = play_game(our, ref, our_is_black, args.size,
+                             max_moves=3 * args.size * args.size,
+                             opening=opening)
         if r == 1.0:
             wins += 1
         elif r == 0.0:
@@ -167,6 +197,7 @@ def main():
         print(f"game {g}: our_is_black={our_is_black} result={r} "
               f"moves={moves} | W-L-D {wins}-{losses}-{draws} "
               f"({time.time() - t0:.0f}s)", file=sys.stderr)
+    ref.close()
     elo, stdev = estimate_elo(wins, losses, draws)
     summary = {
         "games": args.games, "size": args.size, "visits": args.visits,
