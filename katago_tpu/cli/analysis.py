@@ -78,6 +78,19 @@ class AnalysisEngine:
         self._profile_cache: dict = {}
         self._rng = jax.random.PRNGKey(0)
         self._seq = 0
+        # Cross-search eval cache, TPU-native form: the reference keeps a
+        # persistent per-position table of prior-search values that seeds
+        # unexplored moves in later searches (search/evalcache.{h,cpp},
+        # searchparams.h:120-122). In the batched array engine the search
+        # TREE is that table — so the cache holds recent searches' device
+        # trees keyed by root position hash, and a repeat query warm
+        # starts from the cached tree (its visits count toward maxVisits,
+        # so an exact repeat returns without new playouts). LRU-bounded;
+        # cleared by the clear_cache action.
+        self.tree_cache_size = 8
+        self._tree_cache: dict = {}   # (hash, size, pool) -> Tree
+        self._tree_cache_hits = 0
+        self._tree_cache_misses = 0
 
     # -- compiled searches -------------------------------------------------
 
@@ -166,6 +179,7 @@ class AnalysisEngine:
             return [{"id": req.get("id"), "action": "query_version",
                      "version": VERSION, "git_hash": ""}]
         if action == "clear_cache":
+            self._tree_cache.clear()
             return [{"id": req.get("id"), "action": "clear_cache"}]
         if action in ("terminate", "terminate_all"):
             return [{"id": req.get("id"), "action": action}]
@@ -367,8 +381,47 @@ class AnalysisEngine:
                     mask[0, l] = True
             for l in avoid:
                 mask[0, l] = False
+        # cross-search tree cache (see __init__): exact-position repeat
+        # queries warm start from the cached device tree
+        cache_key = None
+        cached_tree = None
+        # moves-ownership accumulates during playouts, so a warm-started
+        # search that needs no new playouts couldn't report it — skip
+        # the cache for those queries
+        if mask is None and not mo and self.tree_cache_size > 0:
+            cache_key = (self._position_hashes(state, size)[0], size)
+            cached_tree = self._tree_cache.get(cache_key)
+            if cached_tree is not None and \
+                    cached_tree.visits.shape[1] > visits + 3:
+                cached_tree = None   # pool bigger than this query's driver
+            if cached_tree is not None:
+                self._tree_cache_hits += 1
+                import sys as _sys
+                print(f"evalcache hit {cache_key[0][:8]} "
+                      f"(cached visits "
+                      f"{int(np.asarray(cached_tree.visits[0, 0]))}, "
+                      f"hits {self._tree_cache_hits} misses "
+                      f"{self._tree_cache_misses})", file=_sys.stderr)
+            else:
+                self._tree_cache_misses += 1
+
         report_every = task["report_every"]
-        if report_every is not None and emit is not None:
+        if cached_tree is not None:
+            driver = self._driver(size, visits)
+
+            def cb(partial, elapsed, _turn=turn, _state=state):
+                if report_every is None or emit is None:
+                    return
+                resp = self._response(rid, _turn, _state, partial, task)
+                resp["isDuringSearch"] = True
+                emit(resp)
+
+            res = driver.search(
+                roots, sub, max_visits=visits, prev_tree=cached_tree,
+                callback=cb if report_every is not None else None,
+                callback_interval=float(report_every or 1.0),
+                sp=sp_arr, track_moves_ownership=mo)
+        elif report_every is not None and emit is not None:
             # streaming partial reports through the chunked driver
             driver = self._driver(size, visits)
             first_after = float(task["first_report_after"] or 0.0)
@@ -395,6 +448,11 @@ class AnalysisEngine:
             res = self._search_fn(size, visits, mo=mo,
                                   profile=task["profile"])(
                 sp_arr, roots, sub)
+        if cache_key is not None:
+            self._tree_cache.pop(cache_key, None)
+            self._tree_cache[cache_key] = res.ss.tree
+            while len(self._tree_cache) > self.tree_cache_size:
+                self._tree_cache.pop(next(iter(self._tree_cache)))
         resp = self._response(rid, turn, state, res, task)
         if report_every is not None:
             resp["isDuringSearch"] = False

@@ -115,6 +115,58 @@ _register(ModelConfig(
     v2_size=80, sbv2_num_channels=64, num_scorebeliefs=6,
 ))
 
+# The historical conv run ladder (modelconfigs.py b15c192..b60c320: the
+# g170/g104 run shapes — 15-block gpools at 7/12, larger ones every 5th
+# block starting at 6)
+_register(ModelConfig(
+    name="b15c192", trunk_num_channels=192, mid_num_channels=192,
+    gpool_num_channels=64,
+    block_kind=_blocks([("regular", 6), ("regulargpool", 1), ("regular", 4),
+                        ("regulargpool", 1), ("regular", 3)]),
+    p1_num_channels=32, g1_num_channels=32, v1_num_channels=32,
+    v2_size=96, sbv2_num_channels=80, num_scorebeliefs=8,
+))
+
+_register(ModelConfig(
+    name="b20c256", trunk_num_channels=256, mid_num_channels=256,
+    gpool_num_channels=64,
+    block_kind=_blocks([("regular", 6), ("regulargpool", 1), ("regular", 4),
+                        ("regulargpool", 1), ("regular", 4),
+                        ("regulargpool", 1), ("regular", 3)]),
+    p1_num_channels=48, g1_num_channels=48, v1_num_channels=48,
+    v2_size=112, sbv2_num_channels=96, num_scorebeliefs=8,
+))
+
+_register(ModelConfig(
+    name="b30c320", trunk_num_channels=320, mid_num_channels=320,
+    gpool_num_channels=96,
+    block_kind=_blocks([("regular", 5), ("regulargpool", 1)]
+                       + [("regular", 4), ("regulargpool", 1)] * 4
+                       + [("regular", 4)]),
+    p1_num_channels=48, g1_num_channels=48, v1_num_channels=96,
+    v2_size=128, sbv2_num_channels=112, num_scorebeliefs=8,
+))
+
+_register(ModelConfig(
+    name="b40c256", trunk_num_channels=256, mid_num_channels=256,
+    gpool_num_channels=64,
+    block_kind=_blocks([("regular", 5), ("regulargpool", 1)]
+                       + [("regular", 4), ("regulargpool", 1)] * 6
+                       + [("regular", 4)]),
+    p1_num_channels=48, g1_num_channels=48, v1_num_channels=96,
+    v2_size=128, sbv2_num_channels=112, num_scorebeliefs=8,
+))
+
+_register(ModelConfig(
+    name="b60c320", trunk_num_channels=320, mid_num_channels=320,
+    gpool_num_channels=96,
+    block_kind=_blocks([("regular", 5), ("regulargpool", 1)]
+                       + [("regular", 4), ("regulargpool", 1)] * 10
+                       + [("regular", 4)]),
+    p1_num_channels=64, g1_num_channels=64, v1_num_channels=96,
+    v2_size=144, sbv2_num_channels=128, num_scorebeliefs=8,
+))
+
 _register(ModelConfig(
     name="b5c192nbt", trunk_num_channels=192, mid_num_channels=96,
     gpool_num_channels=32,
@@ -123,6 +175,34 @@ _register(ModelConfig(
                         ("bottlenest2", 1)]),
     p1_num_channels=32, g1_num_channels=32, v1_num_channels=32,
     v2_size=64, sbv2_num_channels=64, num_scorebeliefs=6,
+))
+
+# The nbt ladder (modelconfigs.py: gpool every 3rd block)
+_register(ModelConfig(
+    name="b8c192nbt", trunk_num_channels=192, mid_num_channels=96,
+    gpool_num_channels=32,
+    block_kind=_blocks([("bottlenest2", 2), ("bottlenest2gpool", 1)] * 2
+                       + [("bottlenest2", 2)]),
+    p1_num_channels=32, g1_num_channels=32, v1_num_channels=32,
+    v2_size=80, sbv2_num_channels=64, num_scorebeliefs=6,
+))
+
+_register(ModelConfig(
+    name="b10c256nbt", trunk_num_channels=256, mid_num_channels=128,
+    gpool_num_channels=64,
+    block_kind=_blocks([("bottlenest2", 2), ("bottlenest2gpool", 1)] * 3
+                       + [("bottlenest2", 1)]),
+    p1_num_channels=32, g1_num_channels=32, v1_num_channels=32,
+    v2_size=96, sbv2_num_channels=80, num_scorebeliefs=8,
+))
+
+_register(ModelConfig(
+    name="b10c384nbt", trunk_num_channels=384, mid_num_channels=192,
+    gpool_num_channels=64,
+    block_kind=_blocks([("bottlenest2", 2), ("bottlenest2gpool", 1)] * 3
+                       + [("bottlenest2", 1)]),
+    p1_num_channels=48, g1_num_channels=48, v1_num_channels=48,
+    v2_size=112, sbv2_num_channels=96, num_scorebeliefs=8,
 ))
 
 # Recommended best config at AlphaGoZero cost (modelconfigs.py "b18c384nbt")
@@ -136,12 +216,39 @@ _register(ModelConfig(
 ))
 
 _register(ModelConfig(
+    name="b20c640nbt", trunk_num_channels=640, mid_num_channels=320,
+    gpool_num_channels=96,
+    block_kind=_blocks([("bottlenest2", 2), ("bottlenest2gpool", 1)] * 6
+                       + [("bottlenest2", 2)]),
+    p1_num_channels=64, g1_num_channels=64, v1_num_channels=96,
+    v2_size=144, sbv2_num_channels=128, num_scorebeliefs=8,
+))
+
+_register(ModelConfig(
     name="b28c512nbt", trunk_num_channels=512, mid_num_channels=256,
     gpool_num_channels=64,
     block_kind=_blocks([("bottlenest2", 2), ("bottlenest2gpool", 1)] * 8
                        + [("bottlenest2", 4)]),
     p1_num_channels=64, g1_num_channels=64, v1_num_channels=128,
     v2_size=144, sbv2_num_channels=128, num_scorebeliefs=8,
+))
+
+_register(ModelConfig(
+    name="b32c448nbt", trunk_num_channels=448, mid_num_channels=224,
+    gpool_num_channels=64,
+    block_kind=_blocks([("bottlenest2", 2), ("bottlenest2gpool", 1)] * 10
+                       + [("bottlenest2", 2)]),
+    p1_num_channels=64, g1_num_channels=64, v1_num_channels=96,
+    v2_size=144, sbv2_num_channels=128, num_scorebeliefs=8,
+))
+
+_register(ModelConfig(
+    name="b40c768nbt", trunk_num_channels=768, mid_num_channels=384,
+    gpool_num_channels=128,
+    block_kind=_blocks([("bottlenest2", 2), ("bottlenest2gpool", 1)] * 13
+                       + [("bottlenest2", 1)]),
+    p1_num_channels=128, g1_num_channels=128, v1_num_channels=256,
+    v2_size=256, sbv2_num_channels=256, num_scorebeliefs=8,
 ))
 
 

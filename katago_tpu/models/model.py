@@ -326,6 +326,10 @@ class TransformerAttentionBlock(nn.Module):
         logits = jnp.where(key_mask > 0, logits, -1e30)
         att = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(
             self.dtype)
+        # retrievable by apply(..., mutable=["intermediates"]) — the
+        # attention-map visualizer (tools/visualize_attention.py, the
+        # reference's visualize_transformer_attention.py); free otherwise
+        self.sow("intermediates", "attention", att.astype(jnp.float32))
         out = jnp.einsum("bhqk,bkhd->bqhd", att, v).reshape(b, s,
                                                             n_heads * v_dim)
         out = dense(c, "out_proj")(out)

@@ -14,6 +14,7 @@ parallelism — matching how the reference scales (SURVEY.md 2.11 table).
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 import jax
@@ -99,10 +100,26 @@ def setup_accelerator_dispatch():
     explicitly device_put there (jit follows committed argument devices).
 
     Returns the accelerator device (or the CPU if none is present).
+
+    Also enables the persistent XLA compilation cache for accelerator
+    runs (KATAGO_TPU_COMPILE_CACHE overrides the location; empty string
+    disables). A warm cache turns the headline bench's ~150s first
+    compile into a disk load. The cache stays OFF on CPU-only runs: the
+    CPU AOT loader records stricter machine features than the host
+    reports and SIGILLs on reload (tests/conftest.py note).
     """
     cpus = jax.devices("cpu")
     accels = [d for d in jax.devices() if d.platform != "cpu"]
     if accels:
         jax.config.update("jax_default_device", cpus[0])
+        cache_dir = os.environ.get("KATAGO_TPU_COMPILE_CACHE",
+                                   "/tmp/katago_tpu_xla_cache")
+        if cache_dir:
+            try:
+                jax.config.update("jax_compilation_cache_dir", cache_dir)
+                jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                                  2.0)
+            except Exception:  # noqa: BLE001 — older jax without the knob
+                pass
         return accels[0]
     return cpus[0]
