@@ -49,6 +49,12 @@ class ModelConfig:
     transformer_kv_heads: int = 0
     attention_qk_norm: bool = False
     rope_theta: float = 100.0
+    # Geometric Attention Bias (modelconfigs.py b5c384h6nbttfgabs)
+    gab_num_templates: int = 48
+    gab_num_fourier_features: int = 16
+    gab_mlp_hidden: int = 128
+    gab_d1: int = 32
+    gab_d2: int = 32
 
     @property
     def num_policy_outputs(self) -> int:
@@ -281,6 +287,29 @@ _register(ModelConfig(
     block_kind=tuple(k for _ in range(7) for k in ("attnrope", "ffnsg")),
     p1_num_channels=32, g1_num_channels=32, v1_num_channels=32,
     v2_size=64, sbv2_num_channels=48, num_scorebeliefs=4,
+))
+
+# nested-bottleneck transformer hybrids (modelconfigs.py b5c384h6nbttflrs
+# / b5c384h6nbttfgabs): conv 1x1 sandwich around RoPE- or GAB-positioned
+# attention+SwiGLU pairs at mid width
+_register(ModelConfig(
+    name="b5c384h6nbttflrs", version=17, trunk_num_channels=384,
+    mid_num_channels=192, gpool_num_channels=32,
+    transformer_ffn_channels=512, transformer_heads=6,
+    transformer_kv_heads=6,
+    block_kind=("bottlenest2transformerropesg",) * 5,
+    p1_num_channels=32, g1_num_channels=32, v1_num_channels=32,
+    v2_size=96, sbv2_num_channels=80, num_scorebeliefs=8,
+))
+
+_register(ModelConfig(
+    name="b5c384h6nbttfgabs", version=17, trunk_num_channels=384,
+    mid_num_channels=192, gpool_num_channels=32,
+    transformer_ffn_channels=512, transformer_heads=6,
+    transformer_kv_heads=6,
+    block_kind=("bottlenest2transformergabsg",) * 5,
+    p1_num_channels=32, g1_num_channels=32, v1_num_channels=32,
+    v2_size=96, sbv2_num_channels=80, num_scorebeliefs=8,
 ))
 
 

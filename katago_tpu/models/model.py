@@ -275,20 +275,60 @@ def apply_rope(q, k, cos, sin):
     return q2.astype(q.dtype), k2.astype(k.dtype)
 
 
+class GABTemplates(nn.Module):
+    """Geometric Attention Bias template MLP (GABTemplateMLP,
+    model_pytorch.py:1423-1470): learnable Fourier frequencies over the
+    relative offsets (dr, dc, dr+dc, dr-dc) -> MLP -> T translational
+    bias templates [S, S, T], shared by every GAB attention block."""
+    cfg: ModelConfig
+    pos_len: int
+
+    @nn.compact
+    def __call__(self, s: int):
+        cfg = self.cfg
+        F = cfg.gab_num_fourier_features
+        T = cfg.gab_num_templates
+        # geometric init 1 rad/square .. 1/50 rad/square
+        freqs = self.param(
+            "freqs", lambda _: jnp.exp(jnp.linspace(
+                math.log(1.0), math.log(1.0 / 50.0), F)), )
+        idx = np.arange(self.pos_len * self.pos_len)
+        sr, sc = idx // self.pos_len, idx % self.pos_len
+        dr = jnp.asarray((sr[:, None] - sr[None, :]).astype(np.float32))
+        dc = jnp.asarray((sc[:, None] - sc[None, :]).astype(np.float32))
+        dr, dc = dr[:s, :s], dc[:s, :s]
+        combos = jnp.stack([dr, dc, dr + dc, dr - dc], -1)   # [S,S,4]
+        ang = combos[..., None] * freqs                      # [S,S,4,F]
+        feats = jnp.concatenate(
+            [jnp.sin(ang), jnp.cos(ang)], axis=-1).reshape(s, s, 8 * F)
+        h_ = nn.Dense(cfg.gab_mlp_hidden, name="linear1",
+                      kernel_init=katago_init(cfg.activation, 1.0))(feats)
+        h_ = act_fn(cfg.activation)(h_)
+        t = nn.Dense(T, name="linear2",
+                     kernel_init=katago_init("identity", 1.0))(h_)
+        return t / math.sqrt(T)                              # [S,S,T]
+
+
 class TransformerAttentionBlock(nn.Module):
     """v17 attention half-block (TransformerAttentionBlock,
     model_pytorch.py:2079): RMSNorm -> GQA projections -> 2D RoPE ->
     masked attention over board positions -> out projection. Returns the
-    residual (caller adds to the trunk). GAB/TAB template attention and
-    learnable RoPE are follow-ups; the core RoPE path matches "attnrope".
+    residual (caller adds to the trunk).
+
+    use_gab + gab_templates: Geometric Attention Bias — per-head mixtures
+    of the shared translational templates, chosen from the pooled board
+    state, added to the attention logits (_compute_gab_bias,
+    model_pytorch.py:2208-2281). TAB (input-dependent factored
+    templates) remains on the gap list.
     """
     cfg: ModelConfig
     pos_len: int
     use_rope: bool = True
+    use_gab: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask, mask_sum_hw):
+    def __call__(self, x, mask, mask_sum_hw, gab_templates=None):
         cfg = self.cfg
         b, h, w, c = x.shape
         s = h * w
@@ -322,6 +362,30 @@ class TransformerAttentionBlock(nn.Module):
 
         # masked attention: off-board keys excluded
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(q_dim)
+        if self.use_gab:
+            assert gab_templates is not None, \
+                "GAB block needs the shared template tensor"
+            cfg_ = self.cfg
+            y = nn.Dense(cfg_.gab_d1, use_bias=False, name="gab_proj1",
+                         dtype=self.dtype)(xn)                 # [B,S,d1]
+            mflat = mask.reshape(b, s, 1)
+            pooled = jnp.sum(y * mflat, axis=1) / \
+                mask_sum_hw.reshape(b, 1)                      # [B,d1]
+            z = nn.Dense(cfg_.gab_d2, use_bias=False, name="gab_proj2",
+                         dtype=self.dtype)(pooled)
+            z = act_fn(cfg_.activation)(z)
+            z = RMSNorm(cfg_.gab_d2, name="gab_norm1")(z)
+            z = nn.Dense(n_heads * cfg_.gab_num_templates,
+                         use_bias=False, name="gab_proj3",
+                         dtype=self.dtype)(z)
+            z = act_fn(cfg_.activation)(z)
+            z = RMSNorm(n_heads * cfg_.gab_num_templates,
+                        name="gab_norm2")(z)
+            z = z.reshape(b, n_heads, cfg_.gab_num_templates)
+            bias = jnp.einsum("bhd,std->bhst",
+                              z.astype(jnp.float32),
+                              gab_templates.astype(jnp.float32))
+            logits = logits + bias.astype(logits.dtype)
         key_mask = mask.reshape(b, 1, 1, s)
         logits = jnp.where(key_mask > 0, logits, -1e30)
         att = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(
@@ -362,6 +426,44 @@ class TransformerFFNBlock(nn.Module):
             y = act_fn(cfg.activation)(y)
         y = dense(c, "ffn_linear2")(y)
         return y * mask
+
+
+class NestedBottleneckTransformerBlock(nn.Module):
+    """1x1 conv down -> internal_length x (attention + FFN) at c_mid ->
+    1x1 conv up; returns the residual (NestedBottleneckTransformerBlock,
+    model_pytorch.py:1921-2018 — the "nbttf" hybrid family)."""
+    cfg: ModelConfig
+    pos_len: int
+    internal_length: int
+    use_swiglu: bool = True
+    use_rope: bool = True
+    use_gab: bool = False
+    fixup_scale: float = 1.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask, mask_sum_hw, gab_templates=None):
+        cfg = self.cfg
+        inner_scale = math.pow(self.fixup_scale,
+                               1.0 / (1.0 + self.internal_length))
+        out = NormActConv(cfg.trunk_num_channels, cfg.mid_num_channels,
+                          cfg.activation, 1, inner_scale,
+                          dtype=self.dtype)(x, mask, mask_sum_hw)
+        for i in range(self.internal_length):
+            attn = TransformerAttentionBlock(
+                cfg, self.pos_len, use_rope=self.use_rope,
+                use_gab=self.use_gab, dtype=self.dtype,
+                name=f"attn{i + 1}")
+            out = out + attn(out, mask, mask_sum_hw,
+                             gab_templates=gab_templates)
+            ffn = TransformerFFNBlock(cfg, use_swiglu=self.use_swiglu,
+                                      dtype=self.dtype,
+                                      name=f"ffn{i + 1}")
+            out = out + ffn(out, mask, mask_sum_hw)
+        out = NormActConv(cfg.mid_num_channels, cfg.trunk_num_channels,
+                          cfg.activation, 1, 0.0, use_gamma=True,
+                          dtype=self.dtype)(out, mask, mask_sum_hw)
+        return out
 
 
 class MetadataEncoder(nn.Module):
@@ -540,6 +642,7 @@ class KataGoModel(nn.Module):
         num_blocks = len(cfg.block_kind)
         fixup_scale = 1.0 / math.sqrt(max(num_blocks, 1))
         intermediate_out = {}
+        gab_templates = None   # built once, shared by all GAB blocks
         for block_i, kind in enumerate(cfg.block_kind):
             if (cfg.has_intermediate_head
                     and block_i == cfg.intermediate_head_blocks):
@@ -563,6 +666,24 @@ class KataGoModel(nn.Module):
                     cfg, self.pos_len, use_rope=(kind == "attnrope"),
                     dtype=self.dtype)
                 x = x + blk(x, mask, mask_sum_hw)
+                continue
+            if kind.startswith("bottlenest") and "transformer" in kind:
+                # bottlenest{N}transformer[rope][gab]sg (model_pytorch.py
+                # block_kind table at :2955): nested-bottleneck hybrid
+                il = int(kind[len("bottlenest")])
+                use_gab = "gab" in kind
+                use_rope = "rope" in kind
+                use_swiglu = kind.endswith("sg")
+                if use_gab and gab_templates is None:
+                    gab_templates = GABTemplates(
+                        cfg, self.pos_len,
+                        name="gab_templates")(self.pos_len * self.pos_len)
+                blk = NestedBottleneckTransformerBlock(
+                    cfg, self.pos_len, il, use_swiglu=use_swiglu,
+                    use_rope=use_rope, use_gab=use_gab,
+                    fixup_scale=fixup_scale, dtype=self.dtype)
+                x = x + blk(x, mask, mask_sum_hw,
+                            gab_templates=gab_templates)
                 continue
             if kind in ("ffng", "ffnsg"):
                 blk = TransformerFFNBlock(cfg, use_swiglu=(kind == "ffnsg"),

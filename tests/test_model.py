@@ -225,7 +225,49 @@ def test_transformer_configs_forward():
     assert cfg2.transformer_heads != cfg2.transformer_kv_heads
 
 
-def test_rope_tables_orthogonal_rotation():
+def test_nbttf_gab_blocks_forward():
+    """Nested-bottleneck transformer hybrids with RoPE or GAB
+    (NestedBottleneckTransformerBlock model_pytorch.py:1921,
+    GABTemplateMLP :1423): finite heads; GAB params exist only in GAB
+    configs; GAB bias responds to board state (the per-head template
+    mixture is pooled from the position)."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from katago_tpu.models import config as MC
+    from katago_tpu.models.model import KataGoModel
+
+    size = 5
+    base = MC.get_config("b5c384h6nbttfgabs")
+    tiny = dataclasses.replace(
+        base, name="tiny_gab", trunk_num_channels=32, mid_num_channels=16,
+        gpool_num_channels=8, transformer_ffn_channels=32,
+        transformer_heads=2, transformer_kv_heads=2, gab_num_templates=6,
+        gab_num_fourier_features=4, gab_mlp_hidden=16, gab_d1=8, gab_d2=8,
+        block_kind=("bottlenest2transformergabsg",) * 2,
+        p1_num_channels=8, g1_num_channels=8, v1_num_channels=8,
+        v2_size=16, sbv2_num_channels=16, num_scorebeliefs=2)
+    tiny_rope = dataclasses.replace(
+        tiny, name="tiny_rope",
+        block_kind=("bottlenest2transformerropesg",) * 2)
+    for cfg in (tiny, tiny_rope):
+        model = KataGoModel(cfg, pos_len=size, dtype=jnp.float32)
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, size, size, 22)),
+                            jnp.zeros((1, 19)))
+        sp = np.zeros((2, size, size, 22), np.float32)
+        sp[:, :, :, 0] = 1.0
+        sp[1, 2, 2, 1] = 1.0   # a stone on board 1 only
+        out = model.apply(params, jnp.asarray(sp), jnp.zeros((2, 19)))
+        pl = np.asarray(out["policy_logits"])
+        assert np.isfinite(pl).all()
+        flat = jax.tree_util.tree_flatten_with_path(params)[0]
+        has_gab = any("gab" in "/".join(str(k) for k in p)
+                      for p, _ in flat)
+        assert has_gab == ("gab" in cfg.block_kind[0])
+        # the two boards differ -> outputs differ (positional info flows)
+        assert not np.allclose(pl[0], pl[1])
     import numpy as np
     from katago_tpu.models.model import rope_cos_sin_2d
     cos, sin = rope_cos_sin_2d(8, 5, theta=100.0)
