@@ -1024,23 +1024,12 @@ def _would_be_ko_capture_at(stones, labels, hlibs, size, defender, l2,
     return outs
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3))
-def ladder_map_chase(stones: jax.Array, size: int,
-                     max_chains: int = 16, max_steps: int | None = None,
-                     ko_loc: jax.Array | int = -1) -> LadderResult:
-    """Chase-solver ladder planes for one board (the in-search variant).
-
-    Same interface and result semantics as `ladder_map`; see the module
-    section comment for the policy approximations. max_chains bounds the
-    low-liberty chains analyzed per board (lowest flat index first;
-    overflow chains are marked not-laddered) — in-search featurization
-    wants this small, the action concentrates in few chains. max_steps
-    bounds chase plies (default covers a corner-to-corner ladder at ~4
-    plies per diagonal cell; exhaustion counts as not-captured)."""
+def _chase_setup(stones, size: int, max_chains: int, ko):
+    """Per-game lane construction shared by the vmapped-XLA and Pallas
+    chase drivers: identify low-liberty chains and build the (rep,
+    defender, premove, active) query lanes (2 per chain). Returns a dict
+    of lane arrays plus the marking context `_chase_finish` needs."""
     nn = size * size
-    if max_steps is None:
-        # a corner-to-corner ladder consumes ~4 plies per diagonal cell
-        max_steps = 4 * size + 14
     labels = _stone_labels(stones, size)
     libs = B.chain_liberties(stones, labels, size)
     occupied = (stones == B.BLACK) | (stones == B.WHITE)
@@ -1059,7 +1048,7 @@ def ladder_map_chase(stones: jax.Array, size: int,
     libpts = jax.vmap(two_libs)(h)                             # [K, 2]
 
     k = max_chains
-    ko = jnp.asarray(ko_loc, jnp.int32)
+    ko = jnp.asarray(ko, jnp.int32)
     # two lanes per chain: lane A = defender-first (1 lib) or
     # attacker-first at liberty 0 (2 libs); lane B = attacker-first at
     # liberty 1 (2 libs only)
@@ -1076,12 +1065,19 @@ def ladder_map_chase(stones: jax.Array, size: int,
     act_b = head_ok & (hlibcnt == 2) & (libpts[:, 1] < nn) \
         & (libpts[:, 1] != ko)
     active = jnp.concatenate([act_a, act_b])
+    return dict(labels=labels, libs=libs, occupied=occupied,
+                h=h, head_ok=head_ok, hdef=hdef, hlibcnt=hlibcnt,
+                libpts=libpts, reps=reps, defenders=defenders,
+                premoves=premoves, active=active)
 
-    results = jax.vmap(
-        lambda r, d, p, a: _chase_one(stones, labels, libs, r, d, p, a,
-                                      size, max_steps)
-    )(reps, defenders, premoves, active)                       # [2K] bool
 
+def _chase_finish(ctx, results, size: int, max_chains: int) -> LadderResult:
+    """Mark laddered chains / working attacker moves from lane verdicts."""
+    nn = size * size
+    k = max_chains
+    labels, occupied = ctx["labels"], ctx["occupied"]
+    h, head_ok = ctx["h"], ctx["head_ok"]
+    hdef, hlibcnt, libpts = ctx["hdef"], ctx["hlibcnt"], ctx["libpts"]
     lad_a, lad_b = results[:k], results[k:]
     chain_laddered = lad_a | lad_b
 
@@ -1103,3 +1099,80 @@ def ladder_map_chase(stones: jax.Array, size: int,
         working_vs_black=working_mask(jnp.int32(B.BLACK)),
         working_vs_white=working_mask(jnp.int32(B.WHITE)),
     )
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def ladder_map_chase(stones: jax.Array, size: int,
+                     max_chains: int = 16, max_steps: int | None = None,
+                     ko_loc: jax.Array | int = -1) -> LadderResult:
+    """Chase-solver ladder planes for one board (the in-search variant).
+
+    Same interface and result semantics as `ladder_map`; see the module
+    section comment for the policy approximations. max_chains bounds the
+    low-liberty chains analyzed per board (lowest flat index first;
+    overflow chains are marked not-laddered) — in-search featurization
+    wants this small, the action concentrates in few chains. max_steps
+    bounds chase plies (default covers a corner-to-corner ladder at ~4
+    plies per diagonal cell; exhaustion counts as not-captured)."""
+    nn = size * size
+    if max_steps is None:
+        # a corner-to-corner ladder consumes ~4 plies per diagonal cell
+        max_steps = 4 * size + 14
+    ctx = _chase_setup(stones, size, max_chains, ko_loc)
+    labels, libs = ctx["labels"], ctx["libs"]
+
+    results = jax.vmap(
+        lambda r, d, p, a: _chase_one(stones, labels, libs, r, d, p, a,
+                                      size, max_steps)
+    )(ctx["reps"], ctx["defenders"], ctx["premoves"],
+      ctx["active"])                                           # [2K] bool
+    return _chase_finish(ctx, results, size, max_chains)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 5))
+def ladder_map_chase_batch(stones: jax.Array, size: int,
+                           max_chains: int = 16,
+                           max_steps: int | None = None,
+                           ko_loc: jax.Array | None = None,
+                           force_pallas: bool = False) -> LadderResult:
+    """Batched chase-solver ladder planes for [G, NN] boards.
+
+    Semantically identical to `jax.vmap(ladder_map_chase)` but the chase
+    loops run in ONE Pallas kernel over all G x 2*max_chains lanes
+    (ops/chase_pallas.py) — on-core state, no per-op dispatch, and
+    per-128-lane-block early exit instead of the global any-lane-alive
+    loop bound. The search evaluator calls this once per leaf batch
+    (search/mcts.py make_nn_evaluator).
+
+    Off-TPU this delegates to the vmapped XLA chase (the Pallas
+    interpreter is orders of magnitude slower than compiled XLA on CPU);
+    force_pallas=True runs the interpreted kernel anyway — the
+    equality tests (tests/test_chase_pallas.py) use it."""
+    g, nn = stones.shape
+    if max_steps is None:
+        max_steps = 4 * size + 14
+    if ko_loc is None:
+        ko_loc = jnp.full((g,), -1, jnp.int32)
+    interpret = jax.default_backend() != "tpu"
+    if interpret and not force_pallas:
+        return jax.vmap(
+            lambda s, k_: ladder_map_chase(s, size, max_chains, max_steps,
+                                           k_))(stones, ko_loc)
+    ctx = jax.vmap(
+        lambda s, k_: _chase_setup(s, size, max_chains, k_))(stones, ko_loc)
+    k2 = 2 * max_chains
+
+    from katago_tpu.ops import chase_pallas as CP
+    rep_l = ctx["reps"].reshape(-1)
+    def_l = ctx["defenders"].reshape(-1)
+    pre_l = ctx["premoves"].reshape(-1)
+    act_l = ctx["active"].reshape(-1)
+    stones_l = jnp.repeat(stones.astype(jnp.int32), k2, axis=0)
+    labels_l = jnp.repeat(ctx["labels"], k2, axis=0)
+    libs_l = jnp.repeat(ctx["libs"], k2, axis=0)
+    cap = CP.chase_lanes(stones_l, labels_l, libs_l, rep_l, def_l, pre_l,
+                         act_l, size=size, max_steps=max_steps,
+                         interpret=interpret)
+    results = cap.reshape(g, k2)
+    return jax.vmap(
+        lambda c, r: _chase_finish(c, r, size, max_chains))(ctx, results)

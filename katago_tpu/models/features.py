@@ -94,6 +94,7 @@ def fill_features_v7(gs: H.GameState, size: int,
                      ladder_mode: str = "exact",
                      prev_laddered: jax.Array | None = None,
                      prev_prev_laddered: jax.Array | None = None,
+                     cur_ladder=None,
                      ) -> tuple[jax.Array, jax.Array]:
     """Returns (spatial f32[NN, 22], global f32[19]) for the player to move.
 
@@ -117,7 +118,13 @@ def fill_features_v7(gs: H.GameState, size: int,
     cutting the dominant featurizer cost 3x (the solver output for a given
     board is position-deterministic, so the cache is exact). Both must be
     given together; history suppression falls back to the nearest included
-    board exactly as in the 3-solve path."""
+    board exactly as in the 3-solve path.
+
+    cur_ladder: optional precomputed ladder.LadderResult of the CURRENT
+    board — the batched search evaluator solves all games' boards in one
+    Pallas kernel call (ladder.ladder_map_chase_batch) and passes each
+    game's row here, so no solve runs inside the per-game vmap at all.
+    Requires prev_laddered/prev_prev_laddered too."""
     nn = size * size
     stones = gs.board.stones
     pla = gs.to_move
@@ -216,7 +223,8 @@ def fill_features_v7(gs: H.GameState, size: int,
             # cached-prev path (in-search): solve only the current board;
             # planes 15/16 come from the caller's cached masks with the
             # same history-suppression fallback as the 3-solve path
-            lad = solve(stones, gs.pos.simple_ko_loc)
+            lad = cur_ladder if cur_ladder is not None \
+                else solve(stones, gs.pos.simple_ko_loc)
             lad15 = jnp.where(amount >= 1, prev_laddered, lad.laddered)
             lad16 = jnp.where(amount >= 2, prev_prev_laddered, lad15)
         else:
@@ -342,21 +350,24 @@ def fill_features(gs: H.GameState, size: int, params: FeatureParams,
                   legal: jax.Array, *, version: int = 7,
                   with_ladders: bool = True, ladder_mode: str = "exact",
                   prev_laddered: jax.Array | None = None,
-                  prev_prev_laddered: jax.Array | None = None):
+                  prev_prev_laddered: jax.Array | None = None,
+                  cur_ladder=None):
     """Versioned featurizer: V3..V7 spatial/global rows."""
     if version == 7:
         return fill_features_v7(gs, size, params, legal,
                                 with_ladders=with_ladders,
                                 ladder_mode=ladder_mode,
                                 prev_laddered=prev_laddered,
-                                prev_prev_laddered=prev_prev_laddered)
+                                prev_prev_laddered=prev_prev_laddered,
+                                cur_ladder=cur_ladder)
     if version not in NUM_SPATIAL_BY_VERSION:
         raise ValueError(f"unsupported input-features version {version}")
     sp, gl = fill_features_v7(gs, size, params, legal,
                               with_ladders=(with_ladders and version != 5),
                               ladder_mode=ladder_mode,
                               prev_laddered=prev_laddered,
-                              prev_prev_laddered=prev_prev_laddered)
+                              prev_prev_laddered=prev_prev_laddered,
+                              cur_ladder=cur_ladder)
 
     if version in (3, 4):
         # planes 18/19: V3 = scoring-dependent plain area

@@ -1251,12 +1251,35 @@ def make_nn_evaluator(model_apply: Callable, model_params: Any, size: int,
         caller to cache."""
         legal = jax.vmap(H.legal_moves, in_axes=(0, None))(leaf_gs, size)
         if prev_lad is not None and with_ladders:
-            sp_feat, gl_feat = jax.vmap(
-                lambda g_, l_, p_, pp_: F.fill_features(
-                    g_, size, feat_params, l_, version=feature_version,
-                    with_ladders=with_ladders, ladder_mode=ladder_mode,
-                    prev_laddered=p_, prev_prev_laddered=pp_)
-            )(leaf_gs, legal, prev_lad[0], prev_lad[1])
+            cur_lad = None
+            if ladder_mode == "chase" and feature_version != 5:
+                # ONE Pallas kernel solves every game's board (on-core
+                # chase loops, per-block early exit) instead of a
+                # per-game vmapped while_loop — the dominant non-NN
+                # search cost (ops/chase_pallas.py)
+                from katago_tpu.game import ladder as LADM
+                cur_lad = LADM.ladder_map_chase_batch(
+                    leaf_gs.pos.board.stones.astype(jnp.int32), size,
+                    ko_loc=leaf_gs.pos.simple_ko_loc)
+            if cur_lad is not None:
+                sp_feat, gl_feat = jax.vmap(
+                    lambda g_, l_, p_, pp_, cl_: F.fill_features(
+                        g_, size, feat_params, l_,
+                        version=feature_version,
+                        with_ladders=with_ladders,
+                        ladder_mode=ladder_mode,
+                        prev_laddered=p_, prev_prev_laddered=pp_,
+                        cur_ladder=cl_)
+                )(leaf_gs, legal, prev_lad[0], prev_lad[1], cur_lad)
+            else:
+                sp_feat, gl_feat = jax.vmap(
+                    lambda g_, l_, p_, pp_: F.fill_features(
+                        g_, size, feat_params, l_,
+                        version=feature_version,
+                        with_ladders=with_ladders,
+                        ladder_mode=ladder_mode,
+                        prev_laddered=p_, prev_prev_laddered=pp_)
+                )(leaf_gs, legal, prev_lad[0], prev_lad[1])
         else:
             sp_feat, gl_feat = jax.vmap(
                 lambda g_, l_: F.fill_features(g_, size, feat_params, l_,
@@ -1470,11 +1493,15 @@ def init_search(model_apply: Callable, model_params: Any,
     if with_ladders:
         # ladder mask of the board one move before the root: depth-1
         # leaves read it as their grandparent board's cached mask
-        solve = (ladder_map_chase_fn if ladder_mode == "chase"
-                 else ladder_map_fn)
-        prev_lad = jax.vmap(lambda s, k: solve(s, size, k))(
-            roots.pos.prev_stones.astype(jnp.int32),
-            roots.pos.prev_ko_loc)
+        if ladder_mode == "chase":
+            from katago_tpu.game import ladder as LADM
+            prev_lad = LADM.ladder_map_chase_batch(
+                roots.pos.prev_stones.astype(jnp.int32), size,
+                ko_loc=roots.pos.prev_ko_loc).laddered
+        else:
+            prev_lad = jax.vmap(lambda s, k: ladder_map_fn(s, size, k))(
+                roots.pos.prev_stones.astype(jnp.int32),
+                roots.pos.prev_ko_loc)
         ss = ss._replace(root_prev_laddered=prev_lad)
 
     # root NN eval, averaged over root_num_symmetries sampled dihedral
