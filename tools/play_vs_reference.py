@@ -197,17 +197,21 @@ def main():
         print(f"game {g}: our_is_black={our_is_black} result={r} "
               f"moves={moves} | W-L-D {wins}-{losses}-{draws} "
               f"({time.time() - t0:.0f}s)", file=sys.stderr)
+        # incremental summary after every game: long matches survive
+        # interruption with a valid partial result on disk
+        elo, stdev = estimate_elo(wins, losses, draws)
+        summary = {
+            "games": wins + losses + draws, "size": args.size,
+            "visits": args.visits,
+            "wins": wins, "losses": losses, "draws": draws,
+            "elo_vs_reference": round(elo, 1),
+            "elo_stdev": round(stdev, 1),
+            "model": args.model.rsplit("/", 1)[-1],
+        }
+        with open(args.out, "w") as f:
+            json.dump(summary, f, indent=2)
     ref.close()
-    elo, stdev = estimate_elo(wins, losses, draws)
-    summary = {
-        "games": args.games, "size": args.size, "visits": args.visits,
-        "wins": wins, "losses": losses, "draws": draws,
-        "elo_vs_reference": round(elo, 1), "elo_stdev": round(stdev, 1),
-        "model": args.model.rsplit("/", 1)[-1],
-    }
     print(json.dumps(summary))
-    with open(args.out, "w") as f:
-        json.dump(summary, f, indent=2)
 
 
 if __name__ == "__main__":
