@@ -1252,11 +1252,15 @@ def make_nn_evaluator(model_apply: Callable, model_params: Any, size: int,
         legal = jax.vmap(H.legal_moves, in_axes=(0, None))(leaf_gs, size)
         if prev_lad is not None and with_ladders:
             cur_lad = None
-            if ladder_mode == "chase" and feature_version != 5:
+            if ladder_mode == "chase" and feature_version != 5 \
+                    and jax.default_backend() == "tpu":
                 # ONE Pallas kernel solves every game's board (on-core
                 # chase loops, per-block early exit) instead of a
                 # per-game vmapped while_loop — the dominant non-NN
-                # search cost (ops/chase_pallas.py)
+                # search cost (ops/chase_pallas.py). TPU only: off-TPU
+                # the per-game in-fill solve below traces the exact
+                # pre-kernel program (CPU LLVM JIT section memory is
+                # tight on the biggest search programs)
                 from katago_tpu.game import ladder as LADM
                 cur_lad = LADM.ladder_map_chase_batch(
                     leaf_gs.pos.board.stones.astype(jnp.int32), size,
@@ -1493,11 +1497,16 @@ def init_search(model_apply: Callable, model_params: Any,
     if with_ladders:
         # ladder mask of the board one move before the root: depth-1
         # leaves read it as their grandparent board's cached mask
-        if ladder_mode == "chase":
+        if ladder_mode == "chase" and jax.default_backend() == "tpu":
             from katago_tpu.game import ladder as LADM
             prev_lad = LADM.ladder_map_chase_batch(
                 roots.pos.prev_stones.astype(jnp.int32), size,
                 ko_loc=roots.pos.prev_ko_loc).laddered
+        elif ladder_mode == "chase":
+            prev_lad = jax.vmap(
+                lambda s_, k_: ladder_map_chase_fn(s_, size, k_))(
+                roots.pos.prev_stones.astype(jnp.int32),
+                roots.pos.prev_ko_loc)
         else:
             prev_lad = jax.vmap(lambda s, k: ladder_map_fn(s, size, k))(
                 roots.pos.prev_stones.astype(jnp.int32),
